@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for text semantics Spark's built-ins can't
+  * express. All have `doGenCode` so they stay inside whole-stage codegen
+  * (the generated code calls the static evaluators below — same pattern
+  * Spark uses for its own string expressions).
+  */
+object GraftExpressions {
+  def stripAccents(c: Column): Column =
+    GraftBridge.column(StripAccents(GraftBridge.expression(c)))
+  def stemDutch(c: Column): Column =
+    GraftBridge.column(StemDutch(GraftBridge.expression(c)))
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DamerauLevenshtein(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Unicode-NFD accent strip + non-ASCII drop, the semantics of the
+  * reference's removeAccent (reference: src/NLP_functions.py:125-139:
+  * NFD normalize then ascii-encode with errors ignored).
+  */
+case class StripAccents(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(StripAccents.strip(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.StripAccents.strip($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
+object StripAccents {
+  def strip(s: String): String = {
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < nfd.length) {
+      val ch = nfd.charAt(i)
+      if (ch < 128) sb.append(ch)
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+/** Snowball Dutch stemmer (the published snowballstem.org algorithm the
+  * reference applies via NLTK, reference: Notebook_Diagnosis_Extraction
+  * .ipynb cell 16-17 / src/NLP_functions.py:89). Applied per whitespace
+  * token, like the reference's stemmingText.
+  */
+case class StemDutch(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(DutchStemmer.stemText(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.DutchStemmer.stemText($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): StemDutch =
+    copy(child = newChild)
+}
+
+/** Optimal-string-alignment Damerau-Levenshtein distance — the variant the
+  * reference's pyxdameraulevenshtein computes for typo correction
+  * (reference: src/NLP_functions.py:39-87).
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    DamerauLevenshtein.osa(
+      l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DamerauLevenshtein.osa($a.toString(), $b.toString())")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+  /** Optimal string alignment distance (restricted Damerau-Levenshtein). */
+  def osa(a: String, b: String): Int = {
+    val n = a.length; val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    // three rolling rows of the OSA DP matrix
+    var prev2 = new Array[Int](m + 1)
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      j = 1
+      while (j <= m) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var d = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), prev(j - 1) + cost)
+        if (i > 1 && j > 1 &&
+            a.charAt(i - 1) == b.charAt(j - 2) && a.charAt(i - 2) == b.charAt(j - 1)) {
+          d = math.min(d, prev2(j - 2) + 1)
+        }
+        cur(j) = d
+        j += 1
+      }
+      val t = prev2; prev2 = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational heads: flagship aggregation, broadcast-join rollup, window
+  * top-k. Monetary aggregates are summed as DECIMAL (order-independent,
+  * so results are bit-identical across any partitioning / shuffle order —
+  * a double sum would drift with partition count) and cast back to double.
+  */
+object Relational {
+
+  private val money = DecimalType(28, 6)
+
+  /** Pricing-summary aggregation (TPC-H Q1 shape) over lineitem.
+    * Single hash aggregation with map-side partial aggregation; the
+    * shipdate filter is pushed into the parquet scan.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast(money)).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast(money)).cast("double").as("sum_base_price"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(money))
+          .cast("double").as("sum_disc_price"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+          .cast(money)).cast("double").as("sum_charge"),
+        (sum($"l_quantity".cast(money)).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum($"l_extendedprice".cast(money)).cast("double") / count(lit(1))).as("avg_price"),
+        (sum($"l_discount".cast(money)).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue rollup across orders ⋈ customer ⋈ nation ⋈ region with every
+    * dimension broadcast — no shuffle on the fact side except the final
+    * small aggregation.
+    */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        sum($"o_totalprice".cast(money)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val joinBroadcastSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-3 orders per customer by price — one shuffle on o_custkey, ties
+    * broken on o_orderkey so ranks are deterministic.
+    */
+  def windowTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  val windowTopKSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q1_agg", q1Agg, Some(q1AggSql)),
+    GraftQuery("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
+    GraftQuery("q_window_topk", windowTopK, Some(windowTopKSql)))
+}
