@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** All registered operators, in SURVEY §2 order. */
   val all: Seq[GraftQuery] =
-    Relational.queries ++ TextQueries.queries
+    Relational.queries ++ TextQueries.queries ++ Features.queries ++
+      Evaluation.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,313 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators (SURVEY §2.D word-match + §2.E).
+  *
+  * The reference builds its ROC/PR curves by sorting the test set by
+  * prediction score in the driver and walking a cumulative sum
+  * (sortedPredictionList + score_binary, reference:
+  * src/TextClassification.py:612-723). Here that becomes a single window
+  * pass — `sum(y) OVER (ORDER BY score DESC)` — which distributes: at
+  * 100 TB the sort is a range-partitioned shuffle, not a driver loop.
+  *
+  * All curve coordinates are ratios of exact integer cumulative counts,
+  * so every value is bit-deterministic regardless of partitioning.
+  */
+object Evaluation {
+
+  /** Word-matching targets — the diagnosis-keyword analogue of the
+    * reference's l_targets (notebook cell 36).
+    */
+  val targets: Seq[String] = Seq("data", "spark", "query")
+
+  private val targetsRe = "\\b(" + targets.mkString("|") + ")\\b"
+  private val targetsReSql = targetsRe.replace("\\", "\\")
+
+  /** Regex word-matching classifier (reference: CustomBinaryModel,
+    * src/TextClassification.py:32-75): pred = presence of any target.
+    */
+  def wordMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        ($"lang" === "en").cast("int").as("y"),
+        regexp_like($"text", lit(targetsRe)).cast("int").as("pred"))
+      .orderBy($"doc_id")
+  }
+
+  val wordMatchSql: String =
+    s"""SELECT doc_id, ${Features.labelSqlExpr} AS y,
+       |  CASE WHEN regexp_matches(text, '$targetsReSql') THEN 1 ELSE 0 END AS pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic pseudo-probability score: target-token density. The
+    * continuous-score twin of wordMatch used to drive threshold sweeps.
+    */
+  def scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", ($"lang" === "en").cast("int").as("y"),
+        TF.tokens($"text").as("toks"))
+      .select($"doc_id", $"y",
+        (size(filter($"toks", t => t.isin(targets: _*))).cast("double") /
+          size($"toks")).as("score"))
+  }
+
+  private val targetList = targets.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  val scoredSql: String =
+    s"""scored AS (
+       |  SELECT doc_id, ${Features.labelSqlExpr} AS y,
+       |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
+       |      / len(toks) AS score
+       |  FROM (SELECT doc_id, lang,
+       |          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |        FROM documents) d),
+       |ranked AS (
+       |  SELECT doc_id, y, score,
+       |    CAST(row_number() OVER w AS BIGINT) AS rk,
+       |    sum(y) OVER w AS cum_tp,
+       |    sum(1 - y) OVER w AS cum_fp,
+       |    (SELECT sum(y) FROM scored) AS p,
+       |    (SELECT sum(1 - y) FROM scored) AS n
+       |  FROM scored
+       |  WINDOW w AS (ORDER BY score DESC, doc_id ASC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+
+  /** Ranked frame: rk, cum_tp, cum_fp plus totals p / n. */
+  private def ranked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = scored(s, dir)
+    val w = Window.orderBy($"score".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    sc.select($"doc_id", $"y", $"score",
+      row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)).cast("long").as("rk"),
+      sum($"y").over(w).as("cum_tp"),
+      sum(lit(1) - $"y").over(w).as("cum_fp"),
+      sum($"y").over(tot).as("p"),
+      sum(lit(1) - $"y").over(tot).as("n"))
+  }
+
+  /** Threshold-sweep ROC points (reference: score_binary,
+    * src/TextClassification.py:691-723).
+    */
+  def rocCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ranked(s, dir)
+      .select($"rk", $"score", $"doc_id",
+        ($"cum_tp".cast("double") / $"p").as("tpr"),
+        ($"cum_fp".cast("double") / $"n").as("fpr"))
+      .orderBy($"rk")
+  }
+
+  val rocCurveSql: String =
+    s"""WITH $scoredSql
+       |SELECT rk, score, doc_id,
+       |  CAST(cum_tp AS DOUBLE) / p AS tpr,
+       |  CAST(cum_fp AS DOUBLE) / n AS fpr
+       |FROM ranked ORDER BY rk""".stripMargin
+
+  /** Trapezoid ROC-AUC (reference: calculateAUC,
+    * src/TextClassification.py:385). With the strict tie-broken ordering
+    * every step is axis-aligned, so the trapezoid area reduces to
+    * Σ_negatives cum_tp / (P·N) — exact integer arithmetic, no float sum.
+    */
+  def aucTrapezoid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ranked(s, dir)
+      .agg((sum($"cum_tp" * (lit(1) - $"y")).cast("double") /
+        (first($"p") * first($"n"))).as("auc"))
+  }
+
+  val aucTrapezoidSql: String =
+    s"""WITH $scoredSql
+       |SELECT CAST(sum(cum_tp * (1 - y)) AS DOUBLE) / (any_value(p) * any_value(n)) AS auc
+       |FROM ranked""".stripMargin
+
+  /** Precision-recall points (reference: modelPrecisionRecall,
+    * src/TextClassification.py:446).
+    */
+  def prCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ranked(s, dir)
+      .select($"rk", $"score", $"doc_id",
+        ($"cum_tp".cast("double") / $"rk").as("precision"),
+        ($"cum_tp".cast("double") / $"p").as("recall"))
+      .orderBy($"rk")
+  }
+
+  val prCurveSql: String =
+    s"""WITH $scoredSql
+       |SELECT rk, score, doc_id,
+       |  CAST(cum_tp AS DOUBLE) / rk AS precision,
+       |  CAST(cum_tp AS DOUBLE) / p AS recall
+       |FROM ranked ORDER BY rk""".stripMargin
+
+  /** F1 across the threshold sweep (reference: score_binary F1 column). */
+  def f1Sweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pr = ($"cum_tp".cast("double") / $"rk")
+    val rc = ($"cum_tp".cast("double") / $"p")
+    ranked(s, dir)
+      .select($"rk", $"score",
+        when(pr + rc > 0.0, lit(2.0) * pr * rc / (pr + rc)).otherwise(0.0).as("f1"))
+      .orderBy($"rk")
+  }
+
+  val f1SweepSql: String =
+    s"""WITH $scoredSql
+       |SELECT rk, score,
+       |  CASE WHEN CAST(cum_tp AS DOUBLE) / rk + CAST(cum_tp AS DOUBLE) / p > 0
+       |    THEN 2.0 * (CAST(cum_tp AS DOUBLE) / rk) * (CAST(cum_tp AS DOUBLE) / p)
+       |         / (CAST(cum_tp AS DOUBLE) / rk + CAST(cum_tp AS DOUBLE) / p)
+       |    ELSE 0.0 END AS f1
+       |FROM ranked ORDER BY rk""".stripMargin
+
+  /** Optimal cutoff where TPR ≈ 1−FPR (reference: optimalCutoff,
+    * src/NLP_functions.py:229).
+    */
+  def optimalCutoff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ranked(s, dir)
+      .select($"rk", $"score",
+        ($"cum_tp".cast("double") / $"p").as("tpr"),
+        ($"cum_fp".cast("double") / $"n").as("fpr"))
+      .withColumn("balance", abs($"tpr" - (lit(1.0) - $"fpr")))
+      .orderBy($"balance".asc, $"rk".asc)
+      .limit(1)
+      .select($"score".as("cutoff"), $"tpr", $"fpr")
+  }
+
+  val optimalCutoffSql: String =
+    s"""WITH $scoredSql
+       |SELECT score AS cutoff,
+       |  CAST(cum_tp AS DOUBLE) / p AS tpr,
+       |  CAST(cum_fp AS DOUBLE) / n AS fpr
+       |FROM ranked
+       |ORDER BY abs(CAST(cum_tp AS DOUBLE) / p
+       |  - (1.0 - CAST(cum_fp AS DOUBLE) / n)) ASC, rk ASC
+       |LIMIT 1""".stripMargin
+
+  /** Confusion matrix + the reference's eight derived metrics
+    * (scoresCM, src/TextClassification.py:865-890) for the word-match
+    * classifier — one aggregation, metrics as exact-count ratios.
+    */
+  def confusionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wordMatch(s, dir)
+      .agg(
+        sum($"y" * $"pred").as("tp"),
+        sum((lit(1) - $"y") * $"pred").as("fp"),
+        sum((lit(1) - $"y") * (lit(1) - $"pred")).as("tn"),
+        sum($"y" * (lit(1) - $"pred")).as("fn"))
+      .select($"tp", $"fp", $"tn", $"fn",
+        ($"tp".cast("double") / ($"tp" + $"fn")).as("tpr"),
+        ($"tn".cast("double") / ($"tn" + $"fp")).as("tnr"),
+        ($"tp".cast("double") / ($"tp" + $"fp")).as("ppv"),
+        ($"tn".cast("double") / ($"tn" + $"fn")).as("npv"),
+        ($"fp".cast("double") / ($"fp" + $"tn")).as("fpr"),
+        ($"fn".cast("double") / ($"tp" + $"fn")).as("fnr"),
+        ($"fp".cast("double") / ($"tp" + $"fp")).as("fdr"),
+        (($"tp" + $"tn").cast("double") / ($"tp" + $"fp" + $"tn" + $"fn")).as("acc"))
+  }
+
+  val confusionMatrixSql: String =
+    s"""WITH wm AS (
+       |  SELECT ${Features.labelSqlExpr} AS y,
+       |    CASE WHEN regexp_matches(text, '$targetsReSql') THEN 1 ELSE 0 END AS pred
+       |  FROM documents),
+       |cm AS (
+       |  SELECT sum(y * pred) AS tp, sum((1 - y) * pred) AS fp,
+       |    sum((1 - y) * (1 - pred)) AS tn, sum(y * (1 - pred)) AS fn
+       |  FROM wm)
+       |SELECT tp, fp, tn, fn,
+       |  CAST(tp AS DOUBLE) / (tp + fn) AS tpr,
+       |  CAST(tn AS DOUBLE) / (tn + fp) AS tnr,
+       |  CAST(tp AS DOUBLE) / (tp + fp) AS ppv,
+       |  CAST(tn AS DOUBLE) / (tn + fn) AS npv,
+       |  CAST(fp AS DOUBLE) / (fp + tn) AS fpr,
+       |  CAST(fn AS DOUBLE) / (tp + fn) AS fnr,
+       |  CAST(fp AS DOUBLE) / (tp + fp) AS fdr,
+       |  CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn) AS acc
+       |FROM cm""".stripMargin
+
+  /** Deterministic shuffle-split fold assignment — the distributed twin of
+    * the reference's seeded ShuffleSplit (preset_CV10Folds,
+    * src/NLP_functions.py:198): 10 iterations, each a ~50/50 LCG-hash
+    * split, reproducible on any cluster without a driver-side permutation.
+    */
+  def cvFolds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iters = s.range(0, 10).select($"id".cast("int").as("iter"))
+    Tables.documents(s, dir).select($"doc_id")
+      .crossJoin(broadcast(iters))
+      .select($"iter", $"doc_id",
+        ((($"doc_id" * 10 + $"iter") * 1103515245L + 12345L) % 2147483648L % 2)
+          .cast("int").as("is_test"))
+      .orderBy($"iter", $"doc_id")
+  }
+
+  val cvFoldsSql: String =
+    """SELECT iter, doc_id,
+      |  CAST((doc_id * 10 + iter) * 1103515245 + 12345 AS BIGINT) % 2147483648 % 2 AS is_test
+      |FROM documents, (SELECT unnest(generate_series(0, 9)) AS iter) i
+      |ORDER BY iter, doc_id""".stripMargin
+
+  /** Deterministic prevalence re-sampling (under-sample negatives to hit
+    * target prevalence; reference: plotPrevalencePR,
+    * src/TextClassification.py:1332 and classifyOnLowerPrevalence,
+    * src/NLP_functions.py:260): keep all positives plus the first
+    * ⌊P·(100−pp)/pp⌋ negatives in LCG-hash order.
+    */
+  def prevalenceResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Features.labeled(s, dir).select($"doc_id", $"y")
+    val prevs = s.range(0, 3).select(
+      when($"id" === 0, 25).when($"id" === 1, 50).otherwise(75).as("prev_pct"))
+    val withH = docs.crossJoin(broadcast(prevs))
+      .withColumn("h", ($"doc_id" * 2654435761L + 12345L) % 2147483648L)
+    val w = Window.partitionBy($"prev_pct").orderBy($"h".asc, $"doc_id".asc)
+    val negRanked = withH.where($"y" === 0)
+      .withColumn("nrk", row_number().over(w).cast("long"))
+    val pCount = docs.agg(sum($"y").as("p"))
+    val negKept = negRanked.crossJoin(broadcast(pCount))
+      .where($"nrk" <= floor($"p" * (lit(100) - $"prev_pct") / $"prev_pct"))
+      .select($"prev_pct", $"doc_id", $"y")
+    val posAll = withH.where($"y" === 1).select($"prev_pct", $"doc_id", $"y")
+    posAll.unionByName(negKept).orderBy($"prev_pct", $"doc_id")
+  }
+
+  val prevalenceResampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${Features.labelSqlExpr} AS y FROM documents),
+       |prevs AS (SELECT unnest([25, 50, 75]) AS prev_pct),
+       |p AS (SELECT sum(y) AS p FROM docs),
+       |neg AS (
+       |  SELECT prev_pct, doc_id, y,
+       |    CAST(row_number() OVER (PARTITION BY prev_pct
+       |      ORDER BY (doc_id * 2654435761 + 12345) % 2147483648 ASC, doc_id ASC)
+       |      AS BIGINT) AS nrk
+       |  FROM docs, prevs WHERE y = 0)
+       |SELECT prev_pct, doc_id, y FROM docs, prevs WHERE y = 1
+       |UNION ALL
+       |SELECT prev_pct, doc_id, y FROM neg, p
+       |WHERE nrk <= floor(p.p * (100 - prev_pct) / prev_pct)
+       |ORDER BY prev_pct, doc_id""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_word_match", wordMatch, Some(wordMatchSql)),
+    GraftQuery("q_roc_curve", rocCurve, Some(rocCurveSql)),
+    GraftQuery("q_auc_trapezoid", aucTrapezoid, Some(aucTrapezoidSql)),
+    GraftQuery("q_pr_curve", prCurve, Some(prCurveSql)),
+    GraftQuery("q_f1_sweep", f1Sweep, Some(f1SweepSql)),
+    GraftQuery("q_optimal_cutoff", optimalCutoff, Some(optimalCutoffSql)),
+    GraftQuery("q_confusion_matrix", confusionMatrix, Some(confusionMatrixSql)),
+    GraftQuery("q_cv_folds", cvFolds, Some(cvFoldsSql)),
+    GraftQuery("q_prevalence_resample", prevalenceResample, Some(prevalenceResampleSql)))
+}

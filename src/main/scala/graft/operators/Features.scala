@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators (SURVEY §2.C) — the distributed
+  * re-expression of the reference's TfidfVectorizer / chi² / Pearson /
+  * top-feature analyses (reference: src/NLP_functions.py:390-635).
+  *
+  * Numeric discipline: every statistic is derived from *exact integer
+  * aggregates* (term counts, doc counts, label sums) with scalar IEEE
+  * arithmetic applied only at the end, so results are independent of
+  * partitioning/accumulation order and bit-match the DuckDB oracle.
+  */
+object Features {
+
+  /** Exploded (doc_id, token) pairs. */
+  private def docTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(TF.tokens($"text")).as("token"))
+  }
+
+  private val docTokensSql =
+    s"""(SELECT doc_id, ${TF.tokensSqlSelect("text")} AS token FROM documents)
+       | t WHERE token <> ''""".stripMargin.replace("\n", "")
+
+  /** Per-doc term frequency — one hash aggregation with map-side combine. */
+  def tf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docTokens(s, dir)
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy($"doc_id", $"token")
+  }
+
+  val tfSql: String =
+    s"""SELECT doc_id, token, count(*) AS tf FROM $docTokensSql
+       |GROUP BY doc_id, token ORDER BY doc_id, token""".stripMargin
+
+  /** Smoothed TF-IDF, sklearn semantics: idf = ln((1+n)/(1+df)) + 1
+    * (TfidfVectorizer smooth_idf; L2 doc-normalization lives in the MLlib
+    * pipeline path, not here, to keep values order-independent).
+    * Two aggregations + one broadcast-able join on the tiny df table.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = docTokens(s, dir)
+    val tfDf = dt.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfDf = tfDf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).count()
+    tfDf.join(broadcast(dfDf), "token")
+      .select($"doc_id", $"token", $"tf",
+        round($"tf" * (log((lit(1.0) + n.toDouble) / (lit(1.0) + $"df")) + lit(1.0)), 6)
+          .as("tfidf"))
+      .orderBy($"doc_id", $"token")
+  }
+
+  val tfidfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM $docTokensSql GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n FROM documents)
+       |SELECT tf.doc_id, tf.token, tf.tf,
+       |  round(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0), 6) AS tfidf
+       |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+       |ORDER BY tf.doc_id, tf.token""".stripMargin
+
+  /** Label used across feature scoring / classification: y = (lang='en'),
+    * the binary-diagnosis analogue of the reference's RA label.
+    */
+  def labeled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", ($"lang" === "en").cast("int").as("y"), $"text")
+  }
+
+  val labelSqlExpr = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+
+  /** chi² token-vs-label scores over raw term counts (reference:
+    * plotFeatureChiSquared, src/NLP_functions.py:390 — computed there over
+    * sklearn's observed-frequency contingency; here over exact counts so
+    * the statistic is reproducible at any scale).
+    */
+  def chi2Features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = labeled(s, dir)
+    val dt = docs.select($"doc_id", $"y", explode(TF.tokens($"text")).as("token"))
+    val perTok = dt.groupBy($"token")
+      .agg(count(lit(1)).as("total_tf"), sum($"y" * lit(1L)).as("obs1"))
+    val totals = docs.agg(
+      count(lit(1)).as("n"), sum($"y").as("n1")).select($"n", $"n1")
+    perTok.crossJoin(broadcast(totals))
+      .select($"token",
+        round(chi2Col($"total_tf", $"obs1", $"n", $"n1"), 6).as("chi2"))
+      .orderBy($"token")
+  }
+
+  /** chi2 = Σ_c (obs_c − exp_c)²/exp_c with exp_c = total_tf · n_c/n. */
+  private def chi2Col(totalTf: Column, obs1: Column, n: Column, n1: Column): Column = {
+    val exp1 = totalTf * (n1.cast("double") / n.cast("double"))
+    val exp0 = totalTf * ((n - n1).cast("double") / n.cast("double"))
+    val obs0 = totalTf - obs1
+    pow(obs1 - exp1, 2) / exp1 + pow(obs0 - exp0, 2) / exp0
+  }
+
+  val chi2FeaturesSql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, $labelSqlExpr AS y,
+       |    ${TF.tokensSqlSelect("text")} AS token FROM documents),
+       |per_tok AS (
+       |  SELECT token, count(*) AS total_tf, sum(y) AS obs1
+       |  FROM dt WHERE token <> '' GROUP BY token),
+       |tot AS (SELECT count(*) AS n, sum($labelSqlExpr) AS n1 FROM documents)
+       |SELECT token,
+       |  round(
+       |    pow(obs1 - total_tf * (CAST(n1 AS DOUBLE) / n), 2)
+       |      / (total_tf * (CAST(n1 AS DOUBLE) / n))
+       |    + pow((total_tf - obs1) - total_tf * (CAST(n - n1 AS DOUBLE) / n), 2)
+       |      / (total_tf * (CAST(n - n1 AS DOUBLE) / n)), 6) AS chi2
+       |FROM per_tok CROSS JOIN tot
+       |ORDER BY token""".stripMargin
+
+  /** Pearson corr(per-doc tf, label) per token, derived entirely from
+    * integer sums (Σx over all docs = token total, zero-tf docs included
+    * implicitly) — the reference's FeatureCorrelation
+    * (src/NLP_functions.py:428) without materializing a dense matrix.
+    */
+  def featureCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = labeled(s, dir)
+    val dt = docs.select($"doc_id", $"y", explode(TF.tokens($"text")).as("token"))
+    val perDoc = dt.groupBy($"doc_id", $"y", $"token").agg(count(lit(1)).as("tf"))
+    val perTok = perDoc.groupBy($"token").agg(
+      sum($"tf").as("sx"), sum($"tf" * $"tf").as("sxx"), sum($"tf" * $"y").as("sxy"))
+    val totals = docs.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+    val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+    val den = sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+                   ($"n" * $"sy" - $"sy" * $"sy").cast("double"))
+    perTok.crossJoin(broadcast(totals))
+      .select($"token",
+        round(when(den =!= 0.0, num / den), 6).as("corr"))
+      .where($"corr".isNotNull)
+      .orderBy($"token")
+  }
+
+  val featureCorrSql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, $labelSqlExpr AS y,
+       |    ${TF.tokensSqlSelect("text")} AS token FROM documents),
+       |per_doc AS (
+       |  SELECT doc_id, y, token, count(*) AS tf
+       |  FROM dt WHERE token <> '' GROUP BY doc_id, y, token),
+       |per_tok AS (
+       |  SELECT token, sum(tf) AS sx, sum(tf * tf) AS sxx, sum(tf * y) AS sxy
+       |  FROM per_doc GROUP BY token),
+       |tot AS (SELECT count(*) AS n, sum($labelSqlExpr) AS sy FROM documents)
+       |SELECT token, corr FROM (
+       |  SELECT token,
+       |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |      nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |        * CAST(n * sy - sy * sy AS DOUBLE)), 0), 6) AS corr
+       |  FROM per_tok CROSS JOIN tot) z
+       |WHERE corr IS NOT NULL
+       |ORDER BY token""".stripMargin
+
+  /** Top-50 tokens by frequency, stopwords excluded (reference:
+    * plotSampleDistribution, src/NLP_functions.py:571).
+    */
+  def topFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopArr = TF.englishStopwords
+    docTokens(s, dir)
+      .where(!$"token".isin(stopArr: _*))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc)
+      .limit(50)
+  }
+
+  val topFeaturesSql: String = {
+    val lst = TF.englishStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""SELECT token, count(*) AS cnt FROM $docTokensSql
+       |  AND token NOT IN $lst
+       |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin
+  }
+
+  /** Lexical dispersion points (token position within doc) for the top-20
+    * tokens (reference: plotLexicalDispersion, src/NLP_functions.py:523).
+    */
+  def lexicalDispersion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top20 = docTokens(s, dir)
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc).limit(20)
+      .select($"token")
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos0", "token")))
+      .select($"doc_id", ($"pos0" + 1).as("pos"), $"token")
+      .join(broadcast(top20), "token")
+      .select($"token", $"doc_id", $"pos")
+      .orderBy($"token", $"doc_id", $"pos")
+  }
+
+  val lexicalDispersionSql: String =
+    s"""WITH top20 AS (
+       |  SELECT token FROM $docTokensSql
+       |  GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 20),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+       |  FROM documents),
+       |pts AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, l
+       |  FROM toks)
+       |SELECT l[pos] AS token, doc_id, pos FROM pts
+       |WHERE l[pos] IN (SELECT token FROM top20)
+       |ORDER BY token, doc_id, pos""".stripMargin
+
+  /** Train/test token-distribution compare over the deterministic
+    * doc_id-parity split, for the top-50 train tokens (reference:
+    * plotTrainTestDistribution, src/NLP_functions.py:596).
+    */
+  def trainTestDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = docTokens(s, dir)
+      .withColumn("is_train", (col("doc_id") % 2 === 0).cast("int"))
+    dt.groupBy($"token")
+      .agg(
+        sum($"is_train").as("train_cnt"),
+        sum(lit(1) - $"is_train").as("test_cnt"))
+      .orderBy($"train_cnt".desc, $"token".asc)
+      .limit(50)
+  }
+
+  val trainTestDistSql: String =
+    s"""SELECT token,
+       |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS train_cnt,
+       |  sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS test_cnt
+       |FROM $docTokensSql
+       |GROUP BY token ORDER BY train_cnt DESC, token ASC LIMIT 50""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_tf", tf, Some(tfSql)),
+    GraftQuery("q_tfidf", tfidf, Some(tfidfSql)),
+    GraftQuery("q_chi2_features", chi2Features, Some(chi2FeaturesSql)),
+    GraftQuery("q_feature_corr", featureCorr, Some(featureCorrSql)),
+    GraftQuery("q_top_features", topFeatures, Some(topFeaturesSql)),
+    GraftQuery("q_lexical_dispersion", lexicalDispersion, Some(lexicalDispersionSql)),
+    GraftQuery("q_train_test_dist", trainTestDist, Some(trainTestDistSql)))
+}
