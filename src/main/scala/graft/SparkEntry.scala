@@ -9,7 +9,8 @@ object SparkEntry {
   /** All registered operators, in SURVEY §2 order. */
   val all: Seq[GraftQuery] =
     Relational.queries ++ TextQueries.queries ++ Features.queries ++
-      Evaluation.queries
+      Evaluation.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextAnalysis.queries ++ EventOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream operators (SURVEY §2.G/H batch side): gap sessionization
+  * and tumbling-window aggregation. The events parquet carries
+  * nanosecond timestamps, which Spark 4 only reads via the
+  * nanosAsLong legacy flag — we floor-truncate to microseconds, exactly
+  * what the oracle's `ts::TIMESTAMP` cast does.
+  */
+object EventOps {
+
+  private val money = DecimalType(28, 6)
+
+  /** events with ts as a proper microsecond TimestampType. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag + running sum of
+    * session starts — one shuffle on user_id, the canonical distributed
+    * sessionize (streaming twin: EventsStream.sessionize).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_sess").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("start_ts"), max($"ts").as("end_ts"),
+        sum($"value".cast(money)).cast("double").as("sum_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS start_ts, max(ts) AS end_ts,
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Tumbling 1-hour window aggregation per event type — the
+    * batch-equivalent of the Structured Streaming pipeline in
+    * graft.streaming.EventsStream (same plan shape modulo the watermark).
+    */
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(money)).cast("double").as("sum_value"))
+      .select($"event_type", $"window.start".as("window_start"),
+        $"n_events", $"sum_value")
+      .orderBy($"event_type", $"window_start")
+  }
+
+  val streamWindowAggSql: String =
+    """SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS window_start,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type, date_trunc('hour', ts::TIMESTAMP)
+      |ORDER BY event_type, window_start""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_events_sessionize", sessionize, Some(sessionizeSql)),
+    GraftQuery("q_stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)))
+}

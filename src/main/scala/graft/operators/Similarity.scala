@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators (SURVEY §2.F): brute-force cosine as
+  * the correctness baseline, random-hyperplane LSH bucketing as the
+  * 100 TB scale path.
+  *
+  * Dot products fold left-to-right (`aggregate` in Spark, `list_reduce`
+  * in the oracle) so the float accumulation order is identical in both
+  * engines; cosines are rounded to 6 dp before any ranking so top-k
+  * ordering can never diverge on a final-ulp tie.
+  */
+object Similarity {
+
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val dotSql =
+    "list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))], (x, y) -> x + y)"
+  private val normSql = (t: String) =>
+    s"sqrt(list_reduce([$t.v[i] * $t.v[i] for i in generate_series(1, len($t.v))], (x, y) -> x + y))"
+  private val cosineSql = s"$dotSql / (${normSql("a")} * ${normSql("b")})"
+
+  private val vecsSql =
+    "(SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings)"
+
+  /** Embedding-cosine near-dup pairs at τ=0.4. Brute force over the
+    * small side (broadcast); the LSH variant below is the scale path.
+    */
+  def cosineDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, dir)
+    v.as("a").join(broadcast(v.as("b")), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        round(cosine($"a.v", $"b.v"), 6).as("cos"))
+      .where($"cos" >= 0.4)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val cosineDedupSql: String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosineSql, 6) AS cos
+       |FROM $vecsSql a, $vecsSql b
+       |WHERE a.vec_id < b.vec_id AND round($cosineSql, 6) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Brute-force cosine top-5 neighbors for the first 10 query vectors —
+    * the ANN correctness baseline. Queries are broadcast; ranking is on
+    * the rounded cosine with vec_id tiebreak.
+    */
+  def annCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, dir)
+    val q = v.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val scoredN = v.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(cosine($"qv", $"v"), 6).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    scoredN.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val annCosineTopKSql: String =
+    s"""SELECT q_id, neighbor_id, cos, rank FROM (
+       |  SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |      round($cosineSql, 6) AS cos
+       |    FROM $vecsSql a, $vecsSql b
+       |    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) sc) r
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Random-hyperplane LSH bucketing — the scale path: 16 fixed
+    * pseudo-random hyperplanes (deterministic LCG coordinates) hash each
+    * vector to a 16-bit bucket; candidates only form within a bucket.
+    * Rows-only oracle (bucket contents, not SQL-expressible compactly).
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nPlanes = 16
+    // plane p, dim d coefficient in [-1, 1): deterministic LCG
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+      (0 until 64).map { d =>
+        val x = (p * 64 + d) * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 11).toDouble / (1L << 52).toDouble) * 2.0 - 1.0
+      }
+    }
+    val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
+    val v = vecs(s, dir)
+    v.select($"vec_id",
+        aggregate(
+          zip_with(planesCol, sequence(lit(0), lit(nPlanes - 1)), (plane, idx) =>
+            when(aggregate(zip_with(plane, $"v", (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x) > 0,
+              call_function("shiftleft", lit(1L), idx)).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_vecs"),
+        sort_array(collect_list($"vec_id")).as("vec_ids"))
+      .orderBy($"bucket")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_embed_cosine_dedup", cosineDedup, Some(cosineDedupSql)),
+    GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
+    GraftQuery("q_ann_lsh", annLsh, None))
+}

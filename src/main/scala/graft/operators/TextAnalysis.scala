@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus text-analysis operators (SURVEY §2.F): language ID, quality
+  * scoring, token statistics, document fingerprinting. All statistics
+  * are ratios of exact integer counts — deterministic at any parallelism.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for n-gram-free language scoring. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "a", "in"),
+    "es" -> Seq("el", "los", "las", "es", "y", "un", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "dans", "une", "du"),
+    "nl" -> Seq("het", "een", "van", "de", "en", "is", "niet"))
+
+  /** Language ID: argmax stopword-profile hit density, alphabetical
+    * tiebreak — the distributable heuristic shape of an n-gram
+    * language identifier.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+    val scoredRows = langProfiles.map { case (lang, words) =>
+      toks.select($"doc_id", lit(lang).as("cand"),
+        (size(filter($"toks", t => t.isin(words: _*))).cast("double") /
+          size($"toks")).as("score"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand".asc)
+    scoredRows.withColumn("rk", row_number().over(w))
+      .where($"rk" === 1)
+      .select($"doc_id", $"cand".as("lang_pred"), $"score")
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    val unions = langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, '$lang' AS cand,
+         |  CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE)
+         |    / len(toks) AS score FROM toks""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |sc AS ($unions)
+       |SELECT doc_id, cand AS lang_pred, score FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, cand ASC) AS INT) AS rk FROM sc) z
+       |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length/stopword/punctuation heuristics composed
+    * into one 0-1 score (the shape of a pretraining quality filter).
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = TF.englishStopwords
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", TF.tokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        (size(filter($"toks", t => t.isin(stop: _*))).cast("double") /
+          size($"toks")).as("stop_ratio"),
+        (size(regexp_extract_all($"text", lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
+          length($"text")).as("punct_ratio"))
+      .select($"doc_id", $"n_tokens", $"stop_ratio", $"punct_ratio",
+        round(lit(0.5) * $"stop_ratio"
+          + lit(0.3) * least(lit(1.0), $"n_tokens" / lit(100.0))
+          + lit(0.2) * (lit(1.0) - $"punct_ratio"), 6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val lst = TF.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE)
+       |      / len(toks) AS stop_ratio,
+       |    CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE)
+       |      / len(text) AS punct_ratio
+       |  FROM d)
+       |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
+       |  round(0.5 * stop_ratio + 0.3 * least(1.0, n_tokens / 100.0)
+       |    + 0.2 * (1.0 - punct_ratio), 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / single digits / other symbols).
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(TF.tokens($"text")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+          .as("bpe_tokens"),
+        length($"text").as("n_chars_actual"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens,
+      |  len(text) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling-hash document fingerprint over the 2³¹-ish prime field:
+    * fp = Σ_i (h60(tok_i) mod p)·w_i mod p, with position weights
+    * w_i = i·2654435761 mod p — an order-sensitive content signature.
+    */
+  val P = 1000000007L
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos0", "token")))
+      .select($"doc_id",
+        (((Dedup.hash60($"token") % P) *
+          ((($"pos0" + 1) * 2654435761L) % P)) % P).as("term"))
+      .groupBy($"doc_id")
+      .agg((sum($"term") % P).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
+       |  FROM documents),
+       |terms AS (
+       |  SELECT doc_id,
+       |    ((${Dedup.hash60Sql("l[i]")} % ${P}) * ((i * 2654435761) % ${P})) % ${P} AS term
+       |  FROM (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM toks) z)
+       |SELECT doc_id, sum(term) % ${P} AS fingerprint
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_lang_id", langId, Some(langIdSql)),
+    GraftQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    GraftQuery("q_token_stats", tokenStats, Some(tokenStatsSql)),
+    GraftQuery("q_fingerprint", fingerprint, Some(fingerprintSql)))
+}
