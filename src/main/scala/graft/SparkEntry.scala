@@ -10,7 +10,8 @@ object SparkEntry {
   val all: Seq[GraftQuery] =
     Relational.queries ++ TextQueries.queries ++ Features.queries ++
       Evaluation.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ EventOps.queries
+      TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries ++
+      graft.ml.Classifiers.queries ++ graft.ml.CrossVal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,116 @@
+package graft.ml
+
+import graft.{GraftQuery, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.ml.{Pipeline, PipelineStage}
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's classifier bank (notebook cell 38: TF-IDF 1-3-gram
+  * features → NaiveBayes / GradientBoosting / MLP / DecisionTree /
+  * linear SVM / RandomForest / stratified Dummy) re-expressed as MLlib
+  * Pipelines. Training/test follow the deterministic doc_id-parity split;
+  * every stage is seeded, so predictions are reproducible.
+  *
+  * These are rows-only operators for the oracle gate (model fitting is
+  * not SQL-expressible); prediction determinism is covered by MlSpec.
+  */
+object Classifiers {
+
+  val Seed = 26062019L // the reference's SEED (notebook cell 2)
+  val NumFeatures = 1024
+
+  /** documents → (doc_id, label, grams): the union of word 1-3-grams,
+    * mirroring TfidfVectorizer(ngram_range=(1,3)).
+    */
+  def prepared(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", ($"lang" === "en").cast("double").as("label"),
+        TF.tokens($"text").as("toks"))
+      .select($"doc_id", $"label",
+        flatten(array((1 to 3).map { n =>
+          filter(
+            transform($"toks", (_, i) =>
+              when(i + n <= size($"toks"), array_join(slice($"toks", i + 1, lit(n)), " "))),
+            g => g.isNotNull)
+        }: _*)).as("grams"))
+  }
+
+  /** TF-IDF featurizer shared by every model (HashingTF keeps the
+    * transform stateless and shuffle-free; IDF is one small aggregate).
+    */
+  private def featurizer: Array[PipelineStage] = Array(
+    new HashingTF().setInputCol("grams").setOutputCol("tf")
+      .setNumFeatures(NumFeatures),
+    new IDF().setInputCol("tf").setOutputCol("features"))
+
+  def pipelines: Seq[(String, Pipeline)] = Seq(
+    "naive_bayes" -> new Pipeline().setStages(featurizer :+
+      new NaiveBayes().setSmoothing(1.0): Array[PipelineStage]),
+    "gbt" -> new Pipeline().setStages(featurizer :+
+      new GBTClassifier().setSeed(Seed).setMaxIter(10).setMaxDepth(3)
+      : Array[PipelineStage]),
+    "mlp" -> new Pipeline().setStages(featurizer :+
+      new MultilayerPerceptronClassifier().setSeed(Seed)
+        .setLayers(Array(NumFeatures, 16, 2)).setMaxIter(25)
+      : Array[PipelineStage]),
+    "dtree" -> new Pipeline().setStages(featurizer :+
+      new DecisionTreeClassifier().setSeed(Seed): Array[PipelineStage]),
+    "svm" -> new Pipeline().setStages(featurizer :+
+      new LinearSVC().setMaxIter(20): Array[PipelineStage]),
+    "rf" -> new Pipeline().setStages(featurizer :+
+      new RandomForestClassifier().setSeed(Seed).setNumTrees(20)
+      : Array[PipelineStage]))
+
+  /** Train on even doc_ids, predict the odd half, return
+    * (doc_id, label, prediction) ordered.
+    */
+  def trainPredict(name: String)(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = prepared(s, dir)
+    val train = data.where($"doc_id" % 2 === 0)
+    val test = data.where($"doc_id" % 2 === 1)
+    val model = pipelines.toMap.apply(name).fit(train)
+    model.transform(test)
+      .select($"doc_id", $"label", $"prediction")
+      .orderBy($"doc_id")
+  }
+
+  /** Stratified dummy baseline (reference: DummyClassifier
+    * strategy='stratified') made deterministic: an LCG draw against the
+    * train-half prevalence — and therefore SQL-expressible.
+    */
+  def dummy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", ($"lang" === "en").cast("int").as("label"))
+    val prev = docs.where($"doc_id" % 2 === 0)
+      .agg((sum($"label").cast("double") / count(lit(1))).as("p"))
+    docs.where($"doc_id" % 2 === 1).crossJoin(broadcast(prev))
+      .select($"doc_id", $"label",
+        (($"doc_id" * 2654435761L + 98765L) % 2147483648L % 1000L <
+          floor($"p" * 1000)).cast("int").as("prediction"))
+      .orderBy($"doc_id")
+  }
+
+  val dummySql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      |  FROM documents),
+      |prev AS (
+      |  SELECT CAST(sum(label) AS DOUBLE) / count(*) AS p
+      |  FROM docs WHERE doc_id % 2 = 0)
+      |SELECT doc_id, label,
+      |  CASE WHEN (doc_id * 2654435761 + 98765) % 2147483648 % 1000
+      |    < floor(p * 1000) THEN 1 ELSE 0 END AS prediction
+      |FROM docs, prev WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[GraftQuery] =
+    pipelines.map { case (name, _) =>
+      GraftQuery(s"q_ml_$name", trainPredict(name), None)
+    } :+ GraftQuery("q_ml_dummy", dummy, Some(dummySql))
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.F): treat media as opaque
+  * `binary` payloads with typed metadata, and push them through a
+  * decode → feature-extract pipeline.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB — `fakeFeatures` stands in for a real
+  * decoder/embedder (it derives 4 pseudo-features from md5 prefixes of
+  * the payload). Everything around it — the binary column, metadata
+  * struct, per-batch feature extraction shape, partitioning — is the
+  * real Spark plumbing a production decode UDF would drop into.
+  */
+object Multimodal {
+
+  /** Stub feature extractor: 4 doubles in [0,1) from payload hash chunks.
+    * Replace with a real decoder (e.g. a mapInArrow/Pandas-UDF batch
+    * decode on a cluster with codecs) — the schema contract stays.
+    */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payload = Tables.documents(s, dir)
+      // binary payload column: the corpus stand-in for image/audio bytes
+      .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload"))
+    val h = md5($"payload")
+    payload.select(
+        $"doc_id", $"source",
+        length($"payload").as("n_bytes"),
+        h.as("content_md5"),
+        struct(
+          lit("text/plain").as("mime"),
+          length($"payload").as("size"),
+          $"source".as("origin")).as("meta"),
+        array((0 until 4).map { k =>
+          (conv(substring(h, k * 8 + 1, 7), 16, 10).cast("long").cast("double") /
+            268435456.0) // 16^7
+        }: _*).as("features"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_multimodal_meta", multimodalMeta, None))
+}

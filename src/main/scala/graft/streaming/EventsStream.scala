@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming twins of the batch event operators (SURVEY §2.H):
+  * the same logical shapes as EventOps.streamWindowAgg / sessionize, but
+  * over an unbounded source with watermarks and keyed state.
+  *
+  * Tested in-process against MemoryStream (StreamingSpec); on a cluster
+  * the source becomes `readStream.format("kafka"|"parquet")` with the
+  * identical downstream plan.
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Tumbling 1-hour windowed counts/sums per event type with a 2-hour
+    * watermark — the streaming form of EventOps.streamWindowAgg. Partial
+    * aggregation happens per micro-batch before the stateful merge, so
+    * state size is windows × types, not events.
+    */
+  def windowedAgg(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("sum_value"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Gap sessionization (30-min inactivity) with flatMapGroupsWithState:
+    * emits a session when the gap closes it, keyed state is one
+    * SessionState per active user. The streaming twin of
+    * EventOps.sessionize.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st == null) {
+              st = SessionState(t, t, 1L, e.value)
+            } else if (t - st.lastTs > gapMs) {
+              out += SessionAgg(userId, new java.sql.Timestamp(st.start), st.n, st.total)
+              st = SessionState(t, t, 1L, e.value)
+            } else {
+              st = st.copy(lastTs = t, n = st.n + 1, total = st.total + e.value)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, SessionAgg}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minutes: Long) = new java.sql.Timestamp(minutes * 60000L)
+
+  test("streaming windowed agg matches the batch plan shape") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 5.0))
+    val q = EventsStream.windowedAgg(mem.toDF())
+      .writeStream.format("memory").queryName("agg_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Event(4, ts(600), 1, "click", 1.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("agg_out")
+      .select($"event_type", $"n_events", $"sum_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains(("click", 2L, 3.0)))
+    assert(rows.contains(("view", 1L, 5.0)))
+  }
+
+  test("streaming sessionize emits closed sessions with gap semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // user 1: two events 10 min apart (one session), then a 40-min gap
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(55), 1, "click", 4.0))
+    val q = EventsStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_out").as[SessionAgg].collect()
+    // first session (events 1+2) closed by the 45-min gap before event 3
+    assert(sessions.exists(s =>
+      s.user_id == 1 && s.n_events == 2 && s.sum_value == 3.0))
+  }
+}
