@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for headline queries — the scale
+  * audit: verify pushed filters, pruned scans, broadcast joins, and
+  * whole-stage-codegen coverage (SURVEY §5).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSet else
+      Set("q1_agg", "q_join_broadcast", "q_tfidf", "q_dedup_minhash",
+        "q_embed_cosine_dedup", "q_roc_curve", "q_events_sessionize")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.all.filter(q => names(q.name)).foreach { q =>
+      println(s"\n================ ${q.name} ================")
+      println(q.fn(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.functions.GraftExpressions.arrayDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,17 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** vectors with their norms precomputed once (the pair loop then only
+    * pays one ArrayDot per pair instead of three).
+    */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** codegen'd left-to-right fold — bit-identical to the oracle's
+    * list_reduce (see graft.functions.ArrayDot).
+    */
+  private def dot(a: Column, b: Column): Column = arrayDot(a, b)
 
   private val dotSql =
     "list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))], (x, y) -> x + y)"
@@ -44,7 +48,7 @@ object Similarity {
     val v = vecs(s, dir)
     v.as("a").join(broadcast(v.as("b")), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
-        round(cosine($"a.v", $"b.v"), 6).as("cos"))
+        round(dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
       .where($"cos" >= 0.4)
       .orderBy($"id_a", $"id_b")
   }
@@ -64,10 +68,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val v = vecs(s, dir)
     val q = v.where($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     val scoredN = v.join(broadcast(q), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
-        round(cosine($"qv", $"v"), 6).as("cos"))
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
     scoredN.withColumn("rank", row_number().over(w))
       .where($"rank" <= 5)
