@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Sources/sinks matching the reference's file formats: the `;`-separated
+  * EHR annotation CSV it ingests (reference: notebook cell 4,
+  * sample_data/dummydata.csv with columns PATNR;annotation;text) and the
+  * `|`-separated predictions CSV it emits (writePredictionsToFile,
+  * reference: src/NLP_functions.py:214).
+  */
+object EhrCsv {
+
+  val ehrSchema: StructType = StructType(Seq(
+    StructField("PATNR", DoubleType),
+    StructField("annotation", BooleanType),
+    StructField("text", StringType)))
+
+  /** Read the reference's EHR CSV shape. An explicit schema keeps the
+    * read single-pass (no sampling job) and parallel per file-split.
+    */
+  def readEhr(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", ";")
+      .option("header", "true")
+      .schema(ehrSchema)
+      .csv(path)
+
+  /** Write predictions in the reference's pipe-separated shape. */
+  def writePredictions(df: DataFrame, path: String): Unit =
+    df.write.option("sep", "|").option("header", "true")
+      .mode("overwrite").csv(path)
+}

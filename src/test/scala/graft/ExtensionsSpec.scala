@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("custom expressions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT stem_dutch('lichamen beelden') AS st,
+        |  strip_accents('café ë') AS sa,
+        |  damerau_levenshtein('ab', 'ba') AS dl,
+        |  array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ad""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "licham beeld")
+    assert(r.getString(1) == "cafe e")
+    assert(r.getInt(2) == 1)
+    assert(r.getDouble(3) == 11.0)
+  }
+
+  test("EHR csv source reads the reference sample shape") {
+    val df = graft.sources.EhrCsv.readEhr(spark,
+      "/root/reference/sample_data/dummydata.csv")
+    assert(df.columns.toSeq == Seq("PATNR", "annotation", "text"))
+    assert(df.count() > 100)
+    assert(df.filter(df("annotation")).count() > 0)
+  }
+}
