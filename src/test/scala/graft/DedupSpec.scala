@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("simhashPairs chunk-candidate equals brute-force hamming filter") {
+    import spark.implicits._
+    val fp = Dedup.simhash(spark, dir).cache()
+    val brute = fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        call_function("bit_count",
+          $"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+      .where($"hamming" <= 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val chunked = Dedup.simhashPairs(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(chunked == brute)
+  }
+
+  test("exact dedup keep_id is the minimum doc of each content group") {
+    import spark.implicits._
+    val total = Tables.documents(spark, dir).count()
+    val d = Dedup.exact(spark, dir)
+    assert(d.agg(sum($"n_copies")).as[Long].collect().head == total)
+  }
+
+  test("LSH ANN buckets partition all vectors") {
+    import spark.implicits._
+    val buckets = Similarity.annLsh(spark, dir)
+    val total = Tables.embeddings(spark, dir).count()
+    assert(buckets.agg(sum($"n_vecs")).as[Long].collect().head == total)
+  }
+}
