@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       info("array_dot", "array_dot(a, b) - double-array dot product"),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
