@@ -88,8 +88,25 @@ object Extras {
     """SELECT CAST(props->>'k' AS INT) AS k, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Decision-tree structure export — the reference's exportTreeGraphViz
+    * (src/NLP_functions.py:637) surface: the fitted tree's node dump as
+    * ordered rows (render to .dot client-side if desired). Rows-only.
+    */
+  def mlTreeExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.classification.DecisionTreeClassificationModel
+    val data = graft.ml.Classifiers.prepared(s, dir)
+    val train = data.where($"doc_id" % 2 === 0)
+    val model = graft.ml.Classifiers.pipelines.toMap.apply("dtree").fit(train)
+    val dt = model.stages.last.asInstanceOf[DecisionTreeClassificationModel]
+    val lines = dt.toDebugString.split("\n").toSeq.zipWithIndex
+      .map { case (l, i) => (i, l) }
+    s.createDataFrame(lines).toDF("line_no", "node")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_confusion_at_cutoff", confusionAtCutoff, Some(confusionAtCutoffSql)),
     GraftQuery("q_ml_feature_importance", mlFeatureImportance, None),
+    GraftQuery("q_ml_tree_export", mlTreeExport, None),
     GraftQuery("q_json_extract", jsonExtract, Some(jsonExtractSql)))
 }
