@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   * graft.functions.DamerauLevenshtein (differs only on transpositions).
   *
   * The corpus itself is typo-free, so the query plants three typos on a
-  * sparse subset of docs (doc_id % 100 = 0, keeping them below the vocab
-  * frequency floor) to exercise the correction path.
+  * fixed five-doc subset (doc_id < 5 — below the vocabulary frequency
+  * floor at every scale factor) to exercise the correction path.
   */
 object TypoCorrection {
 
@@ -33,7 +33,7 @@ object TypoCorrection {
     import s.implicits._
     val words = Tables.documents(s, dir)
       .select(explode(TF.tokens(concat($"text",
-        when($"doc_id" % 100 === 0, lit(plantedTypos)).otherwise(lit(""))))).as("word"))
+        when($"doc_id" < 5, lit(plantedTypos)).otherwise(lit(""))))).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
     val vocab = words.where($"cnt" >= MinVocabCount).select($"word".as("v"))
     val oov = words.join(vocab, $"word" === $"v", "left_anti").select($"word")
@@ -54,7 +54,7 @@ object TypoCorrection {
     s"""WITH words AS (
        |  SELECT token AS word, count(*) AS cnt FROM (
        |    SELECT ${TF.tokensSqlSelect(
-          s"text || (CASE WHEN doc_id % 100 = 0 THEN '$plantedTypos' ELSE '' END)")} AS token
+          s"text || (CASE WHEN doc_id < 5 THEN '$plantedTypos' ELSE '' END)")} AS token
        |    FROM documents) t
        |  WHERE token <> '' GROUP BY token),
        |vocab AS (SELECT word AS v FROM words WHERE cnt >= $MinVocabCount),
