@@ -32,6 +32,16 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chunked == brute)
   }
 
+  test("prefix-filtered jaccard equals the inverted-index join") {
+    import spark.implicits._
+    val plain = Dedup.ngramJaccard(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val prefix = Dedup.ngramJaccardPrefix(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(prefix == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("exact dedup keep_id is the minimum doc of each content group") {
     import spark.implicits._
     val total = Tables.documents(spark, dir).count()
