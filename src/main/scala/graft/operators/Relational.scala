@@ -104,8 +104,60 @@ object Relational {
       |WHERE rk <= 3
       |ORDER BY o_custkey, rk""".stripMargin
 
+  /** Interpolated percentiles of quantity/price per return flag — one
+    * sort-based aggregate (Spark's exact `percentile`); the approximate
+    * path at 100 TB is `percentile_approx`/t-digest with the same shape.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.95)").as("qty_p95"),
+        expr("percentile(l_extendedprice, 0.5)").as("price_p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("price_p95"))
+      .orderBy($"l_returnflag")
+  }
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS qty_p50,
+      |  CAST(quantile_cont(l_quantity, 0.95) AS DOUBLE) AS qty_p95,
+      |  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS price_p50,
+      |  CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS price_p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Region → nation revenue rollup with subtotals (GROUPING SETS):
+    * one pass producing all aggregation levels.
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(sum($"o_totalprice".cast(money)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q1_agg", q1Agg, Some(q1AggSql)),
     GraftQuery("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
-    GraftQuery("q_window_topk", windowTopK, Some(windowTopKSql)))
+    GraftQuery("q_window_topk", windowTopK, Some(windowTopKSql)),
+    GraftQuery("q_percentiles", percentiles, Some(percentilesSql)),
+    GraftQuery("q_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)))
 }
