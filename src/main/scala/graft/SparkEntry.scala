@@ -11,7 +11,7 @@ object SparkEntry {
     Relational.queries ++ TextQueries.queries ++ Features.queries ++
       Evaluation.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries ++
-      TypoCorrection.queries ++ Extras.queries ++ Temporal.queries ++
+      TypoCorrection.queries ++ Extras.queries ++ Temporal.queries ++ Curation.queries ++
       graft.ml.Classifiers.queries ++ graft.ml.CrossVal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
