@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
@@ -31,6 +32,11 @@ object GraftExpressions {
 case class StripAccents(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(StripAccents.strip(input.asInstanceOf[UTF8String].toString))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -63,6 +69,11 @@ object StripAccents {
 case class StemDutch(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(DutchStemmer.stemText(input.asInstanceOf[UTF8String].toString))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -80,6 +91,13 @@ case class StemDutch(child: Expression)
 case class DamerauLevenshtein(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
   override protected def nullSafeEval(l: Any, r: Any): Any =
     DamerauLevenshtein.osa(
       l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
@@ -133,6 +151,20 @@ object DamerauLevenshtein {
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall {
+      _.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => true
+        case _ => false
+      }
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

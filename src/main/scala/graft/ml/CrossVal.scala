@@ -59,7 +59,6 @@ object CrossVal {
       .agg((max(when($"scorer" === "a", $"auc")) -
         max(when($"scorer" === "b", $"auc"))).as("d"))
     val perRound = d.groupBy($"r").agg(
-      sum($"d").as("dsum"),
       max(when($"f" === 0, $"d")).as("d0"),
       max(when($"f" === 1, $"d")).as("d1"))
       .select($"r", $"d0",
@@ -76,7 +75,7 @@ object CrossVal {
     val targetList = Evaluation.targets.map(t => s"'$t'").mkString("[", ", ", "]")
     val targetsRe = "\\b(" + Evaluation.targets.mkString("|") + ")\\b"
     s"""WITH base AS (
-       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |  SELECT doc_id, ${graft.operators.Features.labelSqlExpr} AS y,
        |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
        |      / len(toks) AS score_a,
        |    CASE WHEN regexp_matches(text, '$targetsRe') THEN 1.0 ELSE 0.0 END AS score_b
@@ -146,7 +145,7 @@ object CrossVal {
   val learningCurveSql: String = {
     val targetList = Evaluation.targets.map(t => s"'$t'").mkString("[", ", ", "]")
     s"""WITH scored AS (
-       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |  SELECT doc_id, ${graft.operators.Features.labelSqlExpr} AS y,
        |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
        |      / len(toks) AS score
        |  FROM (SELECT doc_id, lang,

@@ -25,11 +25,15 @@ object Curation {
       .select($"doc_id", $"lang",
         size($"toks").as("n_tokens"),
         (size(filter($"toks", t => t.isin(stop: _*))).cast("double") /
-          size($"toks")).as("stop_ratio"))
+          size($"toks")).as("stop_ratio"),
+        (size(regexp_extract_all($"text", lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
+          length($"text")).as("punct_ratio"))
+      // same composite as TextAnalysis.qualityScore, so the gate and the
+      // standalone operator agree document-by-document
       .withColumn("quality",
         round(lit(0.5) * $"stop_ratio"
           + lit(0.3) * least(lit(1.0), $"n_tokens" / lit(100.0))
-          + lit(0.2), 6))
+          + lit(0.2) * (lit(1.0) - $"punct_ratio"), 6))
       .where($"quality" >= 0.35 && $"lang" === "en")
       .select($"doc_id", $"n_tokens", $"quality")
       .orderBy($"doc_id")
@@ -41,20 +45,22 @@ object Curation {
        |  SELECT doc_id, text, lang, md5(text) AS h FROM documents),
        |keep AS (SELECT h, min(doc_id) AS doc_id FROM docs GROUP BY h),
        |ded AS (
-       |  SELECT d.doc_id, d.lang,
+       |  SELECT d.doc_id, d.lang, d.text,
        |    list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '') AS toks
        |  FROM docs d SEMI JOIN keep k ON d.h = k.h AND d.doc_id = k.doc_id),
        |m AS (
        |  SELECT doc_id, lang, len(toks) AS n_tokens,
        |    CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE)
-       |      / len(toks) AS stop_ratio
+       |      / len(toks) AS stop_ratio,
+       |    CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE)
+       |      / len(text) AS punct_ratio
        |  FROM ded)
        |SELECT doc_id, n_tokens,
-       |  round(0.5 * stop_ratio + 0.3 * least(1.0, n_tokens / 100.0) + 0.2, 6)
-       |    AS quality
+       |  round(0.5 * stop_ratio + 0.3 * least(1.0, n_tokens / 100.0)
+       |    + 0.2 * (1.0 - punct_ratio), 6) AS quality
        |FROM m
-       |WHERE round(0.5 * stop_ratio + 0.3 * least(1.0, n_tokens / 100.0) + 0.2, 6)
-       |    >= 0.35
+       |WHERE round(0.5 * stop_ratio + 0.3 * least(1.0, n_tokens / 100.0)
+       |    + 0.2 * (1.0 - punct_ratio), 6) >= 0.35
        |  AND lang = 'en'
        |ORDER BY doc_id""".stripMargin
   }

@@ -25,8 +25,7 @@ object Evaluation {
     */
   val targets: Seq[String] = Seq("data", "spark", "query")
 
-  private val targetsRe = "\\b(" + targets.mkString("|") + ")\\b"
-  private val targetsReSql = targetsRe.replace("\\", "\\")
+  val targetsRe: String = "\\b(" + targets.mkString("|") + ")\\b"
 
   /** Regex word-matching classifier (reference: CustomBinaryModel,
     * src/TextClassification.py:32-75): pred = presence of any target.
@@ -42,7 +41,7 @@ object Evaluation {
 
   val wordMatchSql: String =
     s"""SELECT doc_id, ${Features.labelSqlExpr} AS y,
-       |  CASE WHEN regexp_matches(text, '$targetsReSql') THEN 1 ELSE 0 END AS pred
+       |  CASE WHEN regexp_matches(text, '$targetsRe') THEN 1 ELSE 0 END AS pred
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Deterministic pseudo-probability score: target-token density. The
@@ -80,7 +79,7 @@ object Evaluation {
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
 
   /** Ranked frame: rk, cum_tp, cum_fp plus totals p / n. */
-  private def ranked(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def ranked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sc = scored(s, dir)
     val w = Window.orderBy($"score".desc, $"doc_id".asc)
@@ -220,7 +219,7 @@ object Evaluation {
   val confusionMatrixSql: String =
     s"""WITH wm AS (
        |  SELECT ${Features.labelSqlExpr} AS y,
-       |    CASE WHEN regexp_matches(text, '$targetsReSql') THEN 1 ELSE 0 END AS pred
+       |    CASE WHEN regexp_matches(text, '$targetsRe') THEN 1 ELSE 0 END AS pred
        |  FROM documents),
        |cm AS (
        |  SELECT sum(y * pred) AS tp, sum((1 - y) * pred) AS fp,

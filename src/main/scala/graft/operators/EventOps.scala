@@ -17,11 +17,9 @@ object EventOps {
   private val money = DecimalType(28, 6)
 
   /** events with ts as a proper microsecond TimestampType. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts — one shuffle on user_id, the canonical distributed

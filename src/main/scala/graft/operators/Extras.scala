@@ -19,18 +19,7 @@ object Extras {
     */
   def confusionAtCutoff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val sc = Evaluation.scored(s, dir)
-    val w = Window.orderBy($"score".desc, $"doc_id".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    val ranked = sc.select($"doc_id", $"y", $"score",
-      row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)).cast("long").as("rk"),
-      sum($"y").over(w).as("cum_tp"),
-      sum(lit(1) - $"y").over(w).as("cum_fp"),
-      sum($"y").over(tot).as("p"),
-      sum(lit(1) - $"y").over(tot).as("n"))
-    ranked
+    Evaluation.ranked(s, dir)
       .where($"cum_tp".cast("double") / $"p" >= 0.9)
       .orderBy($"rk".asc)
       .limit(1)

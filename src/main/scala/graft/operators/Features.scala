@@ -50,10 +50,12 @@ object Features {
     val dt = docTokens(s, dir)
     val tfDf = dt.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val dfDf = tfDf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, dir).count()
+    // doc count as a broadcast 1-row aggregate — no eager driver job
+    val nDf = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n"))
     tfDf.join(broadcast(dfDf), "token")
+      .crossJoin(broadcast(nDf))
       .select($"doc_id", $"token", $"tf",
-        round($"tf" * (log((lit(1.0) + n.toDouble) / (lit(1.0) + $"df")) + lit(1.0)), 6)
+        round($"tf" * (log((lit(1.0) + $"n") / (lit(1.0) + $"df")) + lit(1.0)), 6)
           .as("tfidf"))
       .orderBy($"doc_id", $"token")
   }

@@ -28,6 +28,17 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(3) == 11.0)
   }
 
+  test("SQL misuse of custom expressions fails at analysis, not runtime") {
+    val e = intercept[Exception] { spark.sql("SELECT stem_dutch(42)").collect() }
+    assert(e.getMessage.contains("string") || e.getMessage.contains("DATATYPE"))
+    val e2 = intercept[Exception] { spark.sql("SELECT array_dot('a', 'b')").collect() }
+    assert(e2.getMessage.contains("array") || e2.getMessage.contains("DATATYPE"))
+  }
+
+  test("direct Tables.events load works without prior EventOps call") {
+    assert(Tables.events(spark, "/root/testdata/sf0.001").count() > 0)
+  }
+
   test("EHR csv source reads the reference sample shape") {
     val df = graft.sources.EhrCsv.readEhr(spark,
       "/root/reference/sample_data/dummydata.csv")

@@ -51,6 +51,9 @@ def norm(rows, cols):
 fail = 0
 names = only if only else sorted(oracle.keys())
 for name in names:
+    if name not in oracle:
+        print(f"SKIP {name}: rows-only (no oracle SQL)")
+        continue
     sql = oracle[name]
     try:
         spark_rel = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
