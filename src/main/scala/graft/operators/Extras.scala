@@ -93,7 +93,62 @@ object Extras {
     s.createDataFrame(lines).toDF("line_no", "node")
   }
 
+  /** Composite classification report at a fixed threshold (reference:
+    * classificationReport, src/TextClassification.py:1097): confusion
+    * metrics at threshold 0.04 on the continuous score, plus rank-sum
+    * ROC-AUC and average precision of the score — one row, one pass.
+    */
+  def classificationReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val th = 0.04 // sits inside the target-density score's range
+    Evaluation.ranked(s, dir)
+      .select($"y", $"score", $"rk", $"cum_tp", $"p", $"n",
+        ($"score" >= th).cast("long").as("pred"))
+      .agg(
+        sum($"y" * $"pred").as("tp"), sum((lit(1) - $"y") * $"pred").as("fp"),
+        sum((lit(1) - $"y") * (lit(1) - $"pred")).as("tn"),
+        sum($"y" * (lit(1) - $"pred")).as("fn"),
+        (sum($"cum_tp" * (lit(1) - $"y")).cast("double") /
+          (first($"p") * first($"n"))).as("auc_roc"),
+        round(sum(when($"y" === 1, $"cum_tp".cast("double") / $"rk"))
+          / first($"p"), 6).as("avg_precision"))
+      .select(lit(th).as("threshold"),
+        ($"tp".cast("double") / ($"tp" + $"fn")).as("sensitivity"),
+        ($"tn".cast("double") / ($"tn" + $"fp")).as("specificity"),
+        ($"tp".cast("double") / ($"tp" + $"fp")).as("ppv"),
+        ($"tn".cast("double") / ($"tn" + $"fn")).as("npv"),
+        (($"tp" + $"tn").cast("double") / ($"tp" + $"fp" + $"tn" + $"fn")).as("accuracy"),
+        (lit(2.0) * $"tp" / (lit(2.0) * $"tp" + $"fp" + $"fn")).as("f1"),
+        $"auc_roc", $"avg_precision")
+  }
+
+  val classificationReportSql: String =
+    s"""WITH ${Evaluation.scoredSql},
+       |m AS (
+       |  SELECT y, score, rk, cum_tp, p, n,
+       |    CASE WHEN score >= 0.04 THEN 1 ELSE 0 END AS pred
+       |  FROM ranked),
+       |agg AS (
+       |  SELECT sum(y * pred) AS tp, sum((1 - y) * pred) AS fp,
+       |    sum((1 - y) * (1 - pred)) AS tn, sum(y * (1 - pred)) AS fn,
+       |    CAST(sum(cum_tp * (1 - y)) AS DOUBLE)
+       |      / (any_value(p) * any_value(n)) AS auc_roc,
+       |    round(sum(CASE WHEN y = 1 THEN CAST(cum_tp AS DOUBLE) / rk END)
+       |      / any_value(p), 6) AS avg_precision
+       |  FROM m)
+       |SELECT CAST(0.04 AS DOUBLE) AS threshold,
+       |  CAST(tp AS DOUBLE) / (tp + fn) AS sensitivity,
+       |  CAST(tn AS DOUBLE) / (tn + fp) AS specificity,
+       |  CAST(tp AS DOUBLE) / (tp + fp) AS ppv,
+       |  CAST(tn AS DOUBLE) / (tn + fn) AS npv,
+       |  CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn) AS accuracy,
+       |  2.0 * tp / (2.0 * tp + fp + fn) AS f1,
+       |  auc_roc, avg_precision
+       |FROM agg""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_classification_report", classificationReport,
+      Some(classificationReportSql)),
     GraftQuery("q_confusion_at_cutoff", confusionAtCutoff, Some(confusionAtCutoffSql)),
     GraftQuery("q_ml_feature_importance", mlFeatureImportance, None),
     GraftQuery("q_ml_tree_export", mlTreeExport, None),

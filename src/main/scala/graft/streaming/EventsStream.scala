@@ -38,6 +38,15 @@ object EventsStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming exact dedup: watermarked dropDuplicates on the event key —
+    * the streaming twin of Dedup.exact (state is bounded by the
+    * watermark horizon instead of growing with the stream).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap sessionization (30-min inactivity) with flatMapGroupsWithState:
     * emits a session when the gap closes it, keyed state is one
     * SessionState per active user. The streaming twin of

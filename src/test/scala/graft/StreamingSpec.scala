@@ -42,6 +42,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // duplicate id
+      Event(2, ts(2), 1, "view", 2.0))
+    val q = EventsStream.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
   test("streaming sessionize emits closed sessions with gap semantics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
