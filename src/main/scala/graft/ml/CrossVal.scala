@@ -73,7 +73,7 @@ object CrossVal {
 
   val ttest5x2Sql: String = {
     val targetList = Evaluation.targets.map(t => s"'$t'").mkString("[", ", ", "]")
-    val targetsRe = "\\b(" + Evaluation.targets.mkString("|") + ")\\b"
+    val targetsRe = Evaluation.targetsRe
     s"""WITH base AS (
        |  SELECT doc_id, ${graft.operators.Features.labelSqlExpr} AS y,
        |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)

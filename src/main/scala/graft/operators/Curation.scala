@@ -28,12 +28,8 @@ object Curation {
           size($"toks")).as("stop_ratio"),
         (size(regexp_extract_all($"text", lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
           length($"text")).as("punct_ratio"))
-      // same composite as TextAnalysis.qualityScore, so the gate and the
-      // standalone operator agree document-by-document
       .withColumn("quality",
-        round(lit(0.5) * $"stop_ratio"
-          + lit(0.3) * least(lit(1.0), $"n_tokens" / lit(100.0))
-          + lit(0.2) * (lit(1.0) - $"punct_ratio"), 6))
+        TextAnalysis.qualityCol($"n_tokens", $"stop_ratio", $"punct_ratio"))
       .where($"quality" >= 0.35 && $"lang" === "en")
       .select($"doc_id", $"n_tokens", $"quality")
       .orderBy($"doc_id")
@@ -56,11 +52,9 @@ object Curation {
        |      / len(text) AS punct_ratio
        |  FROM ded)
        |SELECT doc_id, n_tokens,
-       |  round(0.5 * stop_ratio + 0.3 * least(1.0, n_tokens / 100.0)
-       |    + 0.2 * (1.0 - punct_ratio), 6) AS quality
+       |  ${TextAnalysis.qualitySqlExpr("n_tokens", "stop_ratio", "punct_ratio")} AS quality
        |FROM m
-       |WHERE round(0.5 * stop_ratio + 0.3 * least(1.0, n_tokens / 100.0)
-       |    + 0.2 * (1.0 - punct_ratio), 6) >= 0.35
+       |WHERE ${TextAnalysis.qualitySqlExpr("n_tokens", "stop_ratio", "punct_ratio")} >= 0.35
        |  AND lang = 'en'
        |ORDER BY doc_id""".stripMargin
   }

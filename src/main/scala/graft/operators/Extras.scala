@@ -103,7 +103,7 @@ object Extras {
     val th = 0.04 // sits inside the target-density score's range
     Evaluation.ranked(s, dir)
       .select($"y", $"score", $"rk", $"cum_tp", $"p", $"n",
-        ($"score" >= th).cast("long").as("pred"))
+        when($"score" >= th, 1L).otherwise(0L).as("pred"))
       .agg(
         sum($"y" * $"pred").as("tp"), sum((lit(1) - $"y") * $"pred").as("fp"),
         sum((lit(1) - $"y") * (lit(1) - $"pred")).as("tn"),

@@ -57,6 +57,19 @@ object TextAnalysis {
        |WHERE rk = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** The quality composite, shared by qualityScore and the curation
+    * pipeline so the gate and the standalone operator agree
+    * document-by-document — one source for both engines.
+    */
+  def qualityCol(nTokens: org.apache.spark.sql.Column,
+      stopRatio: org.apache.spark.sql.Column,
+      punctRatio: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(lit(0.5) * stopRatio + lit(0.3) * least(lit(1.0), nTokens / lit(100.0))
+      + lit(0.2) * (lit(1.0) - punctRatio), 6)
+
+  def qualitySqlExpr(n: String, stop: String, punct: String): String =
+    s"round(0.5 * $stop + 0.3 * least(1.0, $n / 100.0) + 0.2 * (1.0 - $punct), 6)"
+
   /** Quality scoring: length/stopword/punctuation heuristics composed
     * into one 0-1 score (the shape of a pretraining quality filter).
     */
@@ -72,9 +85,7 @@ object TextAnalysis {
         (size(regexp_extract_all($"text", lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
           length($"text")).as("punct_ratio"))
       .select($"doc_id", $"n_tokens", $"stop_ratio", $"punct_ratio",
-        round(lit(0.5) * $"stop_ratio"
-          + lit(0.3) * least(lit(1.0), $"n_tokens" / lit(100.0))
-          + lit(0.2) * (lit(1.0) - $"punct_ratio"), 6).as("quality"))
+        qualityCol($"n_tokens", $"stop_ratio", $"punct_ratio").as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -92,8 +103,7 @@ object TextAnalysis {
        |      / len(text) AS punct_ratio
        |  FROM d)
        |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
-       |  round(0.5 * stop_ratio + 0.3 * least(1.0, n_tokens / 100.0)
-       |    + 0.2 * (1.0 - punct_ratio), 6) AS quality
+       |  ${qualitySqlExpr("n_tokens", "stop_ratio", "punct_ratio")} AS quality
        |FROM m ORDER BY doc_id""".stripMargin
   }
 

@@ -42,6 +42,19 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.nonEmpty)
   }
 
+  test("prefix filter stays exact at non-default tau (rational bounds)") {
+    import spark.implicits._
+    // tau=0 disables all pruning -> every shared-shingle pair with its
+    // exact jaccard; filtering that at 0.8 is the ground truth for tau=0.8
+    val expected = Dedup.ngramJaccardPrefix(spark, dir, 0.0)
+      .where($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.ngramJaccardPrefix(spark, dir, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("exact dedup keep_id is the minimum doc of each content group") {
     import spark.implicits._
     val total = Tables.documents(spark, dir).count()

@@ -49,10 +49,12 @@ def norm(rows, cols):
     return out
 
 fail = 0
+skipped = 0
 names = only if only else sorted(oracle.keys())
 for name in names:
     if name not in oracle:
         print(f"SKIP {name}: rows-only (no oracle SQL)")
+        skipped += 1
         continue
     sql = oracle[name]
     try:
@@ -80,5 +82,7 @@ for name in names:
         for x in list(sa - sb)[:3]: print(f"  spark-only: {x[:160]}")
         for x in list(sb - sa)[:3]: print(f"  duck-only:  {x[:160]}")
 
-print(f"\n{len(names) - fail}/{len(names)} oracle-checked queries match")
+checked = len(names) - skipped
+print(f"\n{checked - fail}/{checked} oracle-checked queries match"
+      + (f" ({skipped} skipped)" if skipped else ""))
 sys.exit(1 if fail else 0)
