@@ -88,7 +88,9 @@ object Extras {
     val train = data.where($"doc_id" % 2 === 0)
     val model = graft.ml.Classifiers.pipelines.toMap.apply("dtree").fit(train)
     val dt = model.stages.last.asInstanceOf[DecisionTreeClassificationModel]
-    val lines = dt.toDebugString.split("\n").toSeq.zipWithIndex
+    // strip the per-instance random uid so the dump is run-deterministic
+    val lines = dt.toDebugString.replaceAll("uid=[A-Za-z0-9_]+", "uid=dtc")
+      .split("\n").toSeq.zipWithIndex
       .map { case (l, i) => (i, l) }
     s.createDataFrame(lines).toDF("line_no", "node")
   }
