@@ -154,7 +154,28 @@ object Relational {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** Fixed-width histogram of order totals — explicit bucket arithmetic
+    * (identical in both engines) rather than engine-specific
+    * width_bucket; one hash aggregation.
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = 0.0; val hi = 60000.0; val nb = 20
+    Tables.orders(s, dir)
+      .select(least(floor(($"o_totalprice" - lo) / ((hi - lo) / nb)), lit(nb - 1))
+        .cast("int").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
+  val histogramSql: String =
+    """SELECT CAST(least(floor((o_totalprice - 0.0) / (60000.0 / 20)), 19) AS INT)
+      |  AS bucket, count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_histogram", histogram, Some(histogramSql)),
     GraftQuery("q1_agg", q1Agg, Some(q1AggSql)),
     GraftQuery("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
     GraftQuery("q_window_topk", windowTopK, Some(windowTopKSql)),
