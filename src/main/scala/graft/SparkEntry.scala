@@ -12,7 +12,8 @@ object SparkEntry {
       Evaluation.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries ++
       TypoCorrection.queries ++ Extras.queries ++ Temporal.queries ++ Curation.queries ++
-      graft.ml.Classifiers.queries ++ graft.ml.CrossVal.queries
+      graft.ml.Classifiers.queries ++ graft.ml.CrossVal.queries ++
+      graft.ml.MeanRoc.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

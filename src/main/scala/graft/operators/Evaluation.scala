@@ -59,15 +59,18 @@ object Evaluation {
 
   private val targetList = targets.map(t => s"'$t'").mkString("[", ", ", "]")
 
-  val scoredSql: String =
+  /** Just the scored-docs CTE body, reusable by other oracle builders. */
+  val scoredCteSql: String =
     s"""scored AS (
        |  SELECT doc_id, ${Features.labelSqlExpr} AS y,
        |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
        |      / len(toks) AS score
        |  FROM (SELECT doc_id, lang,
        |          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
-       |        FROM documents) d),
-       |ranked AS (
+       |        FROM documents) d)""".stripMargin
+
+  private val rankedCteSql: String =
+    s"""ranked AS (
        |  SELECT doc_id, y, score,
        |    CAST(row_number() OVER w AS BIGINT) AS rk,
        |    sum(y) OVER w AS cum_tp,
@@ -77,6 +80,8 @@ object Evaluation {
        |  FROM scored
        |  WINDOW w AS (ORDER BY score DESC, doc_id ASC
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+
+  val scoredSql: String = scoredCteSql + ",\n" + rankedCteSql
 
   /** Ranked frame: rk, cum_tp, cum_fp plus totals p / n. */
   private[operators] def ranked(s: SparkSession, dir: String): DataFrame = {
