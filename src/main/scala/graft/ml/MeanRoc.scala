@@ -8,22 +8,26 @@ import org.apache.spark.sql.functions._
 
 /** Mean ROC curve across CV folds (reference: plotSTD,
   * src/TextClassification.py:826 — per-fold TPRs interpolated onto a
-  * fixed 100-point FPR grid, then averaged). Interpolation here is
-  * step-carried-from-below (exact, integer-derived) rather than scipy's
-  * linear blend; the mean is the only float sum and is rounded to 6 dp.
-  * One windowed pass per fold, one grid join, two aggregations — no
-  * driver loop over folds.
+  * fixed 101-point FPR grid, then averaged). Interpolation is
+  * step-carried-from-below (exact, integer-derived).
+  *
+  * Scale shape: each fold first collapses to its ≤101 distinct grid
+  * thresholds (so the grid join touches ~1k rows however large the test
+  * folds are), the step-carry is a running max over the grid, and the
+  * cross-fold mean folds the 10 values in fixed iter order (list_reduce
+  * twin in the oracle) so the one float sum is order-deterministic.
   */
 object MeanRoc {
 
   def meanRocFolds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val iters = s.range(0, 10).select($"id".cast("int").as("iter"))
-    // deterministic 10-iteration shuffle-split: same LCG as Evaluation.cvFolds
+    // deterministic 10-iteration shuffle-split: high LCG bit (the low bit
+    // of x*odd+odd is pure parity and would degenerate the folds)
     val folds = Evaluation.scored(s, dir)
       .crossJoin(broadcast(iters))
-      .where((($"doc_id" * 10 + $"iter") * 1103515245L + 12345L)
-        % 2147483648L % 2 === 1) // is_test = 1
+      .where((((($"doc_id" * 10 + $"iter") * 1103515245L + 12345L) % 2147483648L)
+        .divide(65536).cast("long") % 2) === 1) // is_test
     val w = Window.partitionBy($"iter").orderBy($"score".desc, $"doc_id".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy($"iter")
@@ -32,15 +36,30 @@ object MeanRoc {
       sum(lit(1) - $"y").over(w).as("cum_fp"),
       sum($"y").over(tot).as("p"),
       sum(lit(1) - $"y").over(tot).as("n"))
-    val grid = s.range(0, 101).select($"id".cast("int").as("g"))
-    // step interpolation: tpr at grid point g = max tpr among rows with
-    // fpr <= g/100  (integer comparison: cum_fp * 100 <= g * n)
-    val perFold = ranked.join(broadcast(grid),
-        $"cum_fp" * 100 <= $"g" * $"n")
-      .groupBy($"iter", $"g")
-      .agg(max($"cum_tp".cast("double") / $"p").as("tpr"))
-    perFold.groupBy($"g")
-      .agg(round(sum($"tpr") / 10.0, 6).as("mean_tpr"),
+    // collapse each fold to its best tpr per first-reachable grid point:
+    // row becomes visible at g0 = ceil(cum_fp*100/n) (integer-exact)
+    val perThresh = ranked
+      .groupBy($"iter", ((($"cum_fp" * 100) + $"n" - 1).divide($"n")
+        .cast("long")).as("g0"))
+      .agg(max($"cum_tp".cast("double") / $"p").as("tpr0"))
+    // step-carry: running max over the full grid per fold
+    val grid = s.range(0, 101).select($"id".cast("long").as("g"))
+    val ig = iters.crossJoin(broadcast(grid))
+    val carried = ig
+      .join(perThresh,
+        ig("iter") === perThresh("iter") && ig("g") === perThresh("g0"), "left")
+      .select(ig("iter").as("iter"), ig("g").as("g"), $"tpr0")
+      .withColumn("tpr", coalesce(
+        max($"tpr0").over(Window.partitionBy($"iter").orderBy($"g")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        lit(0.0)))
+    // fixed-order fold of the 10 per-fold values: deterministic float sum
+    carried.groupBy($"g")
+      .agg(round(
+        aggregate(
+          transform(array_sort(collect_list(struct($"iter", $"tpr"))),
+            x => x("tpr")),
+          lit(0.0), (acc, x) => acc + x) / 10.0, 6).as("mean_tpr"),
         count(lit(1)).as("n_folds"))
       .orderBy($"g")
   }
@@ -50,7 +69,8 @@ object MeanRoc {
        |folds AS (
        |  SELECT iter, doc_id, y, score
        |  FROM scored, (SELECT unnest(generate_series(0, 9)) AS iter) i
-       |  WHERE ((doc_id * 10 + iter) * 1103515245 + 12345) % 2147483648 % 2 = 1),
+       |  WHERE ((((doc_id * 10 + iter) * 1103515245 + 12345) % 2147483648)
+       |    // 65536) % 2 = 1),
        |rk AS (
        |  SELECT iter, y, score, doc_id,
        |    sum(y) OVER w AS cum_tp,
@@ -60,13 +80,22 @@ object MeanRoc {
        |  FROM folds
        |  WINDOW w AS (PARTITION BY iter ORDER BY score DESC, doc_id ASC
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       |per_fold AS (
-       |  SELECT iter, g, max(CAST(cum_tp AS DOUBLE) / p) AS tpr
-       |  FROM rk, (SELECT unnest(generate_series(0, 100)) AS g) gg
-       |  WHERE cum_fp * 100 <= g * n
-       |  GROUP BY iter, g)
-       |SELECT g, round(sum(tpr) / 10.0, 6) AS mean_tpr, count(*) AS n_folds
-       |FROM per_fold GROUP BY g ORDER BY g""".stripMargin
+       |per_thresh AS (
+       |  SELECT iter, ((cum_fp * 100) + n - 1) // n AS g0,
+       |    max(CAST(cum_tp AS DOUBLE) / p) AS tpr0
+       |  FROM rk GROUP BY iter, ((cum_fp * 100) + n - 1) // n),
+       |carried AS (
+       |  SELECT i.iter, g.g,
+       |    coalesce(max(pt.tpr0) OVER (PARTITION BY i.iter ORDER BY g.g
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS tpr
+       |  FROM (SELECT unnest(generate_series(0, 9)) AS iter) i
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS g) g
+       |  LEFT JOIN per_thresh pt ON pt.iter = i.iter AND pt.g0 = g.g)
+       |SELECT g,
+       |  round(list_reduce(list(tpr ORDER BY iter), (x, y) -> x + y) / 10.0, 6)
+       |    AS mean_tpr,
+       |  count(*) AS n_folds
+       |FROM carried GROUP BY g ORDER BY g""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_mean_roc_folds", meanRocFolds, Some(meanRocFoldsSql)))

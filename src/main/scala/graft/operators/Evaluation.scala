@@ -252,14 +252,18 @@ object Evaluation {
     Tables.documents(s, dir).select($"doc_id")
       .crossJoin(broadcast(iters))
       .select($"iter", $"doc_id",
-        ((($"doc_id" * 10 + $"iter") * 1103515245L + 12345L) % 2147483648L % 2)
+        // high bit of the LCG state: the low bit of x*odd+odd is pure
+        // parity (degenerate all-or-nothing folds), so shift 16 first
+        (((($"doc_id" * 10 + $"iter") * 1103515245L + 12345L) % 2147483648L)
+          .divide(65536).cast("long") % 2)
           .cast("int").as("is_test"))
       .orderBy($"iter", $"doc_id")
   }
 
   val cvFoldsSql: String =
     """SELECT iter, doc_id,
-      |  CAST((doc_id * 10 + iter) * 1103515245 + 12345 AS BIGINT) % 2147483648 % 2 AS is_test
+      |  CAST(((CAST((doc_id * 10 + iter) * 1103515245 + 12345 AS BIGINT)
+      |    % 2147483648) // 65536) % 2 AS INT) AS is_test
       |FROM documents, (SELECT unnest(generate_series(0, 9)) AS iter) i
       |ORDER BY iter, doc_id""".stripMargin
 

@@ -160,7 +160,7 @@ object Relational {
     */
   def histogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lo = 0.0; val hi = 60000.0; val nb = 20
+    val lo = 0.0; val hi = 550000.0; val nb = 20
     Tables.orders(s, dir)
       .select(least(floor(($"o_totalprice" - lo) / ((hi - lo) / nb)), lit(nb - 1))
         .cast("int").as("bucket"))
@@ -170,7 +170,7 @@ object Relational {
   }
 
   val histogramSql: String =
-    """SELECT CAST(least(floor((o_totalprice - 0.0) / (60000.0 / 20)), 19) AS INT)
+    """SELECT CAST(least(floor((o_totalprice - 0.0) / (550000.0 / 20)), 19) AS INT)
       |  AS bucket, count(*) AS n
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
