@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{EventOps, Temporal}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("asof join matches only prior clicks of the same user") {
+    import spark.implicits._
+    val res = Temporal.asofJoin(spark, dir).cache()
+    assert(res.count() > 0)
+    // every match strictly precedes (or ties at a smaller event_id)
+    val bad = res.where($"click_ts".isNotNull &&
+      ($"click_ts" > $"purchase_ts" ||
+        ($"click_ts" === $"purchase_ts" && $"click_id" >= $"purchase_id"))).count()
+    assert(bad == 0)
+    // every matched click_id really is a click of that user
+    val clicks = EventOps.events(spark, dir)
+      .where($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"))
+    val wrongUser = res.where($"click_id".isNotNull)
+      .join(clicks, "click_id")
+      .where($"cu" =!= $"user_id").count()
+    assert(wrongUser == 0)
+  }
+
+  test("range-window count equals the naive range self-join") {
+    import spark.implicits._
+    val e = EventOps.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+    val naive = e.as("a").join(e.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"b.us" >= $"a.us" - 300000000L && $"b.us" < $"a.us", "left")
+      .groupBy($"a.user_id", $"a.event_id")
+      .agg(count($"b.event_id").as("n_naive"))
+    val win = Temporal.rangeJoin(spark, dir)
+      .select($"user_id", $"event_id", $"n_prev_5min")
+    val mismatches = win.join(naive, Seq("user_id", "event_id"))
+      .where($"n_prev_5min" =!= $"n_naive").count()
+    assert(mismatches == 0)
+  }
+}
