@@ -12,11 +12,7 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSet else
       Set("q1_agg", "q_join_broadcast", "q_tfidf", "q_dedup_minhash",
         "q_embed_cosine_dedup", "q_roc_curve", "q_events_sessionize")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.all.filter(q => names(q.name)).foreach { q =>
       println(s"\n================ ${q.name} ================")

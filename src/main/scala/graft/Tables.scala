@@ -18,12 +18,18 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   /** events carries nanosecond parquet timestamps, which Spark 4 only
-    * reads via the legacy nanosAsLong flag (set here so any entry point —
-    * EventOps or a direct load — works regardless of call order; ts
-    * arrives as a LongType of nanos, converted by EventOps.events).
+    * reads via the legacy nanosAsLong flag; ts arrives as a LongType of
+    * nanos, converted by EventOps.events. The flag is session-scoped and
+    * must be set at session construction (GraftSession does this; a
+    * loader must not mutate shared session conf as a side effect), so
+    * fail fast with guidance if the session wasn't built that way.
     */
+  val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption(NanosFlag).contains("true"),
+      s"reading events.parquet (nanosecond timestamps) requires $NanosFlag=true " +
+        "on the session — build it via graft.GraftSession or add the config")
     load(s, d, "events")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -227,8 +227,12 @@ object Evaluation {
        |    CASE WHEN regexp_matches(text, '$targetsRe') THEN 1 ELSE 0 END AS pred
        |  FROM documents),
        |cm AS (
-       |  SELECT sum(y * pred) AS tp, sum((1 - y) * pred) AS fp,
-       |    sum((1 - y) * (1 - pred)) AS tn, sum(y * (1 - pred)) AS fn
+       |  -- CAST: DuckDB sum(int) is HUGEINT, which pandas reads as float64
+       |  -- and the driver's dtype-sensitive hash then mismatches Spark's int64
+       |  SELECT CAST(sum(y * pred) AS BIGINT) AS tp,
+       |    CAST(sum((1 - y) * pred) AS BIGINT) AS fp,
+       |    CAST(sum((1 - y) * (1 - pred)) AS BIGINT) AS tn,
+       |    CAST(sum(y * (1 - pred)) AS BIGINT) AS fn
        |  FROM wm)
        |SELECT tp, fp, tn, fn,
        |  CAST(tp AS DOUBLE) / (tp + fn) AS tpr,

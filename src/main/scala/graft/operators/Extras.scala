@@ -32,8 +32,9 @@ object Extras {
 
   val confusionAtCutoffSql: String =
     s"""WITH ${Evaluation.scoredSql}
-       |SELECT score AS threshold, cum_tp AS tp, cum_fp AS fp,
-       |  (p - cum_tp) AS fn, (n - cum_fp) AS tn,
+       |SELECT score AS threshold,
+       |  CAST(cum_tp AS BIGINT) AS tp, CAST(cum_fp AS BIGINT) AS fp,
+       |  CAST(p - cum_tp AS BIGINT) AS fn, CAST(n - cum_fp AS BIGINT) AS tn,
        |  CAST(cum_tp AS DOUBLE) / p AS tpr,
        |  CAST(cum_tp AS DOUBLE) / (cum_tp + cum_fp) AS ppv
        |FROM ranked

@@ -237,8 +237,8 @@ object Features {
 
   val trainTestDistSql: String =
     s"""SELECT token,
-       |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS train_cnt,
-       |  sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS test_cnt
+       |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_cnt,
+       |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS test_cnt
        |FROM $docTokensSql
        |GROUP BY token ORDER BY train_cnt DESC, token ASC LIMIT 50""".stripMargin
 

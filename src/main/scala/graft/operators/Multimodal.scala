@@ -27,6 +27,9 @@ object Multimodal {
       // binary payload column: the corpus stand-in for image/audio bytes
       .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload"))
     val h = md5($"payload")
+    // build the typed metadata struct + feature vector, then flatten to
+    // scalar columns for the verify dump (the driver's comparison layer
+    // sorts columns, so structs/arrays must not reach the output schema)
     payload.select(
         $"doc_id", $"source",
         length($"payload").as("n_bytes"),
@@ -39,9 +42,32 @@ object Multimodal {
           (conv(substring(h, k * 8 + 1, 7), 16, 10).cast("long").cast("double") /
             268435456.0) // 16^7
         }: _*).as("features"))
+      .select($"doc_id", $"source", $"n_bytes", $"content_md5",
+        $"meta.mime".as("meta_mime"), $"meta.size".as("meta_size"),
+        $"meta.origin".as("meta_origin"),
+        $"features" (0).as("f0"), $"features" (1).as("f1"),
+        $"features" (2).as("f2"), $"features" (3).as("f3"))
       .orderBy($"doc_id")
   }
 
+  /** Flattened output is plain scalars, so the stub pipeline is fully
+    * oracle-checkable: md5 hex chunks → longs → [0,1) doubles, identical
+    * IEEE ops in both engines.
+    */
+  val multimodalMetaSql: String = {
+    val fs = (0 until 4).map { k =>
+      s"('0x' || substr(md5(text), ${k * 8 + 1}, 7))::BIGINT / 268435456.0 AS f$k"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, source,
+       |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       |  md5(text) AS content_md5,
+       |  'text/plain' AS meta_mime,
+       |  CAST(octet_length(encode(text)) AS INT) AS meta_size,
+       |  source AS meta_origin,
+       |  $fs
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q_multimodal_meta", multimodalMeta, None))
+    GraftQuery("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)))
 }

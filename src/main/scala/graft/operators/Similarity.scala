@@ -94,15 +94,20 @@ object Similarity {
     * pseudo-random hyperplanes (deterministic LCG coordinates) hash each
     * vector to a 16-bit bucket; candidates only form within a bucket.
     * Rows-only oracle (bucket contents, not SQL-expressible compactly).
+    * Bucket membership is reported as a scalar digest (count, id range,
+    * md5 of the sorted id list) — the driver's comparison layer sorts
+    * result columns, so outputs stay scalar.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nPlanes = 16
-    // plane p, dim d coefficient in [-1, 1): deterministic LCG
+    // plane p, dim d coefficient in [-1, 1): deterministic LCG mapped by
+    // (x>>>11)/2^53 ∈ [0,1) then *2-1 (dividing by 2^52 would land in
+    // [-1,3) and bias buckets toward all-ones)
     val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
       (0 until 64).map { d =>
         val x = (p * 64 + d) * 6364136223846793005L + 1442695040888963407L
-        ((x >>> 11).toDouble / (1L << 52).toDouble) * 2.0 - 1.0
+        ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
       }
     }
     val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
@@ -115,12 +120,45 @@ object Similarity {
               call_function("shiftleft", lit(1L), idx)).otherwise(lit(0L))),
           lit(0L), (acc, x) => acc + x).as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("n_vecs"),
-        sort_array(collect_list($"vec_id")).as("vec_ids"))
+        min($"vec_id").as("min_vec_id"), max($"vec_id").as("max_vec_id"),
+        md5(array_join(transform(sort_array(collect_list($"vec_id")),
+          _.cast("string")), ",").cast("binary")).as("ids_md5"))
       .orderBy($"bucket")
   }
+
+  /** Oracle: re-derive the LCG plane coefficients in SQL. Scala's
+    * `k*A + B` wraps mod 2⁶⁴ and `>>>11` reads the result unsigned, so
+    * the oracle does the same arithmetic in HUGEINT: (k·A+B) mod 2⁶⁴,
+    * floor-div 2¹¹. Both sides then apply identical IEEE double ops
+    * (all intermediates < 2⁵³, so the int→double casts are exact), and
+    * the dot product folds left-to-right from a 0.0 seed in both.
+    */
+  val annLshSql: String =
+    """WITH planes AS (
+      |  SELECT p, list_transform(generate_series(0, 63), d ->
+      |      (CAST(((CAST(p * 64 + d AS HUGEINT) * 6364136223846793005
+      |          + 1442695040888963407) % 18446744073709551616) // 2048 AS DOUBLE)
+      |        / 9007199254740992.0) * 2.0 - 1.0) AS plane
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS p)),
+      |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+      |dots AS (
+      |  SELECT vec_id, p,
+      |    list_reduce(list_prepend(0.0,
+      |      [plane[i] * v[i] for i in generate_series(1, len(v))]),
+      |      (x, y) -> x + y) AS dot
+      |  FROM v, planes),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+      |      AS bucket
+      |  FROM dots GROUP BY vec_id)
+      |SELECT bucket, count(*) AS n_vecs,
+      |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
+      |  md5(string_agg(vec_id, ',' ORDER BY vec_id)) AS ids_md5
+      |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_embed_cosine_dedup", cosineDedup, Some(cosineDedupSql)),
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
-    GraftQuery("q_ann_lsh", annLsh, None))
+    GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)))
 }

@@ -154,7 +154,7 @@ object TextAnalysis {
        |  SELECT doc_id,
        |    ((${Dedup.hash60Sql("l[i]")} % ${P}) * ((i * 2654435761) % ${P})) % ${P} AS term
        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM toks) z)
-       |SELECT doc_id, sum(term) % ${P} AS fingerprint
+       |SELECT doc_id, CAST(sum(term) % ${P} AS BIGINT) AS fingerprint
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(

@@ -116,8 +116,15 @@ object TopKPerKey {
       k,
       child)
     val spark = df.sparkSession
-    spark.experimental.extraStrategies =
-      (spark.experimental.extraStrategies :+ TopKStrategy).distinct
+    // prefer registering once via GraftExtensions; this direct-API path
+    // installs the strategy idempotently and under a lock so concurrent
+    // callers can't race the read-append-write of session state
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
+    }
     GraftBridge.ofRows(spark, plan)
   }
 }

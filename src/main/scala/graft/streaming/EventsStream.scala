@@ -51,31 +51,59 @@ object EventsStream {
     * emits a session when the gap closes it, keyed state is one
     * SessionState per active user. The streaming twin of
     * EventOps.sessionize.
+    *
+    * State is bounded by an event-time timeout: once the watermark passes
+    * lastTs + gap, the open session is flushed and its state removed —
+    * without this (NoTimeout) each user's final session would never emit
+    * and per-user state would grow forever.
+    *
+    * Late-data contract: events are processed in (ts, event_id) order
+    * *within* a micro-batch; an event that arrives in a later batch with
+    * an earlier timestamp is treated as a new arrival at that point — if
+    * it falls inside the gap it extends the session, otherwise it opens
+    * (and may split) one. Events older than the watermark may be dropped
+    * entirely. Choose the watermark delay to cover expected disorder.
     */
-  def sessionize(events: Dataset[Event]): Dataset[SessionAgg] = {
+  def sessionize(events: Dataset[Event],
+      watermarkDelay: String = "2 hours"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
-          var st = state.getOption.orNull
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st == null) {
-              st = SessionState(t, t, 1L, e.value)
-            } else if (t - st.lastTs > gapMs) {
-              out += SessionAgg(userId, new java.sql.Timestamp(st.start), st.n, st.total)
-              st = SessionState(t, t, 1L, e.value)
-            } else {
-              st = st.copy(lastTs = t, n = st.n + 1, total = st.total + e.value)
+          if (state.hasTimedOut) {
+            // watermark passed the gap after the last event: flush + clear
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              SessionAgg(userId, new java.sql.Timestamp(st.start), st.n, st.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st == null) {
+                st = SessionState(t, t, 1L, e.value)
+              } else if (t - st.lastTs > gapMs) {
+                out += SessionAgg(userId, new java.sql.Timestamp(st.start), st.n, st.total)
+                st = SessionState(t, t, 1L, e.value)
+              } else {
+                st = st.copy(lastTs = t, n = st.n + 1, total = st.total + e.value)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // fire once event time passes the inactivity gap (the
+              // timeout must sit strictly beyond the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.iterator
           }
-          if (st != null) state.update(st) else state.remove()
-          out.iterator
       }
   }
 }

@@ -6,10 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", 2)
-    .config("spark.ui.enabled", "false")
+  lazy val spark: SparkSession = GraftSession.builder("local[2]", 2)
     .withExtensions(new GraftExtensions)
     .getOrCreate()
 

@@ -10,12 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", 2)
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.builder("local[2]", 2).getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
 
@@ -62,19 +57,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val mem = MemoryStream[Event]
-    // user 1: two events 10 min apart (one session), then a 40-min gap
+    // user 1: two events 10 min apart (one session), then a 40-min gap.
+    // Timestamps start well above 0: the event-time-timeout operator
+    // drops rows at/below the watermark, and the initial watermark is 0.
     mem.addData(
-      Event(1, ts(0), 1, "click", 1.0),
-      Event(2, ts(10), 1, "click", 2.0),
-      Event(3, ts(55), 1, "click", 4.0))
+      Event(1, ts(1000), 1, "click", 1.0),
+      Event(2, ts(1010), 1, "click", 2.0),
+      Event(3, ts(1055), 1, "click", 4.0))
     val q = EventsStream.sessionize(mem.toDS())
       .writeStream.format("memory").queryName("sess_out")
       .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // advance the watermark far past user 1's gap (batch n's data moves
+    // the watermark used by batch n+1, so push two more batches through)
+    mem.addData(Event(90, ts(2600), 2, "click", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(91, ts(2601), 2, "click", 0.0))
     q.processAllAvailable()
     q.stop()
     val sessions = spark.table("sess_out").as[SessionAgg].collect()
     // first session (events 1+2) closed by the 45-min gap before event 3
     assert(sessions.exists(s =>
       s.user_id == 1 && s.n_events == 2 && s.sum_value == 3.0))
+    // final session (event 3) flushed by the event-time timeout once the
+    // watermark passed lastTs + gap — NoTimeout would never emit this
+    assert(sessions.exists(s =>
+      s.user_id == 1 && s.n_events == 1 && s.sum_value == 4.0))
   }
 }
