@@ -2,9 +2,9 @@ package graft.ml
 
 import graft.{GraftQuery, Tables}
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.ml.{Pipeline, PipelineStage}
+import org.apache.spark.ml.{Estimator, Pipeline, PipelineStage, Transformer}
 import org.apache.spark.ml.classification._
-import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
+import org.apache.spark.ml.feature.{HashingTF, IDF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,33 +47,51 @@ object Classifiers {
       .setNumFeatures(NumFeatures),
     new IDF().setInputCol("tf").setOutputCol("features"))
 
-  def pipelines: Seq[(String, Pipeline)] = Seq(
-    "naive_bayes" -> new Pipeline().setStages(featurizer :+
-      new NaiveBayes().setSmoothing(1.0): Array[PipelineStage]),
-    "gbt" -> new Pipeline().setStages(featurizer :+
-      new GBTClassifier().setSeed(Seed).setMaxIter(10).setMaxDepth(3)
-      : Array[PipelineStage]),
-    "mlp" -> new Pipeline().setStages(featurizer :+
-      new MultilayerPerceptronClassifier().setSeed(Seed)
-        .setLayers(Array(NumFeatures, 16, 2)).setMaxIter(25)
-      : Array[PipelineStage]),
-    "dtree" -> new Pipeline().setStages(featurizer :+
-      new DecisionTreeClassifier().setSeed(Seed): Array[PipelineStage]),
-    "svm" -> new Pipeline().setStages(featurizer :+
-      new LinearSVC().setMaxIter(20): Array[PipelineStage]),
-    "rf" -> new Pipeline().setStages(featurizer :+
-      new RandomForestClassifier().setSeed(Seed).setNumTrees(20)
-      : Array[PipelineStage]))
+  /** The classifier bank as single-stage estimators — the featurizer is
+    * fit/applied once (featurize) instead of inside each Pipeline.
+    */
+  def estimators: Seq[(String, Estimator[_])] = Seq(
+    "naive_bayes" -> new NaiveBayes().setSmoothing(1.0),
+    "gbt" -> new GBTClassifier().setSeed(Seed).setMaxIter(10).setMaxDepth(3),
+    "mlp" -> new MultilayerPerceptronClassifier().setSeed(Seed)
+      .setLayers(Array(NumFeatures, 16, 2)).setMaxIter(25),
+    "dtree" -> new DecisionTreeClassifier().setSeed(Seed),
+    "svm" -> new LinearSVC().setMaxIter(20),
+    "rf" -> new RandomForestClassifier().setSeed(Seed).setNumTrees(20))
+
+  /** Fit the TF-IDF featurizer on the train half (doc_id parity split) and
+    * return both halves featurized: (train, test). Identical features to
+    * the former whole-Pipeline formulation (IDF statistics from train
+    * only; HashingTF is stateless).
+    */
+  def featurize(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val data = prepared(s, dir)
+    val train = data.where($"doc_id" % 2 === 0)
+    val test = data.where($"doc_id" % 2 === 1)
+    val fm = new Pipeline().setStages(featurizer).fit(train)
+    (fm.transform(train).select($"doc_id", $"label", $"features"),
+      fm.transform(test).select($"doc_id", $"label", $"features"))
+  }
+
+  /** Fit one estimator on a persisted copy of the featurized train set.
+    * Persisting here is the hot-path fix for iterative trainers
+    * (MLP/SVM/GBT): without it every optimizer pass re-runs the whole
+    * scan → tokenize → n-gram → hash → IDF lineage.
+    */
+  def fitOn(name: String, train: DataFrame): Transformer = {
+    val cached = train.persist()
+    try estimators.toMap.apply(name).fit(cached).asInstanceOf[Transformer]
+    finally cached.unpersist(blocking = false)
+  }
 
   /** Train on even doc_ids, predict the odd half, return
     * (doc_id, label, prediction) ordered.
     */
   def trainPredict(name: String)(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val data = prepared(s, dir)
-    val train = data.where($"doc_id" % 2 === 0)
-    val test = data.where($"doc_id" % 2 === 1)
-    val model = pipelines.toMap.apply(name).fit(train)
+    val (train, test) = featurize(s, dir)
+    val model = fitOn(name, train)
     model.transform(test)
       .select($"doc_id", $"label", $"prediction")
       .orderBy($"doc_id")
@@ -110,7 +128,7 @@ object Classifiers {
       |ORDER BY doc_id""".stripMargin
 
   val queries: Seq[GraftQuery] =
-    pipelines.map { case (name, _) =>
+    estimators.map { case (name, _) =>
       GraftQuery(s"q_ml_$name", trainPredict(name), None)
     } :+ GraftQuery("q_ml_dummy", dummy, Some(dummySql))
 }

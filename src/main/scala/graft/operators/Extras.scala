@@ -48,10 +48,9 @@ object Extras {
   def mlFeatureImportance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.classification.RandomForestClassificationModel
-    val data = graft.ml.Classifiers.prepared(s, dir)
-    val train = data.where($"doc_id" % 2 === 0)
-    val model = graft.ml.Classifiers.pipelines.toMap.apply("rf").fit(train)
-    val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
+    val (train, _) = graft.ml.Classifiers.featurize(s, dir)
+    val rf = graft.ml.Classifiers.fitOn("rf", train)
+      .asInstanceOf[RandomForestClassificationModel]
     val imp = rf.featureImportances
     val rows = imp.toArray.zipWithIndex
       .filter(_._1 > 0)
@@ -85,10 +84,9 @@ object Extras {
   def mlTreeExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.classification.DecisionTreeClassificationModel
-    val data = graft.ml.Classifiers.prepared(s, dir)
-    val train = data.where($"doc_id" % 2 === 0)
-    val model = graft.ml.Classifiers.pipelines.toMap.apply("dtree").fit(train)
-    val dt = model.stages.last.asInstanceOf[DecisionTreeClassificationModel]
+    val (train, _) = graft.ml.Classifiers.featurize(s, dir)
+    val dt = graft.ml.Classifiers.fitOn("dtree", train)
+      .asInstanceOf[DecisionTreeClassificationModel]
     // strip the per-instance random uid so the dump is run-deterministic
     val lines = dt.toDebugString.replaceAll("uid=[A-Za-z0-9_]+", "uid=dtc")
       .split("\n").toSeq.zipWithIndex
