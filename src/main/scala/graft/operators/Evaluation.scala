@@ -312,8 +312,50 @@ object Evaluation {
        |WHERE nrk <= floor(p.p * (100 - prev_pct) / prev_pct)
        |ORDER BY prev_pct, doc_id""".stripMargin
 
+  /** Deterministic class-balance over-sampling — the other half of the
+    * reference's balancing surface (notebook cell 21 up-sample path,
+    * complementing q_prevalence_resample's under-sample): every class is
+    * replicated up to the majority count. Each row gets
+    * n_copies = ⌊maxc/cnt⌋ plus one extra for the first (maxc mod cnt)
+    * rows in LCG-hash order, so Σ n_copies = maxc for every class —
+    * emitted as a copies column (exact integer arithmetic, no RNG, no
+    * materialized duplication until the consumer explodes it).
+    */
+  def balanceOversample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Features.labeled(s, dir).select($"doc_id", $"y")
+    val w = Window.partitionBy($"y")
+      .orderBy((($"doc_id" * 2654435761L + 54321L) % 2147483648L).asc, $"doc_id".asc)
+    val ranked = docs.withColumn("rnk", row_number().over(w).cast("long"))
+    val sizes = docs.groupBy($"y").agg(count(lit(1)).as("cnt"))
+    val maxc = sizes.agg(max($"cnt").as("maxc"))
+    ranked.join(broadcast(sizes), "y").crossJoin(broadcast(maxc))
+      .select($"doc_id", $"y",
+        (expr("maxc div cnt") +
+          when($"rnk" <= $"maxc" % $"cnt", 1L).otherwise(0L)).as("n_copies"))
+      .orderBy($"doc_id")
+  }
+
+  val balanceOversampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${Features.labelSqlExpr} AS y FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, y,
+       |    CAST(row_number() OVER (PARTITION BY y
+       |      ORDER BY (doc_id * 2654435761 + 54321) % 2147483648 ASC, doc_id ASC)
+       |      AS BIGINT) AS rnk
+       |  FROM docs),
+       |sizes AS (SELECT y, count(*) AS cnt FROM docs GROUP BY y),
+       |mx AS (SELECT max(cnt) AS maxc FROM sizes)
+       |SELECT doc_id, r.y,
+       |  CAST(maxc // cnt + CASE WHEN rnk <= maxc % cnt THEN 1 ELSE 0 END
+       |    AS BIGINT) AS n_copies
+       |FROM ranked r JOIN sizes s ON r.y = s.y CROSS JOIN mx
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_word_match", wordMatch, Some(wordMatchSql)),
+    GraftQuery("q_balance_oversample", balanceOversample, Some(balanceOversampleSql)),
     GraftQuery("q_roc_curve", rocCurve, Some(rocCurveSql)),
     GraftQuery("q_auc_trapezoid", aucTrapezoid, Some(aucTrapezoidSql)),
     GraftQuery("q_pr_curve", prCurve, Some(prCurveSql)),

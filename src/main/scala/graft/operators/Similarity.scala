@@ -157,8 +157,84 @@ object Similarity {
       |  md5(string_agg(vec_id, ',' ORDER BY vec_id)) AS ids_md5
       |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** IVF-style ANN — the inverted-file scale path: a deterministic
+    * coarse quantizer (centroids = the first 8 vectors; in production a
+    * k-means fit) assigns every vector to its nearest centroid's list,
+    * and each query (vec_id < 10) searches only its 2 nearest lists.
+    * Per query the scan touches ~nprobe/nlist of the corpus instead of
+    * all of it; centroids broadcast, so assignment is map-side and the
+    * only shuffle is the final per-query top-k window.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, dir)
+    val cents = v.where($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)
+    val assign = v.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", $"nrm", $"cent_id",
+        round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cent_id")
+    val wProbe = Window.partitionBy($"q_id").orderBy($"pcos".desc, $"cent_id".asc)
+    val probes = v.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .crossJoin(broadcast(cents))
+      .select($"q_id", $"qv", $"qnrm", $"cent_id",
+        round(dot($"qv", $"cv") / ($"qnrm" * $"cnrm"), 6).as("pcos"))
+      .withColumn("prk", row_number().over(wProbe))
+      .where($"prk" <= 2)
+      .select($"q_id", $"qv", $"qnrm", $"cent_id")
+    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    probes.join(assign, "cent_id")
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .where($"rank" <= 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val annIvfSql: String = {
+    def dotE(x: String, y: String) =
+      s"list_reduce([$x[i] * $y[i] for i in generate_series(1, len($x))], (x, y) -> x + y)"
+    def cosE(x: String, xn: String, y: String, yn: String) =
+      s"round(${dotE(x, y)} / ($xn * $yn), 6)"
+    s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |vn AS (SELECT vec_id, v, sqrt(${dotE("v", "v")}) AS nrm FROM vv),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM vn WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, v, nrm, cent_id FROM (
+       |    SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosE("a.v", "a.nrm", "c.cv", "c.cnrm")} DESC, c.cent_id ASC)
+       |        AS INT) AS crk
+       |    FROM vn a CROSS JOIN cents c) z
+       |  WHERE crk = 1),
+       |probes AS (
+       |  SELECT q_id, qv, qnrm, cent_id FROM (
+       |    SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qnrm, c.cent_id,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosE("q.v", "q.nrm", "c.cv", "c.cnrm")} DESC, c.cent_id ASC)
+       |        AS INT) AS prk
+       |    FROM vn q CROSS JOIN cents c WHERE q.vec_id < 10) z
+       |  WHERE prk <= 2)
+       |SELECT q_id, neighbor_id, cos, rank FROM (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |    ${cosE("p.qv", "p.qnrm", "a.v", "a.nrm")} AS cos,
+       |    CAST(row_number() OVER (PARTITION BY p.q_id
+       |      ORDER BY ${cosE("p.qv", "p.qnrm", "a.v", "a.nrm")} DESC, a.vec_id ASC)
+       |      AS INT) AS rank
+       |  FROM probes p JOIN assign a USING (cent_id)
+       |  WHERE a.vec_id <> p.q_id) z
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_embed_cosine_dedup", cosineDedup, Some(cosineDedupSql)),
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
-    GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)))
+    GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)),
+    GraftQuery("q_ann_ivf", annIvf, Some(annIvfSql)))
 }

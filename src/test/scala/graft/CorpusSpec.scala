@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, Evaluation, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the round-2 corpus-curation operators (value
+  * parity with DuckDB is covered by the oracle gate).
+  */
+class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("dedup clusters: labels are component minima and pairs co-cluster") {
+    import spark.implicits._
+    val labels = Corpus.dedupClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.nonEmpty)
+    // a cluster id is always a member's id, never above its node
+    labels.foreach { case (doc, cl) => assert(cl <= doc && labels(cl) == cl) }
+    // every near-dup pair lands in the same cluster
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .where($"est_jaccard" >= 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b)) }
+  }
+
+  test("contamination check hits only corpus docs vs the benchmark set") {
+    import spark.implicits._
+    val rows = Corpus.contamination(spark, dir)
+      .select($"doc_id", $"bench_id", $"n_shared")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (d, b, n) => d >= 20 && b < 20 && n >= 2 })
+  }
+
+  test("stratified sample keeps lang-dependent rates and is deterministic") {
+    import spark.implicits._
+    val sampled = Corpus.stratifiedSample(spark, dir)
+    val total = Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    val got = sampled.groupBy($"lang").agg(count(lit(1)).as("k"))
+      .join(total, "lang")
+      .select($"lang", ($"k".cast("double") / $"n").as("rate"))
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (lang, rate) =>
+      val target = if (lang == "en") 0.10 else 0.30
+      assert(math.abs(rate - target) < 0.12, s"$lang rate $rate")
+    }
+    // partition-count invariance
+    val a = sampled.as[(Long, String)].collect().toSet
+    val b = Corpus.stratifiedSample(spark, dir).repartition(13)
+      .as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("HLL distinct stays within 5% of exact per event type") {
+    import spark.implicits._
+    Corpus.distinctApprox(spark, dir)
+      .select($"exact_users", $"approx_users")
+      .as[(Long, Long)].collect().foreach { case (exact, approx) =>
+        assert(math.abs(approx - exact).toDouble / exact < 0.05,
+          s"approx $approx vs exact $exact")
+      }
+  }
+
+  test("IVF ANN returns valid per-query rankings with true cosines") {
+    import spark.implicits._
+    val ivf = Similarity.annIvf(spark, dir)
+      .select($"q_id", $"neighbor_id", $"cos", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val brute = Similarity.annCosineTopK(spark, dir)
+      .select($"q_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(1 to rows.length))
+      assert(rows.length <= 5)
+    }
+    // where IVF and brute force agree on a neighbor, the cosine is identical
+    ivf.foreach { case (q, n, c, _) =>
+      brute.get((q, n)).foreach(bc => assert(bc == c)) }
+  }
+
+  test("oversample copies equalize class mass") {
+    import spark.implicits._
+    val perClass = Evaluation.balanceOversample(spark, dir)
+      .groupBy($"y").agg(sum($"n_copies").as("mass"))
+      .select($"mass").as[Long].collect()
+    assert(perClass.length == 2 && perClass.distinct.length == 1)
+  }
+}
