@@ -134,9 +134,140 @@ object Corpus {
       .orderBy($"event_type")
   }
 
+  /** Repetition-based quality signals (the Gopher-rule shape): duplicate
+    * -token ratio and top-bigram concentration per document. All ratios
+    * are single divisions of exact integer counts.
+    */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+    val tokStats = toks
+      .select($"doc_id", explode($"toks").as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max($"c").as("top_token_cnt"))
+    val bgStats = toks
+      .select($"doc_id", explode(
+        filter(
+          transform($"toks", (_, i) =>
+            when(i + 2 <= size($"toks"), array_join(slice($"toks", i + 1, lit(2)), " "))),
+          g => g.isNotNull)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_bigrams"), max($"c").as("top_bigram_cnt"))
+    tokStats.join(bgStats, "doc_id")
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        (lit(1.0) - $"n_distinct".cast("double") / $"n_tokens").as("dup_token_ratio"),
+        ($"top_bigram_cnt".cast("double") / $"n_bigrams").as("top_bigram_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionFilterSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_token_cnt
+      |  FROM (SELECT doc_id, t.token, count(*) AS c
+      |        FROM (SELECT doc_id, unnest(toks) AS token FROM toks) t
+      |        GROUP BY doc_id, t.token) z
+      |  GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(max(c) AS BIGINT) AS top_bigram_cnt
+      |  FROM (SELECT doc_id, b, count(*) AS c
+      |        FROM (SELECT doc_id,
+      |                unnest([toks[i] || ' ' || toks[i+1]
+      |                        for i in generate_series(1, len(toks)-1)]) AS b
+      |              FROM toks) z
+      |        GROUP BY doc_id, b) z2
+      |  GROUP BY doc_id)
+      |SELECT tok.doc_id, n_tokens, n_distinct,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_ratio,
+      |  CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_ratio
+      |FROM tok JOIN bg ON tok.doc_id = bg.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
+
+  /** Cross-document duplicated-span detection (the exact-substring
+    * dedup shape): non-overlapping 10-token chunks hashed and grouped;
+    * any chunk hash seen in more than one document is a duplicated span.
+    * One explode + one hash aggregation — no pairwise work.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    Tables.documents(s, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+      .select($"doc_id", explode(
+        transform(sequence(lit(0), expr("(size(toks) - 1) div 10")),
+          k => array_join(slice($"toks", k * 10 + 1, lit(10)), " "))).as("chunk"))
+      .select($"doc_id", Dedup.hash60($"chunk").as("chunk_hash"))
+      .groupBy($"chunk_hash")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min($"doc_id").as("keep_id"))
+      .where($"n_docs" > 1)
+      .orderBy($"chunk_hash")
+  }
+
+  val spanDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    unnest([array_to_string(toks[(k*10+1):(k*10+10)], ' ')
+       |            for k in generate_series(0, (len(toks)-1)//10)]) AS chunk
+       |  FROM toks)
+       |SELECT ${Dedup.hash60Sql("chunk")} AS chunk_hash,
+       |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+       |  min(doc_id) AS keep_id
+       |FROM chunks
+       |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY chunk_hash""".stripMargin
+
+  /** Source-mixture accounting — the data-mixing step of a pretraining
+    * pipeline: per-source doc/token mass plus the up/down-weight needed
+    * to hit a uniform target mixture (weight = target share / actual
+    * share, exact integer counts, one division).
+    */
+  def sourceMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val per = Tables.documents(s, dir)
+      .select($"source", size(TF.tokens($"text")).as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("total"), count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_tokens",
+        ($"total".cast("double") / $"n_sources" / $"n_tokens").as("weight"))
+      .orderBy($"source")
+  }
+
+  val sourceMixtureSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+      |               count(*) AS n_sources FROM per)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(total AS DOUBLE) / n_sources / n_tokens AS weight
+      |FROM per CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     GraftQuery("q_contamination_check", contamination, Some(contaminationSql)),
     GraftQuery("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    GraftQuery("q_distinct_approx", distinctApprox, None))
+    GraftQuery("q_distinct_approx", distinctApprox, None),
+    GraftQuery("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
+    GraftQuery("q_span_dedup", spanDedup, Some(spanDedupSql)),
+    GraftQuery("q_source_mixture", sourceMixture, Some(sourceMixtureSql)))
 }

@@ -87,6 +87,37 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       brute.get((q, n)).foreach(bc => assert(bc == c)) }
   }
 
+  test("repetition signals stay in range and bound each other") {
+    import spark.implicits._
+    Corpus.repetitionFilter(spark, dir)
+      .select($"n_tokens", $"n_distinct", $"dup_token_ratio", $"top_bigram_ratio")
+      .as[(Long, Long, Double, Double)].collect().foreach {
+        case (n, d, dup, topBg) =>
+          assert(d <= n && dup >= 0.0 && dup < 1.0)
+          assert(topBg > 0.0 && topBg <= 1.0)
+      }
+  }
+
+  test("span dedup reports only cross-doc spans with keep = min doc") {
+    import spark.implicits._
+    val rows = Corpus.spanDedup(spark, dir)
+      .select($"n_docs", $"n_occurrences", $"keep_id")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nd, no, _) => assert(nd > 1 && no >= nd) }
+  }
+
+  test("source mixture weights recover the uniform target") {
+    import spark.implicits._
+    val rows = Corpus.sourceMixture(spark, dir)
+      .select($"n_tokens", $"weight").as[(Long, Double)].collect()
+    val total = rows.map(_._1).sum.toDouble
+    rows.foreach { case (nt, w) =>
+      // weight * source share == 1 / n_sources
+      assert(math.abs(w * nt / total - 1.0 / rows.length) < 1e-12)
+    }
+  }
+
   test("oversample copies equalize class mass") {
     import spark.implicits._
     val perClass = Evaluation.balanceOversample(spark, dir)
