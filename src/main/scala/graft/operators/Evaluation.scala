@@ -353,8 +353,104 @@ object Evaluation {
        |FROM ranked r JOIN sizes s ON r.y = s.y CROSS JOIN mx
        |ORDER BY doc_id""".stripMargin
 
+  /** Hold-out model comparison (reference: holdOutSplitPerformance,
+    * src/NLP_functions.py:311 — fit on one half, compare AUC/F1 on the
+    * held-out half). The SQL-checkable pair is compared here: the
+    * word-match model (density score) and the stratified dummy; the six
+    * MLlib models' hold-out predictions are the q_ml_* family.
+    *
+    * AUC is the tie-aware rank-sum identity computed entirely in integer
+    * arithmetic (midrank·2 stays integral; one final division), so the
+    * result is bit-deterministic at any parallelism.
+    */
+  def modelCompare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val test = Tables.documents(s, dir).where($"doc_id" % 2 === 1)
+    val wm = test.select(lit("word_match").as("model"), $"doc_id",
+      ($"lang" === "en").cast("int").as("y"),
+      TF.tokens($"text").as("toks"),
+      regexp_like($"text", lit(targetsRe)).cast("int").as("pred"))
+      .select($"model", $"doc_id", $"y",
+        (size(filter($"toks", t => t.isin(targets: _*))).cast("double") /
+          size($"toks")).as("score"), $"pred")
+    val prev = Tables.documents(s, dir).where($"doc_id" % 2 === 0)
+      .agg((sum(($"lang" === "en").cast("int")).cast("double") / count(lit(1))).as("p"))
+    val u = ($"doc_id" * 2654435761L + 98765L) % 2147483648L % 1000L
+    val dm = test.crossJoin(broadcast(prev))
+      .select(lit("dummy").as("model"), $"doc_id",
+        ($"lang" === "en").cast("int").as("y"),
+        (u.cast("double") / 1000.0).as("score"),
+        (u < floor($"p" * 1000)).cast("int").as("pred"))
+    val long = wm.unionByName(dm)
+    val wCum = Window.partitionBy($"model").orderBy($"score".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = long.groupBy($"model", $"score")
+      .agg(count(lit(1)).as("c"), sum($"y").as("cp"))
+      .withColumn("cum_before", coalesce(sum($"c").over(wCum), lit(0L)))
+      .groupBy($"model")
+      .agg(sum($"cp" * (lit(2) * $"cum_before" + $"c" + 1)).as("s2"))
+    val cm = long.groupBy($"model").agg(
+      sum($"y").as("p"), sum(lit(1) - $"y").as("n"),
+      sum($"y" * $"pred").as("tp"), sum((lit(1) - $"y") * $"pred").as("fp"),
+      sum($"y" * (lit(1) - $"pred")).as("fn"))
+    ranks.join(cm, "model")
+      .select($"model",
+        (($"s2" - $"p" * ($"p" + 1)).cast("double") /
+          (lit(2) * $"p" * $"n")).as("auc"),
+        ((lit(2) * $"tp").cast("double") /
+          (lit(2) * $"tp" + $"fp" + $"fn")).as("f1"))
+      .orderBy($"model")
+  }
+
+  val modelCompareSql: String =
+    s"""WITH test AS (
+       |  SELECT doc_id, ${Features.labelSqlExpr} AS y, text,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |prev AS (
+       |  SELECT CAST(sum(${Features.labelSqlExpr}) AS DOUBLE) / count(*) AS p
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |long AS (
+       |  SELECT 'word_match' AS model, doc_id, y,
+       |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
+       |      / len(toks) AS score,
+       |    CASE WHEN regexp_matches(text, '$targetsRe') THEN 1 ELSE 0 END AS pred
+       |  FROM test
+       |  UNION ALL
+       |  SELECT 'dummy' AS model, doc_id, y,
+       |    CAST((doc_id * 2654435761 + 98765) % 2147483648 % 1000 AS DOUBLE)
+       |      / 1000.0 AS score,
+       |    CASE WHEN (doc_id * 2654435761 + 98765) % 2147483648 % 1000
+       |      < floor(p * 1000) THEN 1 ELSE 0 END AS pred
+       |  FROM test, prev),
+       |grouped AS (
+       |  SELECT model, score, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
+       |  FROM long GROUP BY model, score),
+       |ranks AS (
+       |  SELECT model,
+       |    CAST(sum(cp * (2 * cum_before + c + 1)) AS BIGINT) AS s2
+       |  FROM (
+       |    SELECT model, c, cp,
+       |      CAST(coalesce(sum(c) OVER (PARTITION BY model ORDER BY score ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |        AS cum_before
+       |    FROM grouped) z
+       |  GROUP BY model),
+       |cm AS (
+       |  SELECT model, CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS n,
+       |    CAST(sum(y * pred) AS BIGINT) AS tp,
+       |    CAST(sum((1 - y) * pred) AS BIGINT) AS fp,
+       |    CAST(sum(y * (1 - pred)) AS BIGINT) AS fn
+       |  FROM long GROUP BY model)
+       |SELECT ranks.model,
+       |  CAST(s2 - p * (p + 1) AS DOUBLE) / (2 * p * n) AS auc,
+       |  CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1
+       |FROM ranks JOIN cm ON ranks.model = cm.model
+       |ORDER BY ranks.model""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_word_match", wordMatch, Some(wordMatchSql)),
+    GraftQuery("q_model_compare", modelCompare, Some(modelCompareSql)),
     GraftQuery("q_balance_oversample", balanceOversample, Some(balanceOversampleSql)),
     GraftQuery("q_roc_curve", rocCurve, Some(rocCurveSql)),
     GraftQuery("q_auc_trapezoid", aucTrapezoid, Some(aucTrapezoidSql)),

@@ -118,6 +118,17 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("model compare: metrics in range, informed model beats dummy on F1") {
+    import spark.implicits._
+    val rows = Evaluation.modelCompare(spark, dir)
+      .select($"model", $"auc", $"f1").as[(String, Double, Double)]
+      .collect().map { case (m, a, f) => m -> (a, f) }.toMap
+    rows.values.foreach { case (a, f) =>
+      assert(a >= 0.0 && a <= 1.0 && f >= 0.0 && f <= 1.0) }
+    // the density AUC is a weak signal at tiny SF; F1 separates reliably
+    assert(rows("word_match")._2 > rows("dummy")._2)
+  }
+
   test("oversample copies equalize class mass") {
     import spark.implicits._
     val perClass = Evaluation.balanceOversample(spark, dir)
