@@ -39,9 +39,11 @@ object Corpus {
     while (!converged && round < 20) {
       val msgs = labels.join(edges, $"doc_id" === $"src")
         .select($"dst".as("doc_id"), $"cluster_id")
+      // lazy checkpoint: the convergence count below materializes it, so
+      // each round is one job, not two, while still truncating lineage
       val next = labels.unionByName(msgs)
         .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .where($"cluster_id" =!= $"prev").limit(1).count()
       converged = changed == 0

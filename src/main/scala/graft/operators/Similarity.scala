@@ -188,7 +188,9 @@ object Similarity {
       .where($"prk" <= 2)
       .select($"q_id", $"qv", $"qnrm", $"cent_id")
     val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    probes.join(assign, "cent_id")
+    // probes = queries × nprobe rows — always the small side; hint it so
+    // the list scan stays a map-side broadcast join at any corpus size
+    broadcast(probes).join(assign, "cent_id")
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
         round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
