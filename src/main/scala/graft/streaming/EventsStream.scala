@@ -47,6 +47,24 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream attribution join — the streaming twin of the batch
+    * as-of join (Temporal.asofJoin): each click joined to purchases by
+    * the same user within 30 minutes after it. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so Spark can expire join state; without the time bound the state
+    * store would grow with the stream.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    c.join(p, expr(
+      """c.user_id = p.user_id AND
+        |p.ts >= c.ts AND p.ts <= c.ts + interval 30 minutes""".stripMargin))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+  }
+
   /** Gap sessionization (30-min inactivity) with flatMapGroupsWithState:
     * emits a session when the gap closes it, keyed state is one
     * SessionState per active user. The streaming twin of

@@ -53,6 +53,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("stream-stream join matches clicks to in-window purchases only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(1, ts(100), 1, "click", 0.0),
+      Event(2, ts(300), 2, "click", 0.0))
+    purchases.addData(
+      Event(10, ts(110), 1, "purchase", 5.0), // 10 min after click 1: joins
+      Event(11, ts(200), 1, "purchase", 7.0), // 100 min after: outside window
+      Event(12, ts(290), 2, "purchase", 9.0)) // before click 2: no join
+    val q = EventsStream.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_out")
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 10L)))
+  }
+
   test("streaming sessionize emits closed sessions with gap semantics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
