@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
-      new ExpressionInfo("graft", null, name, usage, "")
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
     ext.injectFunction((
       FunctionIdentifier("stem_dutch"),
       info("stem_dutch", "stem_dutch(str) - Snowball Dutch stem per token"),
