@@ -195,18 +195,25 @@ object Corpus {
       |ORDER BY tok.doc_id""".stripMargin
 
   /** Cross-document duplicated-span detection (the exact-substring
-    * dedup shape): non-overlapping 10-token chunks hashed and grouped;
-    * any chunk hash seen in more than one document is a duplicated span.
-    * One explode + one hash aggregation — no pairwise work.
+    * dedup shape): non-overlapping FULL 10-token chunks hashed and
+    * grouped; any chunk hash seen in more than one document is a
+    * duplicated span. Partial tail chunks are dropped — 1-2-token tails
+    * collide trivially and would swamp the signal. One explode + one
+    * hash aggregation — no pairwise work.
     */
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
     Tables.documents(s, dir)
       .select($"doc_id", TF.tokens($"text").as("toks"))
+      // Spark's sequence(0, -1) counts DOWN, so guard short docs by
+      // null-filtering instead of shrinking the sequence bound
       .select($"doc_id", explode(
-        transform(sequence(lit(0), expr("(size(toks) - 1) div 10")),
-          k => array_join(slice($"toks", k * 10 + 1, lit(10)), " "))).as("chunk"))
+        filter(
+          transform(sequence(lit(0), expr("(size(toks) - 1) div 10")),
+            k => when((k + 1) * 10 <= size($"toks"),
+              array_join(slice($"toks", k * 10 + 1, lit(10)), " "))),
+          c => c.isNotNull)).as("chunk"))
       .select($"doc_id", Dedup.hash60($"chunk").as("chunk_hash"))
       .groupBy($"chunk_hash")
       .agg(countDistinct($"doc_id").as("n_docs"),
@@ -221,9 +228,11 @@ object Corpus {
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
        |  FROM documents),
        |chunks AS (
+       |  -- DuckDB generate_series(0, -1) is empty, so the bound alone
+       |  -- drops sub-10-token docs (full chunks only, matching Spark)
        |  SELECT doc_id,
        |    unnest([array_to_string(toks[(k*10+1):(k*10+10)], ' ')
-       |            for k in generate_series(0, (len(toks)-1)//10)]) AS chunk
+       |            for k in generate_series(0, len(toks)//10 - 1)]) AS chunk
        |  FROM toks)
        |SELECT ${Dedup.hash60Sql("chunk")} AS chunk_hash,
        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
