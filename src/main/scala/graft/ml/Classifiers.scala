@@ -109,7 +109,7 @@ object Classifiers {
       .agg((sum($"label").cast("double") / count(lit(1))).as("p"))
     docs.where($"doc_id" % 2 === 1).crossJoin(broadcast(prev))
       .select($"doc_id", $"label",
-        (($"doc_id" * 2654435761L + 98765L) % 2147483648L % 1000L <
+        ((($"doc_id" % 2147483648L) * 2654435761L + 98765L) % 2147483648L % 1000L <
           floor($"p" * 1000)).cast("int").as("prediction"))
       .orderBy($"doc_id")
   }
@@ -122,7 +122,7 @@ object Classifiers {
       |  SELECT CAST(sum(label) AS DOUBLE) / count(*) AS p
       |  FROM docs WHERE doc_id % 2 = 0)
       |SELECT doc_id, label,
-      |  CASE WHEN (doc_id * 2654435761 + 98765) % 2147483648 % 1000
+      |  CASE WHEN ((doc_id % 2147483648) * 2654435761 + 98765) % 2147483648 % 1000
       |    < floor(p * 1000) THEN 1 ELSE 0 END AS prediction
       |FROM docs, prev WHERE doc_id % 2 = 1
       |ORDER BY doc_id""".stripMargin

@@ -31,7 +31,7 @@ object CrossVal {
     base.crossJoin(broadcast(rf))
       // high LCG bit — the low bit of x*odd+odd is pure parity and would
       // collapse the 5x2 grid to two distinct folds
-      .where((((($"doc_id" * 5 + $"r") * 1103515245L + 12345L) % 2147483648L)
+      .where((((((($"doc_id" % 2147483648L) * 5 + $"r") % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
         .divide(65536).cast("long") % 2) === $"f")
       .select($"r", $"f", $"doc_id", $"y",
         $"score".as("score_a"), $"score_b")
@@ -89,7 +89,7 @@ object CrossVal {
        |  SELECT r, f, doc_id, y, score_a, score_b
        |  FROM base, (SELECT unnest(generate_series(0, 4)) AS r) rr,
        |       (SELECT unnest(generate_series(0, 1)) AS f) ff
-       |  WHERE ((((doc_id * 5 + r) * 1103515245 + 12345) % 2147483648) // 65536) % 2 = f),
+       |  WHERE ((((((doc_id % 2147483648) * 5 + r) % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 2 = f),
        |long AS (
        |  SELECT r, f, 'a' AS scorer, doc_id, y, score_a AS score FROM grid
        |  UNION ALL
@@ -128,7 +128,7 @@ object CrossVal {
   def learningCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sc = Evaluation.scored(s, dir)
-      .withColumn("h", ($"doc_id" * 2654435761L + 54321L) % 2147483648L)
+      .withColumn("h", (($"doc_id" % 2147483648L) * 2654435761L + 54321L) % 2147483648L)
     val wRank = Window.orderBy($"h".asc, $"doc_id".asc)
     val ranked = sc.withColumn("srank", row_number().over(wRank).cast("long"))
       .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
@@ -156,7 +156,7 @@ object CrossVal {
        |        FROM documents) d),
        |ranked AS (
        |  SELECT *, CAST(row_number() OVER (ORDER BY
-       |      (doc_id * 2654435761 + 54321) % 2147483648 ASC, doc_id ASC) AS BIGINT)
+       |      ((doc_id % 2147483648) * 2654435761 + 54321) % 2147483648 ASC, doc_id ASC) AS BIGINT)
        |      AS srank,
        |    count(*) OVER () AS n_total
        |  FROM scored),

@@ -26,7 +26,7 @@ object MeanRoc {
     // of x*odd+odd is pure parity and would degenerate the folds)
     val folds = Evaluation.scored(s, dir)
       .crossJoin(broadcast(iters))
-      .where((((($"doc_id" * 10 + $"iter") * 1103515245L + 12345L) % 2147483648L)
+      .where((((((($"doc_id" % 2147483648L) * 10 + $"iter") % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
         .divide(65536).cast("long") % 2) === 1) // is_test
     val w = Window.partitionBy($"iter").orderBy($"score".desc, $"doc_id".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -69,7 +69,7 @@ object MeanRoc {
        |folds AS (
        |  SELECT iter, doc_id, y, score
        |  FROM scored, (SELECT unnest(generate_series(0, 9)) AS iter) i
-       |  WHERE ((((doc_id * 10 + iter) * 1103515245 + 12345) % 2147483648)
+       |  WHERE ((((((doc_id % 2147483648) * 10 + iter) % 2147483648) * 1103515245 + 12345) % 2147483648)
        |    // 65536) % 2 = 1),
        |rk AS (
        |  SELECT iter, y, score, doc_id,

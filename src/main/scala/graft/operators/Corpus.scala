@@ -51,6 +51,13 @@ object Corpus {
       round += 1
     }
     edges.unpersist(blocking = false)
+    // a silent early exit would return non-minimal labels that diverge
+    // from the fixpoint (and the oracle); fail loudly instead — a corpus
+    // with components deeper than this wants the large-star/small-star
+    // O(log n) contraction, not more rounds
+    require(converged,
+      s"dedupClusters did not converge within $round rounds — component " +
+        "diameter exceeds the bound; switch to star-contraction")
     labels.orderBy($"doc_id")
   }
 
@@ -107,16 +114,19 @@ object Corpus {
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rate = when($"lang" === "en", 10).otherwise(30)
+    // reduce doc_id mod 2^31 BEFORE the multiply: the raw product wraps
+    // Long past doc_id ~8.4e9 (and errors in the BIGINT oracle), which
+    // at the 100 TB envelope would silently keep every overflowed row
     Tables.documents(s, dir)
       .select($"doc_id", $"lang")
-      .where(((($"doc_id" * 1103515245L + 12345L) % 2147483648L)
+      .where((((($"doc_id" % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
         .divide(65536).cast("long") % 100) < rate)
       .orderBy($"doc_id")
   }
 
   val stratifiedSampleSql: String =
     """SELECT doc_id, lang FROM documents
-      |WHERE ((CAST(doc_id * 1103515245 + 12345 AS BIGINT) % 2147483648) // 65536)
+      |WHERE ((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536)
       |  % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
       |ORDER BY doc_id""".stripMargin
 
@@ -151,6 +161,9 @@ object Corpus {
       .groupBy($"doc_id").agg(
         sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
         max($"c").as("top_token_cnt"))
+    // left join: a sub-2-token doc has no bigrams, and those degenerate
+    // docs are exactly what a repetition gate must still see (null
+    // bigram ratio, not a silently dropped row)
     val bgStats = toks
       .select($"doc_id", explode(
         filter(
@@ -160,9 +173,10 @@ object Corpus {
       .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(
         sum($"c").as("n_bigrams"), max($"c").as("top_bigram_cnt"))
-    tokStats.join(bgStats, "doc_id")
+    tokStats.join(bgStats, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens", $"n_distinct",
         (lit(1.0) - $"n_distinct".cast("double") / $"n_tokens").as("dup_token_ratio"),
+        ($"top_token_cnt".cast("double") / $"n_tokens").as("top_token_ratio"),
         ($"top_bigram_cnt".cast("double") / $"n_bigrams").as("top_bigram_ratio"))
       .orderBy($"doc_id")
   }
@@ -190,8 +204,9 @@ object Corpus {
       |  GROUP BY doc_id)
       |SELECT tok.doc_id, n_tokens, n_distinct,
       |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_ratio,
+      |  CAST(top_token_cnt AS DOUBLE) / n_tokens AS top_token_ratio,
       |  CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_ratio
-      |FROM tok JOIN bg ON tok.doc_id = bg.doc_id
+      |FROM tok LEFT JOIN bg ON tok.doc_id = bg.doc_id
       |ORDER BY tok.doc_id""".stripMargin
 
   /** Cross-document duplicated-span detection (the exact-substring

@@ -258,7 +258,7 @@ object Evaluation {
       .select($"iter", $"doc_id",
         // high bit of the LCG state: the low bit of x*odd+odd is pure
         // parity (degenerate all-or-nothing folds), so shift 16 first
-        (((($"doc_id" * 10 + $"iter") * 1103515245L + 12345L) % 2147483648L)
+        (((((($"doc_id" % 2147483648L) * 10 + $"iter") % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
           .divide(65536).cast("long") % 2)
           .cast("int").as("is_test"))
       .orderBy($"iter", $"doc_id")
@@ -266,7 +266,7 @@ object Evaluation {
 
   val cvFoldsSql: String =
     """SELECT iter, doc_id,
-      |  CAST(((CAST((doc_id * 10 + iter) * 1103515245 + 12345 AS BIGINT)
+      |  CAST(((CAST((((doc_id % 2147483648) * 10 + iter) % 2147483648) * 1103515245 + 12345 AS BIGINT)
       |    % 2147483648) // 65536) % 2 AS INT) AS is_test
       |FROM documents, (SELECT unnest(generate_series(0, 9)) AS iter) i
       |ORDER BY iter, doc_id""".stripMargin
@@ -283,7 +283,7 @@ object Evaluation {
     val prevs = s.range(0, 3).select(
       when($"id" === 0, 25).when($"id" === 1, 50).otherwise(75).as("prev_pct"))
     val withH = docs.crossJoin(broadcast(prevs))
-      .withColumn("h", ($"doc_id" * 2654435761L + 12345L) % 2147483648L)
+      .withColumn("h", (($"doc_id" % 2147483648L) * 2654435761L + 12345L) % 2147483648L)
     val w = Window.partitionBy($"prev_pct").orderBy($"h".asc, $"doc_id".asc)
     val negRanked = withH.where($"y" === 0)
       .withColumn("nrk", row_number().over(w).cast("long"))
@@ -303,7 +303,7 @@ object Evaluation {
        |neg AS (
        |  SELECT prev_pct, doc_id, y,
        |    CAST(row_number() OVER (PARTITION BY prev_pct
-       |      ORDER BY (doc_id * 2654435761 + 12345) % 2147483648 ASC, doc_id ASC)
+       |      ORDER BY ((doc_id % 2147483648) * 2654435761 + 12345) % 2147483648 ASC, doc_id ASC)
        |      AS BIGINT) AS nrk
        |  FROM docs, prevs WHERE y = 0)
        |SELECT prev_pct, doc_id, y FROM docs, prevs WHERE y = 1
@@ -325,7 +325,7 @@ object Evaluation {
     import s.implicits._
     val docs = Features.labeled(s, dir).select($"doc_id", $"y")
     val w = Window.partitionBy($"y")
-      .orderBy((($"doc_id" * 2654435761L + 54321L) % 2147483648L).asc, $"doc_id".asc)
+      .orderBy(((($"doc_id" % 2147483648L) * 2654435761L + 54321L) % 2147483648L).asc, $"doc_id".asc)
     val ranked = docs.withColumn("rnk", row_number().over(w).cast("long"))
     val sizes = docs.groupBy($"y").agg(count(lit(1)).as("cnt"))
     val maxc = sizes.agg(max($"cnt").as("maxc"))
@@ -342,7 +342,7 @@ object Evaluation {
        |ranked AS (
        |  SELECT doc_id, y,
        |    CAST(row_number() OVER (PARTITION BY y
-       |      ORDER BY (doc_id * 2654435761 + 54321) % 2147483648 ASC, doc_id ASC)
+       |      ORDER BY ((doc_id % 2147483648) * 2654435761 + 54321) % 2147483648 ASC, doc_id ASC)
        |      AS BIGINT) AS rnk
        |  FROM docs),
        |sizes AS (SELECT y, count(*) AS cnt FROM docs GROUP BY y),
@@ -375,7 +375,7 @@ object Evaluation {
           size($"toks")).as("score"), $"pred")
     val prev = Tables.documents(s, dir).where($"doc_id" % 2 === 0)
       .agg((sum(($"lang" === "en").cast("int")).cast("double") / count(lit(1))).as("p"))
-    val u = ($"doc_id" * 2654435761L + 98765L) % 2147483648L % 1000L
+    val u = (($"doc_id" % 2147483648L) * 2654435761L + 98765L) % 2147483648L % 1000L
     val dm = test.crossJoin(broadcast(prev))
       .select(lit("dummy").as("model"), $"doc_id",
         ($"lang" === "en").cast("int").as("y"),
@@ -418,9 +418,9 @@ object Evaluation {
        |  FROM test
        |  UNION ALL
        |  SELECT 'dummy' AS model, doc_id, y,
-       |    CAST((doc_id * 2654435761 + 98765) % 2147483648 % 1000 AS DOUBLE)
+       |    CAST(((doc_id % 2147483648) * 2654435761 + 98765) % 2147483648 % 1000 AS DOUBLE)
        |      / 1000.0 AS score,
-       |    CASE WHEN (doc_id * 2654435761 + 98765) % 2147483648 % 1000
+       |    CASE WHEN ((doc_id % 2147483648) * 2654435761 + 98765) % 2147483648 % 1000
        |      < floor(p * 1000) THEN 1 ELSE 0 END AS pred
        |  FROM test, prev),
        |grouped AS (

@@ -38,7 +38,9 @@ object JsonlCorpus {
     * frame is cached first: Spark refuses scans whose only referenced
     * column is the corrupt-record column (the parser would have nothing
     * to fail on), and the cache also means the two branches share one
-    * parse of the input.
+    * parse of the input. The cache belongs to the caller — call
+    * `df.unpersist()` on the input once both branches are consumed, or
+    * sweeping many shards will pin one cached copy per call.
     */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
     val parsed = df.cache()
