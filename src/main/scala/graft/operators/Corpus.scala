@@ -288,7 +288,80 @@ object Corpus {
       |FROM per CROSS JOIN tot
       |ORDER BY source""".stripMargin
 
+  /** BM25 keyword retrieval — the corpus-engine search surface: top-10
+    * documents per query term (the word-match targets double as queries)
+    * under Okapi BM25 (k1=1.2, b=0.75). One inverted-index join: the
+    * tiny per-term df/idf side broadcasts, per-doc length joins
+    * broadcast too, and ranking is a per-term top-k window. Scores are
+    * rounded to 6 dp before ranking (ln and division match across
+    * engines; rounding removes last-ulp rank flips).
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{TextFunctions => TF}
+    val k1 = 1.2
+    val b = 0.75
+    val dt = Tables.documents(s, dir)
+      .select($"doc_id", explode(TF.tokens($"text")).as("token"))
+    val tf = dt.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dl = dt.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val terms = Evaluation.targets.map(t => s"'$t'")
+    val df = tf.where($"token".isin(Evaluation.targets: _*))
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select($"token", $"n_docs", $"avgdl",
+        log((lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5))).as("idf"))
+    val w = Window.partitionBy($"token").orderBy($"score".desc, $"doc_id".asc)
+    tf.where($"token".isin(Evaluation.targets: _*))
+      .join(broadcast(idf), "token")
+      .join(broadcast(dl), "doc_id")
+      .select($"token", $"doc_id",
+        // 2.2 as a literal, not k1+1: double(1.2)+1 can round differently
+        // than the decimal literal 2.2 the oracle parses
+        round($"idf" * ($"tf" * 2.2) /
+          ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 10)
+      .orderBy($"token", $"rank")
+  }
+
+  val bm25SearchSql: String = {
+    val terms = Evaluation.targets.map(t => s"'$t'").mkString("[", ", ", "]")
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+      |    t -> t <> '')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM dt GROUP BY doc_id),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |df AS (
+      |  SELECT token, count(*) AS df FROM tf
+      |  WHERE list_contains(TERMS, token) GROUP BY token),
+      |idf AS (
+      |  SELECT token, n_docs, avgdl,
+      |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+      |  FROM df CROSS JOIN stats),
+      |scored AS (
+      |  SELECT tf.token, tf.doc_id,
+      |    round(idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+      |      AS score
+      |  FROM tf
+      |  JOIN idf ON tf.token = idf.token
+      |  JOIN dl ON tf.doc_id = dl.doc_id)
+      |SELECT token, doc_id, score, rank FROM (
+      |  SELECT token, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY token
+      |      ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      |  FROM scored) z
+      |WHERE rank <= 10 ORDER BY token, rank""".stripMargin
+      .replace("TERMS", terms)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_bm25_search", bm25Search, Some(bm25SearchSql)),
     GraftQuery("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     GraftQuery("q_contamination_check", contamination, Some(contaminationSql)),
     GraftQuery("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

