@@ -97,6 +97,16 @@ object Classifiers {
       .orderBy($"doc_id")
   }
 
+  /** The dummy model's deterministic LCG draw in [0, 1000) — the single
+    * source for q_ml_dummy and q_model_compare, in both engines (a
+    * drifting copy would make the two queries silently disagree).
+    */
+  def dummyU(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((c % 2147483648L) * 2654435761L + 98765L) % 2147483648L % 1000L
+
+  def dummyUSql(x: String): String =
+    s"(($x % 2147483648) * 2654435761 + 98765) % 2147483648 % 1000"
+
   /** Stratified dummy baseline (reference: DummyClassifier
     * strategy='stratified') made deterministic: an LCG draw against the
     * train-half prevalence — and therefore SQL-expressible.
@@ -109,23 +119,22 @@ object Classifiers {
       .agg((sum($"label").cast("double") / count(lit(1))).as("p"))
     docs.where($"doc_id" % 2 === 1).crossJoin(broadcast(prev))
       .select($"doc_id", $"label",
-        ((($"doc_id" % 2147483648L) * 2654435761L + 98765L) % 2147483648L % 1000L <
-          floor($"p" * 1000)).cast("int").as("prediction"))
+        (dummyU($"doc_id") < floor($"p" * 1000)).cast("int").as("prediction"))
       .orderBy($"doc_id")
   }
 
   val dummySql: String =
-    """WITH docs AS (
-      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
-      |  FROM documents),
-      |prev AS (
-      |  SELECT CAST(sum(label) AS DOUBLE) / count(*) AS p
-      |  FROM docs WHERE doc_id % 2 = 0)
-      |SELECT doc_id, label,
-      |  CASE WHEN ((doc_id % 2147483648) * 2654435761 + 98765) % 2147483648 % 1000
-      |    < floor(p * 1000) THEN 1 ELSE 0 END AS prediction
-      |FROM docs, prev WHERE doc_id % 2 = 1
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+       |  FROM documents),
+       |prev AS (
+       |  SELECT CAST(sum(label) AS DOUBLE) / count(*) AS p
+       |  FROM docs WHERE doc_id % 2 = 0)
+       |SELECT doc_id, label,
+       |  CASE WHEN ${dummyUSql("doc_id")}
+       |    < floor(p * 1000) THEN 1 ELSE 0 END AS prediction
+       |FROM docs, prev WHERE doc_id % 2 = 1
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Seq[GraftQuery] =
     estimators.map { case (name, _) =>

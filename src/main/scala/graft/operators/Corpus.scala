@@ -305,19 +305,21 @@ object Corpus {
     val dt = Tables.documents(s, dir)
       .select($"doc_id", explode(TF.tokens($"text")).as("token"))
     val tf = dt.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val dl = dt.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg($"dl").as("avgdl"))
-    val terms = Evaluation.targets.map(t => s"'$t'")
+    // doc length as a window over the tf rows: per-doc state never
+    // leaves its partition (a broadcast of per-doc lengths would grow
+    // with the corpus and blow the broadcast limit at scale)
+    val tfdl = tf.withColumn("dl",
+      sum($"tf").over(Window.partitionBy($"doc_id")))
+    val stats = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
     val df = tf.where($"token".isin(Evaluation.targets: _*))
       .groupBy($"token").agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(stats))
       .select($"token", $"n_docs", $"avgdl",
         log((lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5))).as("idf"))
     val w = Window.partitionBy($"token").orderBy($"score".desc, $"doc_id".asc)
-    tf.where($"token".isin(Evaluation.targets: _*))
+    tfdl.where($"token".isin(Evaluation.targets: _*))
       .join(broadcast(idf), "token")
-      .join(broadcast(dl), "doc_id")
       .select($"token", $"doc_id",
         // 2.2 as a literal, not k1+1: double(1.2)+1 can round differently
         // than the decimal literal 2.2 the oracle parses

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,18 @@ object Evaluation {
        |  CASE WHEN regexp_matches(text, '$targetsRe') THEN 1 ELSE 0 END AS pred
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  private val targetList = targets.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  /** Target-token density on a tokens column — the single source for
+    * scored and modelCompare (both engines).
+    */
+  def densityScore(toks: Column): Column =
+    size(filter(toks, t => t.isin(targets: _*))).cast("double") / size(toks)
+
+  def densityScoreSql(toksExpr: String): String =
+    s"CAST(len(list_filter($toksExpr, t -> list_contains($targetList, t))) AS DOUBLE)" +
+      s"\n      / len($toksExpr)"
+
   /** Deterministic pseudo-probability score: target-token density. The
     * continuous-score twin of wordMatch used to drive threshold sweeps.
     */
@@ -52,19 +64,14 @@ object Evaluation {
     Tables.documents(s, dir)
       .select($"doc_id", ($"lang" === "en").cast("int").as("y"),
         TF.tokens($"text").as("toks"))
-      .select($"doc_id", $"y",
-        (size(filter($"toks", t => t.isin(targets: _*))).cast("double") /
-          size($"toks")).as("score"))
+      .select($"doc_id", $"y", densityScore($"toks").as("score"))
   }
-
-  private val targetList = targets.map(t => s"'$t'").mkString("[", ", ", "]")
 
   /** Just the scored-docs CTE body, reusable by other oracle builders. */
   val scoredCteSql: String =
     s"""scored AS (
        |  SELECT doc_id, ${Features.labelSqlExpr} AS y,
-       |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
-       |      / len(toks) AS score
+       |    ${densityScoreSql("toks")} AS score
        |  FROM (SELECT doc_id, lang,
        |          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
        |        FROM documents) d)""".stripMargin
@@ -371,11 +378,10 @@ object Evaluation {
       TF.tokens($"text").as("toks"),
       regexp_like($"text", lit(targetsRe)).cast("int").as("pred"))
       .select($"model", $"doc_id", $"y",
-        (size(filter($"toks", t => t.isin(targets: _*))).cast("double") /
-          size($"toks")).as("score"), $"pred")
+        densityScore($"toks").as("score"), $"pred")
     val prev = Tables.documents(s, dir).where($"doc_id" % 2 === 0)
       .agg((sum(($"lang" === "en").cast("int")).cast("double") / count(lit(1))).as("p"))
-    val u = (($"doc_id" % 2147483648L) * 2654435761L + 98765L) % 2147483648L % 1000L
+    val u = graft.ml.Classifiers.dummyU($"doc_id")
     val dm = test.crossJoin(broadcast(prev))
       .select(lit("dummy").as("model"), $"doc_id",
         ($"lang" === "en").cast("int").as("y"),
@@ -412,15 +418,14 @@ object Evaluation {
        |  FROM documents WHERE doc_id % 2 = 0),
        |long AS (
        |  SELECT 'word_match' AS model, doc_id, y,
-       |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
-       |      / len(toks) AS score,
+       |    ${densityScoreSql("toks")} AS score,
        |    CASE WHEN regexp_matches(text, '$targetsRe') THEN 1 ELSE 0 END AS pred
        |  FROM test
        |  UNION ALL
        |  SELECT 'dummy' AS model, doc_id, y,
-       |    CAST(((doc_id % 2147483648) * 2654435761 + 98765) % 2147483648 % 1000 AS DOUBLE)
+       |    CAST(${graft.ml.Classifiers.dummyUSql("doc_id")} AS DOUBLE)
        |      / 1000.0 AS score,
-       |    CASE WHEN ((doc_id % 2147483648) * 2654435761 + 98765) % 2147483648 % 1000
+       |    CASE WHEN ${graft.ml.Classifiers.dummyUSql("doc_id")}
        |      < floor(p * 1000) THEN 1 ELSE 0 END AS pred
        |  FROM test, prev),
        |grouped AS (

@@ -89,12 +89,16 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("repetition signals stay in range and bound each other") {
     import spark.implicits._
+    // top_bigram_ratio is NULL by contract for sub-2-token docs (left
+    // join), so decode it as an Option
     Corpus.repetitionFilter(spark, dir)
-      .select($"n_tokens", $"n_distinct", $"dup_token_ratio", $"top_bigram_ratio")
-      .as[(Long, Long, Double, Double)].collect().foreach {
-        case (n, d, dup, topBg) =>
+      .select($"n_tokens", $"n_distinct", $"dup_token_ratio",
+        $"top_token_ratio", $"top_bigram_ratio")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().foreach {
+        case (n, d, dup, topTok, topBg) =>
           assert(d <= n && dup >= 0.0 && dup < 1.0)
-          assert(topBg > 0.0 && topBg <= 1.0)
+          assert(topTok > 0.0 && topTok <= 1.0)
+          topBg.foreach(r => assert(r > 0.0 && r <= 1.0))
       }
   }
 

@@ -33,10 +33,20 @@ for t in ("region nation customer supplier part orders lineitem "
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 bad = 0
+dump_dirs = {os.path.basename(d) for d in glob.glob(f"{outdir}/q*")}
+# a query that crashed in Verify leaves no dump at all — that's a FAIL,
+# not a silent skip (the real driver would fail it)
+for name in sorted(oracle.keys() - dump_dirs):
+    print(f"FAIL {name}: oracle declared but no Verify dump (query crashed?)")
+    bad += 1
 for d in sorted(glob.glob(f"{outdir}/q*")):
     name = os.path.basename(d)
-    sdf = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")],
-                    ignore_index=True)
+    parts = glob.glob(f"{d}/*.parquet")
+    if not parts:
+        print(f"FAIL {name}: dump dir has no parquet parts")
+        bad += 1
+        continue
+    sdf = pd.concat([pd.read_parquet(f) for f in parts], ignore_index=True)
     cols = sorted(sdf.columns)
     try:
         sdf2 = sdf[cols].sort_values(cols).reset_index(drop=True)
