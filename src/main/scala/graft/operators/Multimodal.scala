@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2.F): treat media as opaque
@@ -66,6 +66,42 @@ object Multimodal {
        |  source AS meta_origin,
        |  $fs
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** One decoded media record — the schema contract a real batch decoder
+    * fills (features would be the embedder's output dimension).
+    */
+  case class Decoded(doc_id: Long, mime: String, n_bytes: Int,
+      features: Array[Double])
+
+  /** The batch-decode boundary itself: payloads cross into an opaque
+    * per-partition decoder through `mapPartitions`, the same shape a
+    * Pandas-UDF `mapInPandas` / `mapInArrow` decode has on a Python
+    * cluster — rows arrive as an iterator per partition, the codec is
+    * initialized ONCE per partition (the expensive part a per-row UDF
+    * would pay per record), and batches stream through without
+    * materializing the partition. The codec here is the deterministic
+    * md5 stub (no image/audio libs in this container); swap
+    * `decodeOne` for a real decoder and nothing else changes.
+    */
+  def decodeFeatures(s: SparkSession, dir: String): Dataset[Decoded] = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { rows =>
+      // per-partition codec init happens here (stub: an MD5 instance)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (id, bytes) =>
+        md.reset()
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        Decoded(id, "text/plain", bytes.length,
+          Array.tabulate(4) { k =>
+            java.lang.Long.parseLong(hex.substring(k * 8, k * 8 + 7), 16) /
+              268435456.0
+          })
+      }
+    }
   }
 
   val queries: Seq[GraftQuery] = Seq(
