@@ -17,5 +17,6 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config(Tables.NanosFlag, "true")
 }
