@@ -65,11 +65,18 @@ object CrossVal {
       max(when($"f" === 0, $"d")).as("d0"),
       max(when($"f" === 1, $"d")).as("d1"))
       .select($"r", $"d0",
-        (pow($"d0" - ($"d0" + $"d1") / 2, 2) +
-          pow($"d1" - ($"d0" + $"d1") / 2, 2)).as("s2"))
+        // square by multiplication: JVM Math.pow and libm pow can differ
+        // in the last ulp, x*x is IEEE-exact in both engines
+        ((($"d0" - ($"d0" + $"d1") / 2) * ($"d0" - ($"d0" + $"d1") / 2)) +
+          (($"d1" - ($"d0" + $"d1") / 2) * ($"d1" - ($"d0" + $"d1") / 2))).as("s2"))
+    // fold the 5 per-round variances in fixed r order (MeanRoc pattern):
+    // a plain double sum is accumulation-order-dependent, and casting
+    // doubles to DECIMAL rounds differently across engines
     perRound.agg(
         max(when($"r" === 0, $"d0")).as("d00"),
-        sum($"s2").as("s_sqr"))
+        aggregate(
+          transform(sort_array(collect_list(struct($"r", $"s2"))), x => x("s2")),
+          lit(0.0), (acc, x) => acc + x).as("s_sqr"))
       .select($"d00", $"s_sqr",
         ($"d00" / sqrt($"s_sqr" / 5)).as("t_stat"))
   }
@@ -114,11 +121,15 @@ object CrossVal {
        |  FROM diffs GROUP BY r),
        |s2 AS (
        |  SELECT r, d0,
-       |    pow(d0 - (d0 + d1) / 2, 2) + pow(d1 - (d0 + d1) / 2, 2) AS s2
+       |    (d0 - (d0 + d1) / 2) * (d0 - (d0 + d1) / 2)
+       |      + (d1 - (d0 + d1) / 2) * (d1 - (d0 + d1) / 2) AS s2
        |  FROM rounds)
        |SELECT max(CASE WHEN r = 0 THEN d0 END) AS d00,
-       |  sum(s2) AS s_sqr,
-       |  max(CASE WHEN r = 0 THEN d0 END) / sqrt(sum(s2) / 5) AS t_stat
+       |  list_reduce(list_prepend(0.0, list(s2 ORDER BY r)), (x, y) -> x + y)
+       |    AS s_sqr,
+       |  max(CASE WHEN r = 0 THEN d0 END)
+       |    / sqrt(list_reduce(list_prepend(0.0, list(s2 ORDER BY r)),
+       |        (x, y) -> x + y) / 5) AS t_stat
        |FROM s2""".stripMargin
   }
 

@@ -100,12 +100,15 @@ object Features {
       .orderBy($"token")
   }
 
-  /** chi2 = Σ_c (obs_c − exp_c)²/exp_c with exp_c = total_tf · n_c/n. */
+  /** chi2 = Σ_c (obs_c − exp_c)²/exp_c with exp_c = total_tf · n_c/n.
+    * Squares by multiplication — JVM Math.pow and libm pow may differ in
+    * the last ulp; x*x is IEEE-exact in both engines.
+    */
   private def chi2Col(totalTf: Column, obs1: Column, n: Column, n1: Column): Column = {
     val exp1 = totalTf * (n1.cast("double") / n.cast("double"))
     val exp0 = totalTf * ((n - n1).cast("double") / n.cast("double"))
     val obs0 = totalTf - obs1
-    pow(obs1 - exp1, 2) / exp1 + pow(obs0 - exp0, 2) / exp0
+    (obs1 - exp1) * (obs1 - exp1) / exp1 + (obs0 - exp0) * (obs0 - exp0) / exp0
   }
 
   val chi2FeaturesSql: String =
@@ -118,9 +121,11 @@ object Features {
        |tot AS (SELECT count(*) AS n, sum($labelSqlExpr) AS n1 FROM documents)
        |SELECT token,
        |  round(
-       |    pow(obs1 - total_tf * (CAST(n1 AS DOUBLE) / n), 2)
+       |    (obs1 - total_tf * (CAST(n1 AS DOUBLE) / n))
+       |      * (obs1 - total_tf * (CAST(n1 AS DOUBLE) / n))
        |      / (total_tf * (CAST(n1 AS DOUBLE) / n))
-       |    + pow((total_tf - obs1) - total_tf * (CAST(n - n1 AS DOUBLE) / n), 2)
+       |    + ((total_tf - obs1) - total_tf * (CAST(n - n1 AS DOUBLE) / n))
+       |      * ((total_tf - obs1) - total_tf * (CAST(n - n1 AS DOUBLE) / n))
        |      / (total_tf * (CAST(n - n1 AS DOUBLE) / n)), 6) AS chi2
        |FROM per_tok CROSS JOIN tot
        |ORDER BY token""".stripMargin
