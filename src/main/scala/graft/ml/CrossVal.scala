@@ -133,10 +133,10 @@ object CrossVal {
        |FROM s2""".stripMargin
   }
 
-  /** Sample-size AUC curve: AUC of the target-density scorer on nested
-    * LCG-ordered subsets (20..100%) — the set-based learning-curve shape.
+  /** Nested LCG-ordered subsets at 20..100% — the shared sample-size
+    * frame for the ROC and PR learning curves.
     */
-  def learningCurve(s: SparkSession, dir: String): DataFrame = {
+  private def nestedSubsets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sc = Evaluation.scored(s, dir)
       .withColumn("h", (($"doc_id" % 2147483648L) * 2654435761L + 54321L) % 2147483648L)
@@ -144,8 +144,16 @@ object CrossVal {
     val ranked = sc.withColumn("srank", row_number().over(wRank).cast("long"))
       .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
     val fracs = s.range(1, 6).select(($"id" * 20).cast("int").as("frac_pct"))
-    val sub = ranked.crossJoin(broadcast(fracs))
+    ranked.crossJoin(broadcast(fracs))
       .where($"srank" * 100 <= $"frac_pct" * $"n_total")
+  }
+
+  /** Sample-size AUC curve: AUC of the target-density scorer on nested
+    * LCG-ordered subsets (20..100%) — the set-based learning-curve shape.
+    */
+  def learningCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = nestedSubsets(s, dir)
     val w = Window.partitionBy($"frac_pct")
       .orderBy($"score".desc, $"doc_id".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -153,6 +161,30 @@ object CrossVal {
       .groupBy($"frac_pct")
       .agg((sum($"cum_tp" * (lit(1) - $"y")).cast("double") /
         (sum($"y") * sum(lit(1) - $"y"))).as("auc"))
+      .orderBy($"frac_pct")
+  }
+
+  /** Sample-size average-precision curve (reference: sampleSizePR,
+    * src/NLP_functions.py:794 / samplingCurvePR) — the PR twin of
+    * learningCurve on the same nested subsets. Precision terms fold in
+    * fixed rank order for bit-determinism (test-set-sized groups).
+    */
+  def learningCurvePr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = nestedSubsets(s, dir)
+    val wCum = Window.partitionBy($"frac_pct")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRk = Window.partitionBy($"frac_pct").orderBy($"score".desc, $"doc_id".asc)
+    sub.withColumn("rk", row_number().over(wRk).cast("long"))
+      .withColumn("cum_tp", sum($"y").over(wCum))
+      .groupBy($"frac_pct")
+      .agg(round(aggregate(
+          transform(
+            sort_array(collect_list(when($"y" === 1,
+              struct($"rk", ($"cum_tp".cast("double") / $"rk").as("term"))))),
+            x => x("term")),
+          lit(0.0), (acc, x) => acc + x) / sum($"y"), 6).as("avg_precision"))
       .orderBy($"frac_pct")
   }
 
@@ -185,7 +217,42 @@ object CrossVal {
        |FROM cum GROUP BY frac_pct ORDER BY frac_pct""".stripMargin
   }
 
+  val learningCurvePrSql: String = {
+    val targetList = Evaluation.targets.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT doc_id, ${graft.operators.Features.labelSqlExpr} AS y,
+       |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
+       |      / len(toks) AS score
+       |  FROM (SELECT doc_id, lang,
+       |          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |        FROM documents) d),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY
+       |      ((doc_id % 2147483648) * 2654435761 + 54321) % 2147483648 ASC, doc_id ASC) AS BIGINT)
+       |      AS srank,
+       |    count(*) OVER () AS n_total
+       |  FROM scored),
+       |sub AS (
+       |  SELECT frac_pct, doc_id, y, score FROM ranked,
+       |    (SELECT unnest([20, 40, 60, 80, 100]) AS frac_pct) fr
+       |  WHERE srank * 100 <= frac_pct * n_total),
+       |cum AS (
+       |  SELECT frac_pct, y,
+       |    CAST(row_number() OVER w AS BIGINT) AS rk,
+       |    sum(y) OVER (PARTITION BY frac_pct ORDER BY score DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp
+       |  FROM sub
+       |  WINDOW w AS (PARTITION BY frac_pct ORDER BY score DESC, doc_id ASC))
+       |SELECT frac_pct,
+       |  round(list_reduce(list_prepend(0.0,
+       |      list(CAST(cum_tp AS DOUBLE) / rk ORDER BY rk) FILTER (WHERE y = 1)),
+       |      (x, y) -> x + y)
+       |    / sum(y), 6) AS avg_precision
+       |FROM cum GROUP BY frac_pct ORDER BY frac_pct""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_ttest_5x2", ttest5x2, Some(ttest5x2Sql)),
-    GraftQuery("q_learning_curve", learningCurve, Some(learningCurveSql)))
+    GraftQuery("q_learning_curve", learningCurve, Some(learningCurveSql)),
+    GraftQuery("q_learning_curve_pr", learningCurvePr, Some(learningCurvePrSql)))
 }
