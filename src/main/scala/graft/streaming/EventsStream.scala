@@ -47,6 +47,20 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-dup dedup: watermarked dropDuplicates on a
+    * bag-of-words fingerprint (md5 of the sorted distinct token set) —
+    * the streaming twin of the batch dedup family for token-permutation
+    * duplicates. State holds one fingerprint per surviving doc inside
+    * the watermark horizon; at 100 TB/day the horizon bounds it to a
+    * day's fingerprints, not the corpus.
+    */
+  def nearDedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "2 hours")
+      .withColumn("bag_md5", md5(array_join(array_sort(array_distinct(
+        split(col("text"), "\\s+"))), " ").cast("binary")))
+      .dropDuplicatesWithinWatermark("bag_md5")
+
   /** Stream-stream attribution join — the streaming twin of the batch
     * as-of join (Temporal.asofJoin): each click joined to purchases by
     * the same user within 30 minutes after it. Both sides carry

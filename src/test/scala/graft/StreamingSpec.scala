@@ -53,6 +53,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("streaming near-dup dedup drops token-permutation duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(
+      (1L, ts(10), "spark joins data fast"),
+      (2L, ts(11), "data fast spark joins"), // permutation of doc 1
+      (3L, ts(12), "entirely different text"))
+    val q = EventsStream.nearDedupStream(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("neardup_out").count() == 2)
+  }
+
   test("stream-stream join matches clicks to in-window purchases only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
