@@ -17,6 +17,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // pid-scoped so concurrent runs on one host can't clobber each
+      // other's managed tables
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config(Tables.NanosFlag, "true")
 }

@@ -69,14 +69,12 @@ object CrossVal {
         // in the last ulp, x*x is IEEE-exact in both engines
         ((($"d0" - ($"d0" + $"d1") / 2) * ($"d0" - ($"d0" + $"d1") / 2)) +
           (($"d1" - ($"d0" + $"d1") / 2) * ($"d1" - ($"d0" + $"d1") / 2))).as("s2"))
-    // fold the 5 per-round variances in fixed r order (MeanRoc pattern):
-    // a plain double sum is accumulation-order-dependent, and casting
+    // fold the 5 per-round variances in fixed r order (FloatFold): a
+    // plain double sum is accumulation-order-dependent, and casting
     // doubles to DECIMAL rounds differently across engines
     perRound.agg(
         max(when($"r" === 0, $"d0")).as("d00"),
-        aggregate(
-          transform(sort_array(collect_list(struct($"r", $"s2"))), x => x("s2")),
-          lit(0.0), (acc, x) => acc + x).as("s_sqr"))
+        graft.functions.FloatFold.orderedSum($"r", $"s2").as("s_sqr"))
       .select($"d00", $"s_sqr",
         ($"d00" / sqrt($"s_sqr" / 5)).as("t_stat"))
   }
@@ -125,11 +123,9 @@ object CrossVal {
        |      + (d1 - (d0 + d1) / 2) * (d1 - (d0 + d1) / 2) AS s2
        |  FROM rounds)
        |SELECT max(CASE WHEN r = 0 THEN d0 END) AS d00,
-       |  list_reduce(list_prepend(0.0, list(s2 ORDER BY r)), (x, y) -> x + y)
-       |    AS s_sqr,
+       |  ${graft.functions.FloatFold.orderedSumSql("s2", "r")} AS s_sqr,
        |  max(CASE WHEN r = 0 THEN d0 END)
-       |    / sqrt(list_reduce(list_prepend(0.0, list(s2 ORDER BY r)),
-       |        (x, y) -> x + y) / 5) AS t_stat
+       |    / sqrt(${graft.functions.FloatFold.orderedSumSql("s2", "r")} / 5) AS t_stat
        |FROM s2""".stripMargin
   }
 
@@ -179,12 +175,12 @@ object CrossVal {
     sub.withColumn("rk", row_number().over(wRk).cast("long"))
       .withColumn("cum_tp", sum($"y").over(wCum))
       .groupBy($"frac_pct")
-      .agg(round(aggregate(
-          transform(
-            sort_array(collect_list(when($"y" === 1,
-              struct($"rk", ($"cum_tp".cast("double") / $"rk").as("term"))))),
-            x => x("term")),
-          lit(0.0), (acc, x) => acc + x) / sum($"y"), 6).as("avg_precision"))
+      // null (not NaN) when a subset has no positives — the oracle's
+      // empty FILTERed list is NULL, and NULL/0 stays NULL
+      .agg(round(when(sum($"y") > 0,
+          graft.functions.FloatFold.orderedSum($"rk",
+            $"cum_tp".cast("double") / $"rk", $"y" === 1) / sum($"y")),
+          6).as("avg_precision"))
       .orderBy($"frac_pct")
   }
 
@@ -244,9 +240,8 @@ object CrossVal {
        |  FROM sub
        |  WINDOW w AS (PARTITION BY frac_pct ORDER BY score DESC, doc_id ASC))
        |SELECT frac_pct,
-       |  round(list_reduce(list_prepend(0.0,
-       |      list(CAST(cum_tp AS DOUBLE) / rk ORDER BY rk) FILTER (WHERE y = 1)),
-       |      (x, y) -> x + y)
+       |  round(${graft.functions.FloatFold.orderedSumSql(
+                  "CAST(cum_tp AS DOUBLE) / rk", "rk", Some("y = 1"))}
        |    / sum(y), 6) AS avg_precision
        |FROM cum GROUP BY frac_pct ORDER BY frac_pct""".stripMargin
   }

@@ -111,14 +111,12 @@ object Extras {
         sum($"y" * (lit(1) - $"pred")).as("fn"),
         (sum($"cum_tp" * (lit(1) - $"y")).cast("double") /
           (first($"p") * first($"n"))).as("auc_roc"),
-        // precision terms folded in fixed rk order (MeanRoc pattern): a
-        // double sum is accumulation-order-dependent across partitions
-        round(aggregate(
-            transform(
-              sort_array(collect_list(when($"y" === 1,
-                struct($"rk", ($"cum_tp".cast("double") / $"rk").as("term"))))),
-              x => x("term")),
-            lit(0.0), (acc, x) => acc + x) / first($"p"), 6).as("avg_precision"))
+        // precision terms folded in fixed rk order (FloatFold); null when
+        // there are no positives, matching the oracle's NULL list
+        round(when(sum($"y") > 0,
+            graft.functions.FloatFold.orderedSum($"rk",
+              $"cum_tp".cast("double") / $"rk", $"y" === 1) / first($"p")),
+          6).as("avg_precision"))
       .select(lit(th).as("threshold"),
         ($"tp".cast("double") / ($"tp" + $"fn")).as("sensitivity"),
         ($"tn".cast("double") / ($"tn" + $"fp")).as("specificity"),
@@ -140,9 +138,8 @@ object Extras {
        |    sum((1 - y) * (1 - pred)) AS tn, sum(y * (1 - pred)) AS fn,
        |    CAST(sum(cum_tp * (1 - y)) AS DOUBLE)
        |      / (any_value(p) * any_value(n)) AS auc_roc,
-       |    round(list_reduce(list_prepend(0.0,
-       |        list(CAST(cum_tp AS DOUBLE) / rk ORDER BY rk) FILTER (WHERE y = 1)),
-       |        (x, y) -> x + y)
+       |    round(${graft.functions.FloatFold.orderedSumSql(
+                    "CAST(cum_tp AS DOUBLE) / rk", "rk", Some("y = 1"))}
        |      / any_value(p), 6) AS avg_precision
        |  FROM m)
        |SELECT CAST(0.04 AS DOUBLE) AS threshold,

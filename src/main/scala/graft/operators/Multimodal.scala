@@ -84,6 +84,21 @@ object Multimodal {
     * md5 stub (no image/audio libs in this container); swap
     * `decodeOne` for a real decoder and nothing else changes.
     */
+  /** The per-record stub codec — THE extension point: replace this with
+    * a real decoder/embedder and the surrounding plumbing is unchanged.
+    * `codec` is whatever the per-partition init produced.
+    */
+  private def decodeOne(codec: java.security.MessageDigest,
+      id: Long, bytes: Array[Byte]): Decoded = {
+    codec.reset()
+    val hex = codec.digest(bytes).map("%02x".format(_)).mkString
+    Decoded(id, "text/plain", bytes.length,
+      Array.tabulate(4) { k =>
+        java.lang.Long.parseLong(hex.substring(k * 8, k * 8 + 7), 16) /
+          268435456.0
+      })
+  }
+
   def decodeFeatures(s: SparkSession, dir: String): Dataset[Decoded] = {
     import s.implicits._
     val payloads = Tables.documents(s, dir)
@@ -91,16 +106,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     payloads.mapPartitions { rows =>
       // per-partition codec init happens here (stub: an MD5 instance)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map { case (id, bytes) =>
-        md.reset()
-        val hex = md.digest(bytes).map("%02x".format(_)).mkString
-        Decoded(id, "text/plain", bytes.length,
-          Array.tabulate(4) { k =>
-            java.lang.Long.parseLong(hex.substring(k * 8, k * 8 + 7), 16) /
-              268435456.0
-          })
-      }
+      val codec = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (id, bytes) => decodeOne(codec, id, bytes) }
     }
   }
 

@@ -57,8 +57,10 @@ object EventsStream {
   def nearDedupStream(docs: DataFrame): DataFrame =
     docs
       .withWatermark("ts", "2 hours")
+      // TF.tokens, not a raw split: the batch dedup family filters empty
+      // tokens, and the streaming twin must fingerprint identically
       .withColumn("bag_md5", md5(array_join(array_sort(array_distinct(
-        split(col("text"), "\\s+"))), " ").cast("binary")))
+        graft.functions.TextFunctions.tokens(col("text")))), " ").cast("binary")))
       .dropDuplicatesWithinWatermark("bag_md5")
 
   /** Stream-stream attribution join — the streaming twin of the batch
