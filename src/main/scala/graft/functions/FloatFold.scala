@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * `list_reduce(list_prepend(0.0, list(term ORDER BY key)), (x,y)->x+y)`.
   *
   * Scale contract: the fold materializes its group's terms in one task,
-  * so it is for TEST-SET-SIZED inputs (evaluation metrics over a
-  * labeled eval set) — corpus-scale operators never use this path.
+  * so it is for BOUNDED-CARDINALITY inputs only — test-set-sized eval
+  * frames, or per-distinct-threshold tallies after a `groupBy(score)`
+  * collapse (the evaluation sweep's shape: thresholds, not rows).
+  * Corpus-scale operators never fold per-row terms through this path.
   */
 object FloatFold {
 
@@ -28,10 +30,18 @@ object FloatFold {
         x => x("v")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Fold that mirrors the oracle's NULL-on-empty-kept-set edge: when
+    * `keep` excludes every row, the DuckDB twin's `list(...) FILTER` is
+    * NULL and the whole fold is NULL — this variant returns null in that
+    * case instead of orderedSum's 0.0 seed.
+    */
+  def orderedSumOrNull(key: Column, term: Column, keep: Column): Column =
+    when(count(when(keep, lit(1))) > 0, orderedSum(key, term, keep))
+
   /** DuckDB twin. Pass `filter` to mirror a `keep` predicate. Empty
     * input folds to 0.0 via the prepended seed — EXCEPT when a filter
     * excludes every row, where `list(...)` is NULL and the whole fold is
-    * NULL; Spark callers must mirror that edge (see nullIfNoRows).
+    * NULL; Spark callers mirror that edge with [[orderedSumOrNull]].
     */
   def orderedSumSql(termExpr: String, keyExpr: String,
       filter: Option[String] = None): String = {

@@ -37,7 +37,11 @@ object CrossVal {
         $"score".as("score_a"), $"score_b")
   }
 
-  /** Per-(r, f, scorer) trapezoid AUC via Σ_neg cum_tp / (P·N). */
+  /** Per-(r, f, scorer) tie-aware trapezoid AUC: collapse each fold to
+    * per-threshold tallies first (one hash agg over the corpus-sized
+    * frame), then Σ (c−cp)·(2·cum_tp−cp) / (2·P·N) over the tiny
+    * per-threshold frames — same shape as [[Evaluation.ranked]].
+    */
   private def foldAucs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val g = grid(s, dir)
@@ -45,13 +49,15 @@ object CrossVal {
         $"score_a".as("score"))
       .unionByName(g.select($"r", $"f", lit("b").as("scorer"), $"doc_id", $"y",
         $"score_b".as("score")))
+    val grouped = long.groupBy($"r", $"f", $"scorer", $"score")
+      .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
     val w = Window.partitionBy($"r", $"f", $"scorer")
-      .orderBy($"score".desc, $"doc_id".asc)
+      .orderBy($"score".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    long.withColumn("cum_tp", sum($"y").over(w))
+    grouped.withColumn("cum_tp", sum($"cp").over(w))
       .groupBy($"r", $"f", $"scorer")
-      .agg((sum($"cum_tp" * (lit(1) - $"y")).cast("double") /
-        (sum($"y") * sum(lit(1) - $"y"))).as("auc"))
+      .agg((sum(($"c" - $"cp") * (lit(2) * $"cum_tp" - $"cp")).cast("double") /
+        (lit(2) * sum($"cp") * sum($"c" - $"cp"))).as("auc"))
   }
 
   /** 5×2cv paired t statistic between scorers A and B. */
@@ -79,10 +85,14 @@ object CrossVal {
         ($"d00" / sqrt($"s_sqr" / 5)).as("t_stat"))
   }
 
-  val ttest5x2Sql: String = {
+  /** Shared oracle CTE prefix: the 5×2 grid's per-(r, f, scorer)
+    * tie-aware AUCs (`aucs`), used by both the t-test and the
+    * median-model oracles.
+    */
+  private val foldAucsCteSql: String = {
     val targetList = Evaluation.targets.map(t => s"'$t'").mkString("[", ", ", "]")
     val targetsRe = Evaluation.targetsRe
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, ${graft.operators.Features.labelSqlExpr} AS y,
        |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
        |      / len(toks) AS score_a,
@@ -99,15 +109,23 @@ object CrossVal {
        |  SELECT r, f, 'a' AS scorer, doc_id, y, score_a AS score FROM grid
        |  UNION ALL
        |  SELECT r, f, 'b' AS scorer, doc_id, y, score_b AS score FROM grid),
+       |grouped AS (
+       |  SELECT r, f, scorer, score, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
+       |  FROM long GROUP BY r, f, scorer, score),
        |ranked AS (
-       |  SELECT r, f, scorer, y,
-       |    sum(y) OVER (PARTITION BY r, f, scorer ORDER BY score DESC, doc_id ASC
+       |  SELECT r, f, scorer, c, cp,
+       |    sum(cp) OVER (PARTITION BY r, f, scorer ORDER BY score DESC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp
-       |  FROM long),
+       |  FROM grouped),
        |aucs AS (
        |  SELECT r, f, scorer,
-       |    CAST(sum(cum_tp * (1 - y)) AS DOUBLE) / (sum(y) * sum(1 - y)) AS auc
-       |  FROM ranked GROUP BY r, f, scorer),
+       |    CAST(sum((c - cp) * (2 * cum_tp - cp)) AS DOUBLE)
+       |      / (2 * sum(cp) * sum(c - cp)) AS auc
+       |  FROM ranked GROUP BY r, f, scorer)""".stripMargin
+  }
+
+  val ttest5x2Sql: String =
+    s"""WITH $foldAucsCteSql,
        |diffs AS (
        |  SELECT r, f,
        |    max(CASE WHEN scorer = 'a' THEN auc END)
@@ -127,59 +145,116 @@ object CrossVal {
        |  max(CASE WHEN r = 0 THEN d0 END)
        |    / sqrt(${graft.functions.FloatFold.orderedSumSql("s2", "r")} / 5) AS t_stat
        |FROM s2""".stripMargin
+
+  /** Median-model retrieval (reference: retrievingMedianModel,
+    * src/TextClassification.py:1147 with middleIndex from :473): sort the
+    * CV iterations' AUCs ascending and pick the middle one — the
+    * iteration whose model the reference would reload. Here the 10 folds
+    * of the 5×2 grid (iter = r·2+f) are ranked by the density scorer's
+    * tie-aware AUC; the pick is `rank == ⌊(n−1)/2⌋`, which equals the
+    * reference's `round((len−1)/2)` for its 10-fold setting. The rank is
+    * a ≤10×10 broadcast self-join on the fold-AUC frame — no window.
+    */
+  def medianModel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aucs = foldAucs(s, dir).where($"scorer" === "a")
+      .select(($"r" * 2 + $"f").cast("int").as("iter"), $"auc")
+    val mine = aucs.select($"iter".as("m_iter"), $"auc".as("m_auc"))
+    val rk = mine.join(aucs,
+        $"auc" < $"m_auc" || ($"auc" === $"m_auc" && $"iter" < $"m_iter"), "left")
+      .groupBy($"m_iter", $"m_auc").agg(count($"iter").as("rank_before"))
+    val n = aucs.agg(count(lit(1)).as("n_folds"))
+    rk.crossJoin(broadcast(n))
+      .where($"rank_before" === floor(($"n_folds" - lit(1)) / lit(2)))
+      .select($"m_iter".as("median_iter"), $"m_auc".as("median_auc"))
   }
 
+  val medianModelSql: String =
+    s"""WITH $foldAucsCteSql,
+       |a AS (SELECT CAST(r * 2 + f AS INT) AS iter, auc FROM aucs WHERE scorer = 'a'),
+       |rk AS (
+       |  SELECT a1.iter AS median_iter, a1.auc AS median_auc,
+       |    (SELECT count(*) FROM a a2
+       |     WHERE a2.auc < a1.auc OR (a2.auc = a1.auc AND a2.iter < a1.iter))
+       |      AS rank_before
+       |  FROM a a1),
+       |n AS (SELECT count(*) AS n_folds FROM a)
+       |SELECT median_iter, median_auc FROM rk, n
+       |WHERE rank_before = CAST(floor((n_folds - 1) / 2) AS BIGINT)""".stripMargin
+
   /** Nested LCG-ordered subsets at 20..100% — the shared sample-size
-    * frame for the ROC and PR learning curves.
+    * frame for the ROC and PR learning curves. The global hash-order rank
+    * is a two-pass range-partitioned prefix count (h is uniform in
+    * [0, 2³¹), so 32 fixed h-ranges shard evenly): per-range row_number +
+    * tiny broadcast offset join — no partition-less window.
     */
   private def nestedSubsets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sc = Evaluation.scored(s, dir)
       .withColumn("h", (($"doc_id" % 2147483648L) * 2654435761L + 54321L) % 2147483648L)
-    val wRank = Window.orderBy($"h".asc, $"doc_id".asc)
-    val ranked = sc.withColumn("srank", row_number().over(wRank).cast("long"))
-      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+      // 2³¹ / 32 = 2²⁶: equal h always lands in one range, range order
+      // agrees with h order, so per-range ranks compose with the offsets
+      .withColumn("hb", ($"h" / 67108864L).cast("int"))
+    val wIn = Window.partitionBy($"hb").orderBy($"h".asc, $"doc_id".asc)
+    val inRange = sc.withColumn("r_in", row_number().over(wIn).cast("long"))
+    val rangeTotals = sc.groupBy($"hb").agg(count(lit(1)).as("bc"))
+    val offsets = rangeTotals.select($"hb".as("b1"))
+      .join(rangeTotals.select($"hb".as("b2"), $"bc"), $"b2" < $"b1", "left")
+      .groupBy($"b1").agg(coalesce(sum($"bc"), lit(0L)).as("off"))
+    val totals = rangeTotals.agg(sum($"bc").as("n_total"))
     val fracs = s.range(1, 6).select(($"id" * 20).cast("int").as("frac_pct"))
-    ranked.crossJoin(broadcast(fracs))
+    inRange.join(broadcast(offsets), $"hb" === $"b1")
+      .crossJoin(broadcast(totals))
+      .withColumn("srank", $"off" + $"r_in")
+      .crossJoin(broadcast(fracs))
       .where($"srank" * 100 <= $"frac_pct" * $"n_total")
   }
 
-  /** Sample-size AUC curve: AUC of the target-density scorer on nested
-    * LCG-ordered subsets (20..100%) — the set-based learning-curve shape.
+  /** Per-(frac_pct, score) threshold tallies of the nested subsets with
+    * cumulative counts — the shared collapsed frame for both curves
+    * (same shape as [[Evaluation.ranked]]: the corpus-sized pass is one
+    * hash agg; windows run per-frac over distinct scores only).
+    */
+  private def subsetThresholds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = nestedSubsets(s, dir)
+      .groupBy($"frac_pct", $"score")
+      .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
+    val w = Window.partitionBy($"frac_pct").orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn("rk", sum($"c").over(w))
+      .withColumn("cum_tp", sum($"cp").over(w))
+  }
+
+  /** Sample-size AUC curve: tie-aware AUC of the target-density scorer on
+    * nested LCG-ordered subsets (20..100%) — the set-based learning-curve
+    * shape.
     */
   def learningCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sub = nestedSubsets(s, dir)
-    val w = Window.partitionBy($"frac_pct")
-      .orderBy($"score".desc, $"doc_id".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sub.withColumn("cum_tp", sum($"y").over(w))
+    subsetThresholds(s, dir)
       .groupBy($"frac_pct")
-      .agg((sum($"cum_tp" * (lit(1) - $"y")).cast("double") /
-        (sum($"y") * sum(lit(1) - $"y"))).as("auc"))
+      .agg((sum(($"c" - $"cp") * (lit(2) * $"cum_tp" - $"cp")).cast("double") /
+        (lit(2) * sum($"cp") * sum($"c" - $"cp"))).as("auc"))
       .orderBy($"frac_pct")
   }
 
   /** Sample-size average-precision curve (reference: sampleSizePR,
     * src/NLP_functions.py:794 / samplingCurvePR) — the PR twin of
-    * learningCurve on the same nested subsets. Precision terms fold in
-    * fixed rank order for bit-determinism (test-set-sized groups).
+    * learningCurve on the same nested subsets. AP is the per-threshold
+    * identity Σ cp·(cum_tp/rk)/P, so the FloatFold materializes one term
+    * per distinct score (bounded cardinality), honoring its contract.
     */
   def learningCurvePr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sub = nestedSubsets(s, dir)
-    val wCum = Window.partitionBy($"frac_pct")
-      .orderBy($"score".desc, $"doc_id".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wRk = Window.partitionBy($"frac_pct").orderBy($"score".desc, $"doc_id".asc)
-    sub.withColumn("rk", row_number().over(wRk).cast("long"))
-      .withColumn("cum_tp", sum($"y").over(wCum))
+    subsetThresholds(s, dir)
       .groupBy($"frac_pct")
       // null (not NaN) when a subset has no positives — the oracle's
       // empty FILTERed list is NULL, and NULL/0 stays NULL
-      .agg(round(when(sum($"y") > 0,
-          graft.functions.FloatFold.orderedSum($"rk",
-            $"cum_tp".cast("double") / $"rk", $"y" === 1) / sum($"y")),
+      .agg(round(
+          graft.functions.FloatFold.orderedSumOrNull($"rk",
+            $"cp".cast("double") * $"cum_tp" / $"rk", $"cp" > 0) / sum($"cp"),
           6).as("avg_precision"))
       .orderBy($"frac_pct")
   }
@@ -203,13 +278,17 @@ object CrossVal {
        |  SELECT frac_pct, doc_id, y, score FROM ranked,
        |    (SELECT unnest([20, 40, 60, 80, 100]) AS frac_pct) fr
        |  WHERE srank * 100 <= frac_pct * n_total),
+       |grouped AS (
+       |  SELECT frac_pct, score, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
+       |  FROM sub GROUP BY frac_pct, score),
        |cum AS (
-       |  SELECT frac_pct, y,
-       |    sum(y) OVER (PARTITION BY frac_pct ORDER BY score DESC, doc_id ASC
+       |  SELECT frac_pct, c, cp,
+       |    sum(cp) OVER (PARTITION BY frac_pct ORDER BY score DESC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp
-       |  FROM sub)
+       |  FROM grouped)
        |SELECT frac_pct,
-       |  CAST(sum(cum_tp * (1 - y)) AS DOUBLE) / (sum(y) * sum(1 - y)) AS auc
+       |  CAST(sum((c - cp) * (2 * cum_tp - cp)) AS DOUBLE)
+       |    / (2 * sum(cp) * sum(c - cp)) AS auc
        |FROM cum GROUP BY frac_pct ORDER BY frac_pct""".stripMargin
   }
 
@@ -232,22 +311,26 @@ object CrossVal {
        |  SELECT frac_pct, doc_id, y, score FROM ranked,
        |    (SELECT unnest([20, 40, 60, 80, 100]) AS frac_pct) fr
        |  WHERE srank * 100 <= frac_pct * n_total),
+       |grouped AS (
+       |  SELECT frac_pct, score, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
+       |  FROM sub GROUP BY frac_pct, score),
        |cum AS (
-       |  SELECT frac_pct, y,
-       |    CAST(row_number() OVER w AS BIGINT) AS rk,
-       |    sum(y) OVER (PARTITION BY frac_pct ORDER BY score DESC, doc_id ASC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp
-       |  FROM sub
-       |  WINDOW w AS (PARTITION BY frac_pct ORDER BY score DESC, doc_id ASC))
+       |  SELECT frac_pct, c, cp,
+       |    CAST(sum(c) OVER w AS BIGINT) AS rk,
+       |    CAST(sum(cp) OVER w AS BIGINT) AS cum_tp
+       |  FROM grouped
+       |  WINDOW w AS (PARTITION BY frac_pct ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT frac_pct,
        |  round(${graft.functions.FloatFold.orderedSumSql(
-                  "CAST(cum_tp AS DOUBLE) / rk", "rk", Some("y = 1"))}
-       |    / sum(y), 6) AS avg_precision
+                  "CAST(cp AS DOUBLE) * cum_tp / rk", "rk", Some("cp > 0"))}
+       |    / sum(cp), 6) AS avg_precision
        |FROM cum GROUP BY frac_pct ORDER BY frac_pct""".stripMargin
   }
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_ttest_5x2", ttest5x2, Some(ttest5x2Sql)),
+    GraftQuery("q_median_model", medianModel, Some(medianModelSql)),
     GraftQuery("q_learning_curve", learningCurve, Some(learningCurveSql)),
     GraftQuery("q_learning_curve_pr", learningCurvePr, Some(learningCurvePrSql)))
 }

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * fixed 101-point FPR grid, then averaged). Interpolation is
   * step-carried-from-below (exact, integer-derived).
   *
-  * Scale shape: each fold first collapses to its ≤101 distinct grid
+  * Scale shape: the corpus-sized pass is one hash aggregation to
+  * per-(fold, distinct-score) tallies; the per-fold windows then run over
+  * threshold counts only, each fold collapses to its ≤101 distinct grid
   * thresholds (so the grid join touches ~1k rows however large the test
   * folds are), the step-carry is a running max over the grid, and the
   * cross-fold mean folds the 10 values in fixed iter order (list_reduce
@@ -28,27 +30,34 @@ object MeanRoc {
       .crossJoin(broadcast(iters))
       .where((((((($"doc_id" % 2147483648L) * 10 + $"iter") % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
         .divide(65536).cast("long") % 2) === 1) // is_test
-    val w = Window.partitionBy($"iter").orderBy($"score".desc, $"doc_id".asc)
+    // collapse each fold to per-threshold tallies first (one hash agg on
+    // the corpus-sized frame — the Evaluation.ranked shape); the windows
+    // below then see only (iter × distinct score) rows
+    val grouped = folds.groupBy($"iter", $"score")
+      .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
+    val w = Window.partitionBy($"iter").orderBy($"score".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy($"iter")
-    val ranked = folds.select($"iter", $"y", $"score", $"doc_id",
-      sum($"y").over(w).as("cum_tp"),
-      sum(lit(1) - $"y").over(w).as("cum_fp"),
-      sum($"y").over(tot).as("p"),
-      sum(lit(1) - $"y").over(tot).as("n"))
+    val ranked = grouped.select($"iter", $"score", $"c", $"cp",
+      sum($"cp").over(w).as("cum_tp"),
+      sum($"c" - $"cp").over(w).as("cum_fp"),
+      sum($"cp").over(tot).as("p"),
+      sum($"c" - $"cp").over(tot).as("n"))
     // collapse each fold to its best tpr per first-reachable grid point:
-    // row becomes visible at g0 = ceil(cum_fp*100/n) (integer-exact)
+    // threshold becomes visible at g0 = ceil(cum_fp*100/n) (integer-exact)
     val perThresh = ranked
       .groupBy($"iter", ((($"cum_fp" * 100) + $"n" - 1).divide($"n")
         .cast("long")).as("g0"))
       .agg(max($"cum_tp".cast("double") / $"p").as("tpr0"))
-    // step-carry: running max over the full grid per fold
+    // step-carry: running max over the full grid per fold. The grid side
+    // carries its own column names (g_iter) so the join with perThresh —
+    // both descendants of `iters` — has no ambiguous attributes
     val grid = s.range(0, 101).select($"id".cast("long").as("g"))
-    val ig = iters.crossJoin(broadcast(grid))
+    val ig = iters.select($"iter".as("g_iter")).crossJoin(broadcast(grid))
     val carried = ig
       .join(perThresh,
-        ig("iter") === perThresh("iter") && ig("g") === perThresh("g0"), "left")
-      .select(ig("iter").as("iter"), ig("g").as("g"), $"tpr0")
+        $"g_iter" === perThresh("iter") && $"g" === perThresh("g0"), "left")
+      .select($"g_iter".as("iter"), $"g", $"tpr0")
       .withColumn("tpr", coalesce(
         max($"tpr0").over(Window.partitionBy($"iter").orderBy($"g")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
@@ -71,14 +80,17 @@ object MeanRoc {
        |  FROM scored, (SELECT unnest(generate_series(0, 9)) AS iter) i
        |  WHERE ((((((doc_id % 2147483648) * 10 + iter) % 2147483648) * 1103515245 + 12345) % 2147483648)
        |    // 65536) % 2 = 1),
+       |grouped AS (
+       |  SELECT iter, score, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
+       |  FROM folds GROUP BY iter, score),
        |rk AS (
-       |  SELECT iter, y, score, doc_id,
-       |    sum(y) OVER w AS cum_tp,
-       |    sum(1 - y) OVER w AS cum_fp,
-       |    sum(y) OVER (PARTITION BY iter) AS p,
-       |    sum(1 - y) OVER (PARTITION BY iter) AS n
-       |  FROM folds
-       |  WINDOW w AS (PARTITION BY iter ORDER BY score DESC, doc_id ASC
+       |  SELECT iter, score,
+       |    sum(cp) OVER w AS cum_tp,
+       |    sum(c - cp) OVER w AS cum_fp,
+       |    sum(cp) OVER (PARTITION BY iter) AS p,
+       |    sum(c - cp) OVER (PARTITION BY iter) AS n
+       |  FROM grouped
+       |  WINDOW w AS (PARTITION BY iter ORDER BY score DESC
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |per_thresh AS (
        |  SELECT iter, ((cum_fp * 100) + n - 1) // n AS g0,

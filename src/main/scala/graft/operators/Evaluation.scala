@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * The reference builds its ROC/PR curves by sorting the test set by
   * prediction score in the driver and walking a cumulative sum
   * (sortedPredictionList + score_binary, reference:
-  * src/TextClassification.py:612-723). Here that becomes a single window
-  * pass — `sum(y) OVER (ORDER BY score DESC)` — which distributes: at
-  * 100 TB the sort is a range-partitioned shuffle, not a driver loop.
+  * src/TextClassification.py:612-723). Here the corpus-sized pass is one
+  * hash aggregation to per-threshold tallies (`groupBy(score)` — the
+  * sweep only needs counts per distinct score, and ties share a
+  * threshold), and the cumulative sums run over that collapsed frame as
+  * a two-pass range-partitioned prefix-sum, so no operator ever funnels
+  * the full corpus into a single task (see [[ranked]]).
   *
   * All curve coordinates are ratios of exact integer cumulative counts,
   * so every value is bit-deterministic regardless of partitioning.
@@ -77,41 +80,81 @@ object Evaluation {
        |        FROM documents) d)""".stripMargin
 
   private val rankedCteSql: String =
-    s"""ranked AS (
-       |  SELECT doc_id, y, score,
-       |    CAST(row_number() OVER w AS BIGINT) AS rk,
-       |    sum(y) OVER w AS cum_tp,
-       |    sum(1 - y) OVER w AS cum_fp,
-       |    (SELECT sum(y) FROM scored) AS p,
-       |    (SELECT sum(1 - y) FROM scored) AS n
-       |  FROM scored
-       |  WINDOW w AS (ORDER BY score DESC, doc_id ASC
+    s"""grouped AS (
+       |  SELECT score, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
+       |  FROM scored GROUP BY score),
+       |ranked AS (
+       |  SELECT score, c, cp,
+       |    CAST(sum(c) OVER w AS BIGINT) AS rk,
+       |    CAST(sum(cp) OVER w AS BIGINT) AS cum_tp,
+       |    CAST(sum(c - cp) OVER w AS BIGINT) AS cum_fp,
+       |    (SELECT CAST(sum(y) AS BIGINT) FROM scored) AS p,
+       |    (SELECT CAST(count(*) - sum(y) AS BIGINT) FROM scored) AS n
+       |  FROM grouped
+       |  WINDOW w AS (ORDER BY score DESC
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
 
   val scoredSql: String = scoredCteSql + ",\n" + rankedCteSql
 
-  /** Ranked frame: rk, cum_tp, cum_fp plus totals p / n. */
+  /** How many range buckets the threshold prefix-sum shards over. */
+  private val SweepBuckets = 16
+
+  /** Ranked THRESHOLD frame — one row per distinct score (the sweep only
+    * needs per-threshold tallies, and ties share a threshold in the
+    * reference's sortedPredictionList semantics): score, c (rows at this
+    * score), cp (positives at it), rk / cum_tp / cum_fp (cumulative from
+    * the top), totals p / n.
+    *
+    * Scale shape: the corpus-sized pass is ONE hash aggregation
+    * (`groupBy(score)`); the cumulative sums then run over the collapsed
+    * per-threshold frame as a two-pass range-partitioned prefix-sum —
+    * per-bucket window + tiny broadcast bucket-offset join — so no
+    * partition-less window (Spark's "moving all data to a single
+    * partition" shape) appears anywhere in the plan.
+    */
   private[operators] def ranked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sc = scored(s, dir)
-    val w = Window.orderBy($"score".desc, $"doc_id".asc)
+    val grouped = scored(s, dir)
+      .groupBy($"score")
+      .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
+      // score is a density in [0,1]: equal scores share a bucket, bucket
+      // order agrees with score order, so cross-bucket offsets compose
+      .withColumn("bkt",
+        least(floor($"score" * SweepBuckets), lit(SweepBuckets - 1)).cast("int"))
+    val wIn = Window.partitionBy($"bkt").orderBy($"score".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    sc.select($"doc_id", $"y", $"score",
-      row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)).cast("long").as("rk"),
-      sum($"y").over(w).as("cum_tp"),
-      sum(lit(1) - $"y").over(w).as("cum_fp"),
-      sum($"y").over(tot).as("p"),
-      sum(lit(1) - $"y").over(tot).as("n"))
+    val inBucket = grouped
+      .withColumn("c_in", sum($"c").over(wIn))
+      .withColumn("cp_in", sum($"cp").over(wIn))
+    val bucketTotals = grouped.groupBy($"bkt")
+      .agg(sum($"c").as("bc"), sum($"cp").as("bcp"))
+    // offset of a bucket = totals of all HIGHER buckets (score DESC order);
+    // at most SweepBuckets² rows — a broadcast nested-loop on a tiny frame
+    val offsets = bucketTotals.select($"bkt".as("b1"))
+      .join(bucketTotals.select($"bkt".as("b2"), $"bc", $"bcp"),
+        $"b2" > $"b1", "left")
+      .groupBy($"b1")
+      .agg(coalesce(sum($"bc"), lit(0L)).as("off_c"),
+        coalesce(sum($"bcp"), lit(0L)).as("off_cp"))
+    val totals = bucketTotals.agg(sum($"bcp").as("p"),
+      (sum($"bc") - sum($"bcp")).as("n"))
+    inBucket.join(broadcast(offsets), $"bkt" === $"b1")
+      .crossJoin(broadcast(totals))
+      .select($"score", $"c", $"cp",
+        ($"off_c" + $"c_in").as("rk"),
+        ($"off_cp" + $"cp_in").as("cum_tp"),
+        ($"off_c" + $"c_in" - $"off_cp" - $"cp_in").as("cum_fp"),
+        $"p", $"n")
   }
 
   /** Threshold-sweep ROC points (reference: score_binary,
-    * src/TextClassification.py:691-723).
+    * src/TextClassification.py:691-723) — one point per distinct
+    * threshold, ties share a point (sklearn roc_curve semantics).
     */
   def rocCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     ranked(s, dir)
-      .select($"rk", $"score", $"doc_id",
+      .select($"rk", $"score",
         ($"cum_tp".cast("double") / $"p").as("tpr"),
         ($"cum_fp".cast("double") / $"n").as("fpr"))
       .orderBy($"rk")
@@ -119,35 +162,38 @@ object Evaluation {
 
   val rocCurveSql: String =
     s"""WITH $scoredSql
-       |SELECT rk, score, doc_id,
+       |SELECT rk, score,
        |  CAST(cum_tp AS DOUBLE) / p AS tpr,
        |  CAST(cum_fp AS DOUBLE) / n AS fpr
        |FROM ranked ORDER BY rk""".stripMargin
 
   /** Trapezoid ROC-AUC (reference: calculateAUC,
-    * src/TextClassification.py:385). With the strict tie-broken ordering
-    * every step is axis-aligned, so the trapezoid area reduces to
-    * Σ_negatives cum_tp / (P·N) — exact integer arithmetic, no float sum.
+    * src/TextClassification.py:385) over the per-threshold curve: each
+    * threshold group contributes the trapezoid
+    * Δfp · (tpr_prev + tpr) / 2 = (c−cp)·(2·cum_tp−cp) / (2·P·N) — the
+    * tie-aware area, identical to the rank-sum AUC identity, and exact
+    * integer arithmetic until the one final division.
     */
   def aucTrapezoid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     ranked(s, dir)
-      .agg((sum($"cum_tp" * (lit(1) - $"y")).cast("double") /
-        (first($"p") * first($"n"))).as("auc"))
+      .agg((sum(($"c" - $"cp") * (lit(2) * $"cum_tp" - $"cp")).cast("double") /
+        (lit(2) * first($"p") * first($"n"))).as("auc"))
   }
 
   val aucTrapezoidSql: String =
     s"""WITH $scoredSql
-       |SELECT CAST(sum(cum_tp * (1 - y)) AS DOUBLE) / (any_value(p) * any_value(n)) AS auc
+       |SELECT CAST(sum((c - cp) * (2 * cum_tp - cp)) AS DOUBLE)
+       |  / (2 * any_value(p) * any_value(n)) AS auc
        |FROM ranked""".stripMargin
 
   /** Precision-recall points (reference: modelPrecisionRecall,
-    * src/TextClassification.py:446).
+    * src/TextClassification.py:446) — one point per distinct threshold.
     */
   def prCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     ranked(s, dir)
-      .select($"rk", $"score", $"doc_id",
+      .select($"rk", $"score",
         ($"cum_tp".cast("double") / $"rk").as("precision"),
         ($"cum_tp".cast("double") / $"p").as("recall"))
       .orderBy($"rk")
@@ -155,7 +201,7 @@ object Evaluation {
 
   val prCurveSql: String =
     s"""WITH $scoredSql
-       |SELECT rk, score, doc_id,
+       |SELECT rk, score,
        |  CAST(cum_tp AS DOUBLE) / rk AS precision,
        |  CAST(cum_tp AS DOUBLE) / p AS recall
        |FROM ranked ORDER BY rk""".stripMargin
@@ -204,6 +250,27 @@ object Evaluation {
        |ORDER BY abs(CAST(cum_tp AS DOUBLE) / p
        |  - (1.0 - CAST(cum_fp AS DOUBLE) / n)) ASC, rk ASC
        |LIMIT 1""".stripMargin
+
+  /** Per-class score distribution — the data behind the reference's
+    * swarm/scatter plots (plotSwarm / plotScatter,
+    * src/TextClassification.py:986, :484): per-document scores grouped by
+    * true class into fixed-width buckets. One hash aggregation.
+    */
+  def scoreDistribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    scored(s, dir)
+      .groupBy($"y",
+        least(floor($"score" * 20), lit(19)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min($"score").as("min_score"), max($"score").as("max_score"))
+      .orderBy($"y", $"bucket")
+  }
+
+  val scoreDistributionSql: String =
+    s"""WITH $scoredCteSql
+       |SELECT y, CAST(least(floor(score * 20), 19) AS INT) AS bucket,
+       |  count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score
+       |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Confusion matrix + the reference's eight derived metrics
     * (scoresCM, src/TextClassification.py:865-890) for the word-match
@@ -464,5 +531,6 @@ object Evaluation {
     GraftQuery("q_optimal_cutoff", optimalCutoff, Some(optimalCutoffSql)),
     GraftQuery("q_confusion_matrix", confusionMatrix, Some(confusionMatrixSql)),
     GraftQuery("q_cv_folds", cvFolds, Some(cvFoldsSql)),
-    GraftQuery("q_prevalence_resample", prevalenceResample, Some(prevalenceResampleSql)))
+    GraftQuery("q_prevalence_resample", prevalenceResample, Some(prevalenceResampleSql)),
+    GraftQuery("q_score_distribution", scoreDistribution, Some(scoreDistributionSql)))
 }

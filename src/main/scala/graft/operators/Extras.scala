@@ -96,26 +96,28 @@ object Extras {
 
   /** Composite classification report at a fixed threshold (reference:
     * classificationReport, src/TextClassification.py:1097): confusion
-    * metrics at threshold 0.04 on the continuous score, plus rank-sum
-    * ROC-AUC and average precision of the score — one row, one pass.
+    * metrics at threshold 0.04 on the continuous score, plus tie-aware
+    * ROC-AUC and average precision of the score — one row, computed from
+    * the per-threshold tallies of [[Evaluation.ranked]], so the FloatFold
+    * materializes one term per DISTINCT SCORE (bounded cardinality), not
+    * one per corpus row.
     */
   def classificationReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val th = 0.04 // sits inside the target-density score's range
     Evaluation.ranked(s, dir)
-      .select($"y", $"score", $"rk", $"cum_tp", $"p", $"n",
+      .select($"score", $"c", $"cp", $"rk", $"cum_tp", $"p", $"n",
         when($"score" >= th, 1L).otherwise(0L).as("pred"))
       .agg(
-        sum($"y" * $"pred").as("tp"), sum((lit(1) - $"y") * $"pred").as("fp"),
-        sum((lit(1) - $"y") * (lit(1) - $"pred")).as("tn"),
-        sum($"y" * (lit(1) - $"pred")).as("fn"),
-        (sum($"cum_tp" * (lit(1) - $"y")).cast("double") /
-          (first($"p") * first($"n"))).as("auc_roc"),
-        // precision terms folded in fixed rk order (FloatFold); null when
-        // there are no positives, matching the oracle's NULL list
-        round(when(sum($"y") > 0,
-            graft.functions.FloatFold.orderedSum($"rk",
-              $"cum_tp".cast("double") / $"rk", $"y" === 1) / first($"p")),
+        sum($"cp" * $"pred").as("tp"), sum(($"c" - $"cp") * $"pred").as("fp"),
+        sum(($"c" - $"cp") * (lit(1) - $"pred")).as("tn"),
+        sum($"cp" * (lit(1) - $"pred")).as("fn"),
+        (sum(($"c" - $"cp") * (lit(2) * $"cum_tp" - $"cp")).cast("double") /
+          (lit(2) * first($"p") * first($"n"))).as("auc_roc"),
+        // sklearn average_precision: Σ_thresholds ΔR·P = Σ cp·(cum_tp/rk)/P;
+        // terms folded in fixed rk order, null when there are no positives
+        round(graft.functions.FloatFold.orderedSumOrNull($"rk",
+            $"cp".cast("double") * $"cum_tp" / $"rk", $"cp" > 0) / first($"p"),
           6).as("avg_precision"))
       .select(lit(th).as("threshold"),
         ($"tp".cast("double") / ($"tp" + $"fn")).as("sensitivity"),
@@ -130,16 +132,16 @@ object Extras {
   val classificationReportSql: String =
     s"""WITH ${Evaluation.scoredSql},
        |m AS (
-       |  SELECT y, score, rk, cum_tp, p, n,
+       |  SELECT score, c, cp, rk, cum_tp, p, n,
        |    CASE WHEN score >= 0.04 THEN 1 ELSE 0 END AS pred
        |  FROM ranked),
        |agg AS (
-       |  SELECT sum(y * pred) AS tp, sum((1 - y) * pred) AS fp,
-       |    sum((1 - y) * (1 - pred)) AS tn, sum(y * (1 - pred)) AS fn,
-       |    CAST(sum(cum_tp * (1 - y)) AS DOUBLE)
-       |      / (any_value(p) * any_value(n)) AS auc_roc,
+       |  SELECT sum(cp * pred) AS tp, sum((c - cp) * pred) AS fp,
+       |    sum((c - cp) * (1 - pred)) AS tn, sum(cp * (1 - pred)) AS fn,
+       |    CAST(sum((c - cp) * (2 * cum_tp - cp)) AS DOUBLE)
+       |      / (2 * any_value(p) * any_value(n)) AS auc_roc,
        |    round(${graft.functions.FloatFold.orderedSumSql(
-                    "CAST(cum_tp AS DOUBLE) / rk", "rk", Some("y = 1"))}
+                    "CAST(cp AS DOUBLE) * cum_tp / rk", "rk", Some("cp > 0"))}
        |      / any_value(p), 6) AS avg_precision
        |  FROM m)
        |SELECT CAST(0.04 AS DOUBLE) AS threshold,
