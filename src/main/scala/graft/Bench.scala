@@ -8,17 +8,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/session warm-up so it doesn't land on the first query
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SparkEntry.all order (not Map hash order): timings stay comparable
+    // across rounds even as queries are added, and a noop-format write
+    // executes every projection a count() would let Catalyst prune away
+    val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-decimal timings keep the whole line under ~1.9 KB so a
     // tail-capture of the run log still contains the complete JSON
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
