@@ -51,13 +51,15 @@ object CrossVal {
         $"score_b".as("score")))
     val grouped = long.groupBy($"r", $"f", $"scorer", $"score")
       .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
-    val w = Window.partitionBy($"r", $"f", $"scorer")
-      .orderBy($"score".desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grouped.withColumn("cum_tp", sum($"cp").over(w))
+    // bucketed prefix-sum (not a per-fold window): a fold group holds all
+    // of its distinct corpus scores, so the same range-sharding as the
+    // global sweep applies; products/denominator widen to decimal before
+    // multiplying (int64-wrap headroom, see Evaluation.dec)
+    Evaluation.cumTallies(grouped, Seq("r", "f", "scorer"))
       .groupBy($"r", $"f", $"scorer")
-      .agg((sum(($"c" - $"cp") * (lit(2) * $"cum_tp" - $"cp")).cast("double") /
-        (lit(2) * sum($"cp") * sum($"c" - $"cp"))).as("auc"))
+      .agg((Evaluation.aucNumerator /
+        (Evaluation.dec(lit(2)) * Evaluation.dec(sum($"cp")) *
+          Evaluation.dec(sum($"c" - $"cp"))).cast("double")).as("auc"))
   }
 
   /** 5×2cv paired t statistic between scorers A and B. */
@@ -90,12 +92,10 @@ object CrossVal {
     * median-model oracles.
     */
   private val foldAucsCteSql: String = {
-    val targetList = Evaluation.targets.map(t => s"'$t'").mkString("[", ", ", "]")
     val targetsRe = Evaluation.targetsRe
     s"""base AS (
        |  SELECT doc_id, ${graft.operators.Features.labelSqlExpr} AS y,
-       |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
-       |      / len(toks) AS score_a,
+       |    ${Evaluation.densityScoreSql("toks")} AS score_a,
        |    CASE WHEN regexp_matches(text, '$targetsRe') THEN 1.0 ELSE 0.0 END AS score_b
        |  FROM (SELECT doc_id, lang, text,
        |          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
@@ -147,13 +147,17 @@ object CrossVal {
        |FROM s2""".stripMargin
 
   /** Median-model retrieval (reference: retrievingMedianModel,
-    * src/TextClassification.py:1147 with middleIndex from :473): sort the
-    * CV iterations' AUCs ascending and pick the middle one — the
-    * iteration whose model the reference would reload. Here the 10 folds
-    * of the 5×2 grid (iter = r·2+f) are ranked by the density scorer's
-    * tie-aware AUC; the pick is `rank == ⌊(n−1)/2⌋`, which equals the
-    * reference's `round((len−1)/2)` for its 10-fold setting. The rank is
-    * a ≤10×10 broadcast self-join on the fold-AUC frame — no window.
+    * src/TextClassification.py:1147 with middleIndex from :473). NOTE an
+    * intentional divergence: the reference computes the middle index of
+    * the SORTED AUC list but then indexes the UNSORTED fittedmodels list
+    * with it — a positional pick of whatever iteration sits at index 4,
+    * not the median-AUC model. This operator matches the evident intent
+    * (return the iteration whose AUC is the median) rather than that
+    * literal indexing. The 10 folds of the 5×2 grid (iter = r·2+f) are
+    * ranked by the density scorer's tie-aware AUC; the pick is
+    * `rank == ⌊(n−1)/2⌋`, which equals the reference's `round((len−1)/2)`
+    * middle index for its 10-fold setting. The rank is a ≤10×10 broadcast
+    * self-join on the fold-AUC frame — no window.
     */
   def medianModel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -211,20 +215,18 @@ object CrossVal {
   }
 
   /** Per-(frac_pct, score) threshold tallies of the nested subsets with
-    * cumulative counts — the shared collapsed frame for both curves
-    * (same shape as [[Evaluation.ranked]]: the corpus-sized pass is one
-    * hash agg; windows run per-frac over distinct scores only).
+    * cumulative counts — the shared collapsed frame for both curves. The
+    * corpus-sized pass is one hash agg; the cumulative counts run on the
+    * bucketed two-pass prefix-sum ([[Evaluation.cumTallies]]) rather than
+    * a per-frac window, because the frac_pct=100 group holds EVERY
+    * distinct corpus score and would otherwise be a single task.
     */
   private def subsetThresholds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grouped = nestedSubsets(s, dir)
       .groupBy($"frac_pct", $"score")
       .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
-    val w = Window.partitionBy($"frac_pct").orderBy($"score".desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grouped
-      .withColumn("rk", sum($"c").over(w))
-      .withColumn("cum_tp", sum($"cp").over(w))
+    Evaluation.cumTallies(grouped, Seq("frac_pct"))
   }
 
   /** Sample-size AUC curve: tie-aware AUC of the target-density scorer on
@@ -235,8 +237,9 @@ object CrossVal {
     import s.implicits._
     subsetThresholds(s, dir)
       .groupBy($"frac_pct")
-      .agg((sum(($"c" - $"cp") * (lit(2) * $"cum_tp" - $"cp")).cast("double") /
-        (lit(2) * sum($"cp") * sum($"c" - $"cp"))).as("auc"))
+      .agg((Evaluation.aucNumerator /
+        (Evaluation.dec(lit(2)) * Evaluation.dec(sum($"cp")) *
+          Evaluation.dec(sum($"c" - $"cp"))).cast("double")).as("auc"))
       .orderBy($"frac_pct")
   }
 
@@ -260,11 +263,9 @@ object CrossVal {
   }
 
   val learningCurveSql: String = {
-    val targetList = Evaluation.targets.map(t => s"'$t'").mkString("[", ", ", "]")
     s"""WITH scored AS (
        |  SELECT doc_id, ${graft.operators.Features.labelSqlExpr} AS y,
-       |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
-       |      / len(toks) AS score
+       |    ${Evaluation.densityScoreSql("toks")} AS score
        |  FROM (SELECT doc_id, lang,
        |          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
        |        FROM documents) d),
@@ -293,11 +294,9 @@ object CrossVal {
   }
 
   val learningCurvePrSql: String = {
-    val targetList = Evaluation.targets.map(t => s"'$t'").mkString("[", ", ", "]")
     s"""WITH scored AS (
        |  SELECT doc_id, ${graft.operators.Features.labelSqlExpr} AS y,
-       |    CAST(len(list_filter(toks, t -> list_contains($targetList, t))) AS DOUBLE)
-       |      / len(toks) AS score
+       |    ${Evaluation.densityScoreSql("toks")} AS score
        |  FROM (SELECT doc_id, lang,
        |          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
        |        FROM documents) d),

@@ -35,14 +35,14 @@ object MeanRoc {
     // below then see only (iter × distinct score) rows
     val grouped = folds.groupBy($"iter", $"score")
       .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
-    val w = Window.partitionBy($"iter").orderBy($"score".desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy($"iter")
-    val ranked = grouped.select($"iter", $"score", $"c", $"cp",
-      sum($"cp").over(w).as("cum_tp"),
-      sum($"c" - $"cp").over(w).as("cum_fp"),
-      sum($"cp").over(tot).as("p"),
-      sum($"c" - $"cp").over(tot).as("n"))
+    // bucketed prefix-sum (Evaluation.cumTallies), not a per-iter window:
+    // an iter group holds all of its fold's distinct scores
+    val iterTotals = grouped.groupBy($"iter")
+      .agg(sum($"cp").as("p"), sum($"c" - $"cp").as("n"))
+    val ranked = Evaluation.cumTallies(grouped, Seq("iter"))
+      .join(broadcast(iterTotals), "iter")
+      .select($"iter", $"score", $"c", $"cp", $"cum_tp",
+        ($"rk" - $"cum_tp").as("cum_fp"), $"p", $"n")
     // collapse each fold to its best tpr per first-reachable grid point:
     // threshold becomes visible at g0 = ceil(cum_fp*100/n) (integer-exact)
     val perThresh = ranked

@@ -50,14 +50,20 @@ object Evaluation {
   private val targetList = targets.map(t => s"'$t'").mkString("[", ", ", "]")
 
   /** Target-token density on a tokens column — the single source for
-    * scored and modelCompare (both engines).
+    * scored and modelCompare (both engines). Empty token lists score 0.0
+    * (no targets present) instead of NaN: 0.0/0 would float NaN into the
+    * sweep, where Spark's floor(NaN·16) buckets it LOW while a global
+    * ORDER BY score DESC sorts it HIGH — a cross-engine divergence.
     */
   def densityScore(toks: Column): Column =
-    size(filter(toks, t => t.isin(targets: _*))).cast("double") / size(toks)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(targets: _*))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
 
   def densityScoreSql(toksExpr: String): String =
-    s"CAST(len(list_filter($toksExpr, t -> list_contains($targetList, t))) AS DOUBLE)" +
-      s"\n      / len($toksExpr)"
+    s"CASE WHEN len($toksExpr) > 0 THEN " +
+      s"CAST(len(list_filter($toksExpr, t -> list_contains($targetList, t))) AS DOUBLE)" +
+      s"\n      / len($toksExpr) ELSE 0.0 END"
 
   /** Deterministic pseudo-probability score: target-token density. The
     * continuous-score twin of wordMatch used to drive threshold sweeps.
@@ -99,6 +105,72 @@ object Evaluation {
   /** How many range buckets the threshold prefix-sum shards over. */
   private val SweepBuckets = 16
 
+  /** Two-pass range-partitioned prefix sums over per-threshold tallies:
+    * `grouped` carries (parts..., score, c, cp) with one row per distinct
+    * (parts..., score); the result adds rk (cumulative c) and cum_tp
+    * (cumulative cp) in score-DESC order within each parts group. Scores
+    * are densities in [0,1], so [[SweepBuckets]] fixed ranges shard the
+    * window (equal scores share a bucket, bucket order agrees with score
+    * order); cross-bucket offsets come from a tiny broadcast self-join —
+    * no partition-less window at any parts cardinality, including
+    * parts = ∅ (the single global sweep) and a parts group holding every
+    * distinct corpus score (the advisor's frac_pct=100 case).
+    */
+  private[graft] def cumTallies(grouped: DataFrame, parts: Seq[String]): DataFrame = {
+    val pc = parts.map(col)
+    val bucketed = grouped.withColumn("bkt",
+      least(floor(col("score") * SweepBuckets), lit(SweepBuckets - 1)).cast("int"))
+    val wIn = Window.partitionBy(pc :+ col("bkt"): _*).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = bucketed
+      .withColumn("c_in", sum(col("c")).over(wIn))
+      .withColumn("cp_in", sum(col("cp")).over(wIn))
+    val bucketTotals = bucketed.groupBy(pc :+ col("bkt"): _*)
+      .agg(sum(col("c")).as("bc"), sum(col("cp")).as("bcp"))
+    // offset of a bucket = totals of all HIGHER buckets in its parts
+    // group (score DESC order); ≤ parts-groups × SweepBuckets² pairs — a
+    // broadcast nested-loop on a tiny frame. Explicit aliases: both sides
+    // descend from bucketTotals.
+    val lo = bucketTotals.select(
+      parts.map(p => col(p).as(s"o_$p")) :+ col("bkt").as("obkt"): _*)
+    val hi = bucketTotals.select(
+      parts.map(p => col(p).as(s"h_$p")) :+ col("bkt").as("hbkt") :+
+        col("bc") :+ col("bcp"): _*)
+    val offsets = lo.join(hi,
+        parts.map(p => col(s"o_$p") === col(s"h_$p"))
+          .foldLeft(col("hbkt") > col("obkt"))(_ && _), "left")
+      .groupBy(parts.map(p => col(s"o_$p")) :+ col("obkt"): _*)
+      .agg(coalesce(sum(col("bc")), lit(0L)).as("off_c"),
+        coalesce(sum(col("bcp")), lit(0L)).as("off_cp"))
+    inBucket.join(broadcast(offsets),
+        parts.map(p => col(p) === col(s"o_$p"))
+          .foldLeft(col("bkt") === col("obkt"))(_ && _))
+      .withColumn("rk", col("off_c") + col("c_in"))
+      .withColumn("cum_tp", col("off_cp") + col("cp_in"))
+      .drop("bkt" +: "obkt" +: "c_in" +: "cp_in" +: "off_c" +: "off_cp" +:
+        parts.map(p => s"o_$p"): _*)
+  }
+
+  /** Exact-integer decimal(38,0) cast: AUC-style products like
+    * (c−cp)·(2·cum_tp−cp) are bounded by 2·P·N, which wraps int64 once
+    * P·N exceeds ~4.6e18 (P, N ≈ 2e9 — inside the 100 TB envelope).
+    * DuckDB sums BIGINT into HUGEINT natively, so only the Spark side
+    * needs widening; both engines then round the exact integer to double
+    * once.
+    */
+  private[graft] def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Tie-aware trapezoid-AUC numerator Σ (c−cp)·(2·cum_tp−cp) over a
+    * per-threshold frame, widened to decimal before the product.
+    */
+  private[graft] def aucNumerator: Column =
+    sum(dec(col("c") - col("cp")) * dec(lit(2) * col("cum_tp") - col("cp")))
+      .cast("double")
+
+  /** 2·P·N denominator, widened to decimal before the product. */
+  private[graft] def aucDenominator(p: Column, n: Column): Column =
+    (dec(lit(2)) * dec(p) * dec(n)).cast("double")
+
   /** Ranked THRESHOLD frame — one row per distinct score (the sweep only
     * needs per-threshold tallies, and ties share a threshold in the
     * reference's sortedPredictionList semantics): score, c (rows at this
@@ -107,44 +179,21 @@ object Evaluation {
     *
     * Scale shape: the corpus-sized pass is ONE hash aggregation
     * (`groupBy(score)`); the cumulative sums then run over the collapsed
-    * per-threshold frame as a two-pass range-partitioned prefix-sum —
-    * per-bucket window + tiny broadcast bucket-offset join — so no
-    * partition-less window (Spark's "moving all data to a single
-    * partition" shape) appears anywhere in the plan.
+    * per-threshold frame via [[cumTallies]] — per-bucket window + tiny
+    * broadcast bucket-offset join — so no partition-less window (Spark's
+    * "moving all data to a single partition" shape) appears anywhere in
+    * the plan.
     */
   private[operators] def ranked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grouped = scored(s, dir)
       .groupBy($"score")
       .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
-      // score is a density in [0,1]: equal scores share a bucket, bucket
-      // order agrees with score order, so cross-bucket offsets compose
-      .withColumn("bkt",
-        least(floor($"score" * SweepBuckets), lit(SweepBuckets - 1)).cast("int"))
-    val wIn = Window.partitionBy($"bkt").orderBy($"score".desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inBucket = grouped
-      .withColumn("c_in", sum($"c").over(wIn))
-      .withColumn("cp_in", sum($"cp").over(wIn))
-    val bucketTotals = grouped.groupBy($"bkt")
-      .agg(sum($"c").as("bc"), sum($"cp").as("bcp"))
-    // offset of a bucket = totals of all HIGHER buckets (score DESC order);
-    // at most SweepBuckets² rows — a broadcast nested-loop on a tiny frame
-    val offsets = bucketTotals.select($"bkt".as("b1"))
-      .join(bucketTotals.select($"bkt".as("b2"), $"bc", $"bcp"),
-        $"b2" > $"b1", "left")
-      .groupBy($"b1")
-      .agg(coalesce(sum($"bc"), lit(0L)).as("off_c"),
-        coalesce(sum($"bcp"), lit(0L)).as("off_cp"))
-    val totals = bucketTotals.agg(sum($"bcp").as("p"),
-      (sum($"bc") - sum($"bcp")).as("n"))
-    inBucket.join(broadcast(offsets), $"bkt" === $"b1")
+    val totals = grouped.agg(sum($"cp").as("p"), (sum($"c") - sum($"cp")).as("n"))
+    cumTallies(grouped, Nil)
       .crossJoin(broadcast(totals))
-      .select($"score", $"c", $"cp",
-        ($"off_c" + $"c_in").as("rk"),
-        ($"off_cp" + $"cp_in").as("cum_tp"),
-        ($"off_c" + $"c_in" - $"off_cp" - $"cp_in").as("cum_fp"),
-        $"p", $"n")
+      .select($"score", $"c", $"cp", $"rk", $"cum_tp",
+        ($"rk" - $"cum_tp").as("cum_fp"), $"p", $"n")
   }
 
   /** Threshold-sweep ROC points (reference: score_binary,
@@ -177,8 +226,7 @@ object Evaluation {
   def aucTrapezoid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     ranked(s, dir)
-      .agg((sum(($"c" - $"cp") * (lit(2) * $"cum_tp" - $"cp")).cast("double") /
-        (lit(2) * first($"p") * first($"n"))).as("auc"))
+      .agg((aucNumerator / aucDenominator(first($"p"), first($"n"))).as("auc"))
   }
 
   val aucTrapezoidSql: String =
@@ -319,6 +367,37 @@ object Evaluation {
        |  CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn) AS acc
        |FROM cm""".stripMargin
 
+  /** Row-normalized confusion matrix (reference: plot_confusion_matrix
+    * with normalize=True, src/TextClassification.py:892 — each cell
+    * divided by its true-class row total) for the word-match classifier.
+    */
+  def confusionMatrixNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    confusionMatrix(s, dir)
+      .select(
+        ($"tp".cast("double") / ($"tp" + $"fn")).as("tp_rate"),
+        ($"fn".cast("double") / ($"tp" + $"fn")).as("fn_rate"),
+        ($"fp".cast("double") / ($"fp" + $"tn")).as("fp_rate"),
+        ($"tn".cast("double") / ($"fp" + $"tn")).as("tn_rate"))
+  }
+
+  val confusionMatrixNormSql: String =
+    s"""WITH wm AS (
+       |  SELECT ${Features.labelSqlExpr} AS y,
+       |    CASE WHEN regexp_matches(text, '$targetsRe') THEN 1 ELSE 0 END AS pred
+       |  FROM documents),
+       |cm AS (
+       |  SELECT CAST(sum(y * pred) AS BIGINT) AS tp,
+       |    CAST(sum((1 - y) * pred) AS BIGINT) AS fp,
+       |    CAST(sum((1 - y) * (1 - pred)) AS BIGINT) AS tn,
+       |    CAST(sum(y * (1 - pred)) AS BIGINT) AS fn
+       |  FROM wm)
+       |SELECT CAST(tp AS DOUBLE) / (tp + fn) AS tp_rate,
+       |  CAST(fn AS DOUBLE) / (tp + fn) AS fn_rate,
+       |  CAST(fp AS DOUBLE) / (fp + tn) AS fp_rate,
+       |  CAST(tn AS DOUBLE) / (fp + tn) AS tn_rate
+       |FROM cm""".stripMargin
+
   /** Deterministic shuffle-split fold assignment — the distributed twin of
     * the reference's seeded ShuffleSplit (preset_CV10Folds,
     * src/NLP_functions.py:198): 10 iterations, each a ~50/50 LCG-hash
@@ -455,21 +534,27 @@ object Evaluation {
         (u.cast("double") / 1000.0).as("score"),
         (u < floor($"p" * 1000)).cast("int").as("pred"))
     val long = wm.unionByName(dm)
-    val wCum = Window.partitionBy($"model").orderBy($"score".asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranks = long.groupBy($"model", $"score")
+    val grouped = long.groupBy($"model", $"score")
       .agg(count(lit(1)).as("c"), sum($"y").as("cp"))
-      .withColumn("cum_before", coalesce(sum($"c").over(wCum), lit(0L)))
+    val modelTotals = grouped.groupBy($"model").agg(sum($"c").as("tot_c"))
+    // cum_before (rows strictly below this score) = tot_c − rk, with rk
+    // the score-DESC cumulative from cumTallies — the rank sum runs on
+    // the bucketed prefix-sum, not a per-model single-task window
+    val ranks = cumTallies(grouped, Seq("model"))
+      .join(broadcast(modelTotals), "model")
+      .withColumn("cum_before", $"tot_c" - $"rk")
       .groupBy($"model")
-      .agg(sum($"cp" * (lit(2) * $"cum_before" + $"c" + 1)).as("s2"))
+      // decimal before the product: cp·(2·cum_before+c+1) is bounded by
+      // 2·P·(P+N) and wraps int64 at ~2e9-row models (see dec)
+      .agg(sum(dec($"cp") * dec(lit(2) * $"cum_before" + $"c" + 1)).as("s2"))
     val cm = long.groupBy($"model").agg(
       sum($"y").as("p"), sum(lit(1) - $"y").as("n"),
       sum($"y" * $"pred").as("tp"), sum((lit(1) - $"y") * $"pred").as("fp"),
       sum($"y" * (lit(1) - $"pred")).as("fn"))
     ranks.join(cm, "model")
       .select($"model",
-        (($"s2" - $"p" * ($"p" + 1)).cast("double") /
-          (lit(2) * $"p" * $"n")).as("auc"),
+        (($"s2" - dec($"p") * dec($"p" + 1)).cast("double") /
+          aucDenominator($"p", $"n")).as("auc"),
         ((lit(2) * $"tp").cast("double") /
           (lit(2) * $"tp" + $"fp" + $"fn")).as("f1"))
       .orderBy($"model")
@@ -530,6 +615,8 @@ object Evaluation {
     GraftQuery("q_f1_sweep", f1Sweep, Some(f1SweepSql)),
     GraftQuery("q_optimal_cutoff", optimalCutoff, Some(optimalCutoffSql)),
     GraftQuery("q_confusion_matrix", confusionMatrix, Some(confusionMatrixSql)),
+    GraftQuery("q_confusion_matrix_norm", confusionMatrixNorm,
+      Some(confusionMatrixNormSql)),
     GraftQuery("q_cv_folds", cvFolds, Some(cvFoldsSql)),
     GraftQuery("q_prevalence_resample", prevalenceResample, Some(prevalenceResampleSql)),
     GraftQuery("q_score_distribution", scoreDistribution, Some(scoreDistributionSql)))

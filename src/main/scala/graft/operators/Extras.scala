@@ -112,8 +112,8 @@ object Extras {
         sum($"cp" * $"pred").as("tp"), sum(($"c" - $"cp") * $"pred").as("fp"),
         sum(($"c" - $"cp") * (lit(1) - $"pred")).as("tn"),
         sum($"cp" * (lit(1) - $"pred")).as("fn"),
-        (sum(($"c" - $"cp") * (lit(2) * $"cum_tp" - $"cp")).cast("double") /
-          (lit(2) * first($"p") * first($"n"))).as("auc_roc"),
+        (Evaluation.aucNumerator /
+          Evaluation.aucDenominator(first($"p"), first($"n"))).as("auc_roc"),
         // sklearn average_precision: Σ_thresholds ΔR·P = Σ cp·(cum_tp/rk)/P;
         // terms folded in fixed rk order, null when there are no positives
         round(graft.functions.FloatFold.orderedSumOrNull($"rk",
