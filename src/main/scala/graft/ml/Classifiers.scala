@@ -57,7 +57,11 @@ object Classifiers {
       .setLayers(Array(NumFeatures, 16, 2)).setMaxIter(25),
     "dtree" -> new DecisionTreeClassifier().setSeed(Seed),
     "svm" -> new LinearSVC().setMaxIter(20),
-    "rf" -> new RandomForestClassifier().setSeed(Seed).setNumTrees(20))
+    "rf" -> new RandomForestClassifier().setSeed(Seed).setNumTrees(20),
+    // the reference's SGDClassifier surface (output_files/
+    // predSGDClassifier.csv): MLlib has no SGD linear model, so the
+    // deterministic L-BFGS LogisticRegression stands in
+    "logreg" -> new LogisticRegression().setMaxIter(50).setRegParam(1e-4))
 
   /** Fit the TF-IDF featurizer on the train half (doc_id parity split) and
     * return both halves featurized: (train, test). Identical features to

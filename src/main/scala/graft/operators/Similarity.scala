@@ -167,10 +167,21 @@ object Similarity {
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val v = vecs(s, dir)
     val cents = v.where($"vec_id" < 8)
       .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    ivfSearch(s, v, cents)
+  }
+
+  /** The IVF search shape shared by the fixed-centroid oracle twin and
+    * the k-means variant: assign every vector to its max-cosine centroid
+    * list, probe each query's 2 nearest lists, top-5 within the probed
+    * lists. Centroids and probes broadcast; the only shuffle is the final
+    * per-query top-k window.
+    */
+  private def ivfSearch(s: SparkSession, v: DataFrame, cents: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)
     val assign = v.crossJoin(broadcast(cents))
       .select($"vec_id", $"v", $"nrm", $"cent_id",
@@ -197,6 +208,29 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop))
       .where($"rank" <= 5)
       .orderBy($"q_id", $"rank")
+  }
+
+  /** IVF with a REAL coarse quantizer — the production scale path: a
+    * seeded MLlib KMeans (k=16, deterministic for a fixed input layout)
+    * fits the corpus, its centroids feed the same inverted-list search as
+    * [[annIvf]]. Rows-only for the gate (a k-means fit is not
+    * SQL-expressible); SimilaritySpec pins recall against the brute-force
+    * top-5 on sf0.001.
+    */
+  def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = vecs(s, dir)
+    val model = new KMeans().setK(16).setSeed(26062019L).setMaxIter(10)
+      .setFeaturesCol("fv")
+      .fit(v.select(array_to_vector($"v").as("fv")))
+    val cents = s.createDataFrame(
+        model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cent_id", "cv")
+      .select($"cent_id", transform($"cv", _.cast("double")).as("cv"))
+      .withColumn("cnrm", sqrt(arrayDot($"cv", $"cv")))
+    ivfSearch(s, v, cents)
   }
 
   val annIvfSql: String = {
@@ -238,5 +272,6 @@ object Similarity {
     GraftQuery("q_embed_cosine_dedup", cosineDedup, Some(cosineDedupSql)),
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
     GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)),
-    GraftQuery("q_ann_ivf", annIvf, Some(annIvfSql)))
+    GraftQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
+    GraftQuery("q_ann_ivf_kmeans", annIvfKmeans, None))
 }
