@@ -6,8 +6,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/session warm-up so it doesn't land on the first query
+    // absorb JVM/session warm-up (codegen, parquet reader JIT) so it
+    // doesn't land on the first query
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // SparkEntry.all order (not Map hash order): timings stay comparable
     // across rounds even as queries are added, and a noop-format write
     // executes every projection a count() would let Catalyst prune away

@@ -46,7 +46,10 @@ object Similarity {
   def cosineDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = vecs(s, dir)
-    v.as("a").join(broadcast(v.as("b")), $"a.vec_id" < $"b.vec_id")
+    // a small corpus arrives as one parquet split; without a repartition
+    // the broadcast nested-loop join's whole pair sweep runs as ONE task
+    v.repartition(s.sparkContext.defaultParallelism)
+      .as("a").join(broadcast(v.as("b")), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
         round(dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
       .where($"cos" >= 0.4)
