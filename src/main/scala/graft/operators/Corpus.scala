@@ -61,6 +61,72 @@ object Corpus {
     labels.orderBy($"doc_id")
   }
 
+  /** Connected components by alternating large-star/small-star
+    * contraction (the published MapReduce CC algorithm — Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the O(log n)-round
+    * scale path that replaces per-round label propagation's
+    * O(diameter) bound. Each round is two grouped-min passes plus joins;
+    * no per-node neighbor lists are ever collected, so a hot node costs
+    * one aggregation buffer, not a materialized adjacency array. The
+    * fixpoint is a forest of stars whose centers are the component
+    * minima — identical labels to [[dedupClusters]] (CorpusSpec asserts
+    * equality), so it shares the recursive-CTE oracle.
+    */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    starContract(s, Dedup.minhashLsh(s, dir)
+      .where($"est_jaccard" >= 0.5).select($"id_a", $"id_b"))
+  }
+
+  /** The contraction loop itself, on any (id_a, id_b) pair frame —
+    * factored out so specs can drive it with adversarial graphs (deep
+    * chains, bridged triangles) directly.
+    */
+  private[graft] def starContract(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    // normalized undirected edges (l < h), self-loops dropped
+    var e = pairs.select(least($"id_a", $"id_b").as("l"),
+        greatest($"id_a", $"id_b").as("h"))
+      .where($"l" =!= $"h").distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < 20) {
+      // large-star: every node u links its LARGER neighbors to the min of
+      // its neighborhood (including u). Grouped-min + join, no adjacency
+      // materialization.
+      val both = e.select($"l".as("u"), $"h".as("v"))
+        .unionByName(e.select($"h".as("u"), $"l".as("v")))
+      val mins = both.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      val ls = both.join(mins, "u").where($"v" > $"u")
+        .select(least($"v", $"m").as("l"), greatest($"v", $"m").as("h"))
+        .where($"l" =!= $"h").distinct()
+      // small-star: every node links its smaller neighbors (and itself)
+      // to the min of its smaller neighborhood
+      val mins2 = ls.groupBy($"h").agg(min($"l").as("m"))
+      val ss = ls.join(mins2, "h").where($"l" =!= $"m")
+        .select($"l", $"m")
+        .unionByName(mins2.select($"h".as("l"), $"m"))
+        .select(least($"l", $"m").as("l"), greatest($"l", $"m").as("h"))
+        .where($"l" =!= $"h").distinct()
+        .localCheckpoint(false)
+      // converged when the round is a no-op (star edge sets are stable
+      // under both operators); exceptAll is exact, not a checksum
+      converged = ss.exceptAll(e).limit(1).count() == 0 &&
+        e.exceptAll(ss).limit(1).count() == 0
+      e = ss
+      round += 1
+    }
+    require(converged,
+      s"dedupClustersStar did not converge within $round rounds")
+    // stars: h is a member, l its component-min center; centers label
+    // themselves
+    e.select($"h".as("doc_id"), $"l".as("cluster_id"))
+      .unionByName(e.select($"l".as("doc_id"), $"l".as("cluster_id")))
+      .distinct()
+      .orderBy($"doc_id")
+  }
+
   /** Oracle: transitive closure by recursive CTE, min reachable id per
     * node — the fixpoint the propagation loop converges to.
     */
@@ -364,7 +430,9 @@ object Corpus {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_bm25_search", bm25Search, Some(bm25SearchSql)),
-    GraftQuery("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    // the registered plan is the O(log n) star-contraction scale path;
+    // the label-propagation twin stays as the spec-checked baseline
+    GraftQuery("q_dedup_clusters", dedupClustersStar, Some(dedupClustersSql)),
     GraftQuery("q_contamination_check", contamination, Some(contaminationSql)),
     GraftQuery("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     GraftQuery("q_distinct_approx", distinctApprox, None),

@@ -31,6 +31,32 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     pairs.foreach { case (a, b) => assert(labels(a) == labels(b)) }
   }
 
+  test("star-contraction clusters equal the propagation fixpoint") {
+    import spark.implicits._
+    val prop = Corpus.dedupClusters(spark, dir).as[(Long, Long)].collect().toSet
+    val star = Corpus.dedupClustersStar(spark, dir).as[(Long, Long)].collect().toSet
+    assert(star == prop && star.nonEmpty)
+  }
+
+  test("star contraction labels adversarial graphs with component minima") {
+    import spark.implicits._
+    // a deep path (the propagation worst case), a star, a triangle with
+    // a bridge, an isolated pair — and reversed/duplicated edge noise
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (20L, 21L), (20L, 22L), (23L, 20L),
+      (30L, 31L), (31L, 32L), (32L, 30L), (32L, 33L),
+      (40L, 41L), (41L, 40L), (2L, 3L))
+    val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.map { n =>
+      val root = if (n <= 8) 1L else if (n <= 23) 20L else if (n <= 33) 30L else 40L
+      n -> root
+    }.toSet
+    val got = Corpus.starContract(spark,
+        edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("contamination check hits only corpus docs vs the benchmark set") {
     import spark.implicits._
     val rows = Corpus.contamination(spark, dir)
