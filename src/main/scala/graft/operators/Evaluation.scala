@@ -299,6 +299,32 @@ object Evaluation {
        |  - (1.0 - CAST(cum_fp AS DOUBLE) / n)) ASC, rk ASC
        |LIMIT 1""".stripMargin
 
+  /** Full confusion-matrix sweep — the reference's confusion_window
+    * (src/TextClassification.py:650): cumulative tp/fp/fn/tn plus
+    * tpr/fpr/precision at every distinct threshold of the density score,
+    * one row per threshold, all cells exact integer counts.
+    */
+  def confusionSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ranked(s, dir)
+      .select($"rk", $"score",
+        $"cum_tp".as("tp"), $"cum_fp".as("fp"),
+        ($"p" - $"cum_tp").as("fn"), ($"n" - $"cum_fp").as("tn"),
+        ($"cum_tp".cast("double") / $"p").as("tpr"),
+        ($"cum_fp".cast("double") / $"n").as("fpr"),
+        ($"cum_tp".cast("double") / $"rk").as("prc"))
+      .orderBy($"rk")
+  }
+
+  val confusionSweepSql: String =
+    s"""WITH $scoredSql
+       |SELECT rk, score, cum_tp AS tp, cum_fp AS fp,
+       |  p - cum_tp AS fn, n - cum_fp AS tn,
+       |  CAST(cum_tp AS DOUBLE) / p AS tpr,
+       |  CAST(cum_fp AS DOUBLE) / n AS fpr,
+       |  CAST(cum_tp AS DOUBLE) / rk AS prc
+       |FROM ranked ORDER BY rk""".stripMargin
+
   /** Per-class score distribution — the data behind the reference's
     * swarm/scatter plots (plotSwarm / plotScatter,
     * src/TextClassification.py:986, :484): per-document scores grouped by
@@ -448,8 +474,11 @@ object Evaluation {
     posAll.unionByName(negKept).orderBy($"prev_pct", $"doc_id")
   }
 
-  val prevalenceResampleSql: String =
-    s"""WITH docs AS (
+  /** The resample as a reusable CTE chain (defines `resample`), shared
+    * by q_prevalence_resample and the prevalence-PR sweep.
+    */
+  private val resampleCtesSql: String =
+    s"""docs AS (
        |  SELECT doc_id, ${Features.labelSqlExpr} AS y FROM documents),
        |prevs AS (SELECT unnest([25, 50, 75]) AS prev_pct),
        |p AS (SELECT sum(y) AS p FROM docs),
@@ -458,12 +487,63 @@ object Evaluation {
        |    CAST(row_number() OVER (PARTITION BY prev_pct
        |      ORDER BY ((doc_id % 2147483648) * 2654435761 + 12345) % 2147483648 ASC, doc_id ASC)
        |      AS BIGINT) AS nrk
-       |  FROM docs, prevs WHERE y = 0)
-       |SELECT prev_pct, doc_id, y FROM docs, prevs WHERE y = 1
-       |UNION ALL
-       |SELECT prev_pct, doc_id, y FROM neg, p
-       |WHERE nrk <= floor(p.p * (100 - prev_pct) / prev_pct)
+       |  FROM docs, prevs WHERE y = 0),
+       |resample AS (
+       |  SELECT prev_pct, doc_id, y FROM docs, prevs WHERE y = 1
+       |  UNION ALL
+       |  SELECT prev_pct, doc_id, y FROM neg, p
+       |  WHERE nrk <= floor(p.p * (100 - prev_pct) / prev_pct))""".stripMargin
+
+  val prevalenceResampleSql: String =
+    s"""WITH $resampleCtesSql
+       |SELECT prev_pct, doc_id, y FROM resample
        |ORDER BY prev_pct, doc_id""".stripMargin
+
+  /** Average-precision per prevalence level — the analytic core of the
+    * reference's plotPrevalencePR (src/TextClassification.py:1332): how
+    * precision-recall degrades as the positive-class prevalence drops.
+    * Composes the deterministic resample with the density-score sweep:
+    * per-(prev_pct, score) tallies in one hash agg, cumulative counts via
+    * [[cumTallies]], AP as the per-threshold identity folded in fixed rk
+    * order (one term per distinct score — FloatFold's contract).
+    */
+  def prevalencePr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = prevalenceResample(s, dir)
+    val sc = scored(s, dir).select($"doc_id", $"score")
+    val grouped = sub.join(sc, "doc_id")
+      .groupBy($"prev_pct", $"score")
+      .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
+    cumTallies(grouped, Seq("prev_pct"))
+      .groupBy($"prev_pct")
+      .agg(round(
+          graft.functions.FloatFold.orderedSumOrNull($"rk",
+            $"cp".cast("double") * $"cum_tp" / $"rk", $"cp" > 0) / sum($"cp"),
+          6).as("avg_precision"))
+      .orderBy($"prev_pct")
+  }
+
+  val prevalencePrSql: String =
+    s"""WITH $resampleCtesSql,
+       |$scoredCteSql,
+       |joined AS (
+       |  SELECT r.prev_pct, r.y, s.score
+       |  FROM resample r JOIN scored s USING (doc_id)),
+       |grouped AS (
+       |  SELECT prev_pct, score, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
+       |  FROM joined GROUP BY prev_pct, score),
+       |cum AS (
+       |  SELECT prev_pct, c, cp,
+       |    CAST(sum(c) OVER w AS BIGINT) AS rk,
+       |    CAST(sum(cp) OVER w AS BIGINT) AS cum_tp
+       |  FROM grouped
+       |  WINDOW w AS (PARTITION BY prev_pct ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT prev_pct,
+       |  round(${graft.functions.FloatFold.orderedSumSql(
+                  "CAST(cp AS DOUBLE) * cum_tp / rk", "rk", Some("cp > 0"))}
+       |    / sum(cp), 6) AS avg_precision
+       |FROM cum GROUP BY prev_pct ORDER BY prev_pct""".stripMargin
 
   /** Deterministic class-balance over-sampling — the other half of the
     * reference's balancing surface (notebook cell 21 up-sample path,
@@ -619,5 +699,7 @@ object Evaluation {
       Some(confusionMatrixNormSql)),
     GraftQuery("q_cv_folds", cvFolds, Some(cvFoldsSql)),
     GraftQuery("q_prevalence_resample", prevalenceResample, Some(prevalenceResampleSql)),
+    GraftQuery("q_prevalence_pr", prevalencePr, Some(prevalencePrSql)),
+    GraftQuery("q_confusion_sweep", confusionSweep, Some(confusionSweepSql)),
     GraftQuery("q_score_distribution", scoreDistribution, Some(scoreDistributionSql)))
 }
