@@ -15,6 +15,9 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val wanted = args.toSet
+    val known = SparkEntry.all.map(_.name).toSet
+    require((wanted -- known).isEmpty,
+      s"unknown queries: ${(wanted -- known).mkString(", ")}")
     SparkEntry.all.filter(q => wanted(q.name)).foreach { q =>
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()

@@ -58,8 +58,7 @@ object CrossVal {
     Evaluation.cumTallies(grouped, Seq("r", "f", "scorer"))
       .groupBy($"r", $"f", $"scorer")
       .agg((Evaluation.aucNumerator /
-        (Evaluation.dec(lit(2)) * Evaluation.dec(sum($"cp")) *
-          Evaluation.dec(sum($"c" - $"cp"))).cast("double")).as("auc"))
+        Evaluation.aucDenominator(sum($"cp"), sum($"c" - $"cp"))).as("auc"))
   }
 
   /** 5×2cv paired t statistic between scorers A and B. */
@@ -238,8 +237,7 @@ object CrossVal {
     subsetThresholds(s, dir)
       .groupBy($"frac_pct")
       .agg((Evaluation.aucNumerator /
-        (Evaluation.dec(lit(2)) * Evaluation.dec(sum($"cp")) *
-          Evaluation.dec(sum($"c" - $"cp"))).cast("double")).as("auc"))
+        Evaluation.aucDenominator(sum($"cp"), sum($"c" - $"cp"))).as("auc"))
       .orderBy($"frac_pct")
   }
 

@@ -369,8 +369,11 @@ object Evaluation {
         (($"tp" + $"tn").cast("double") / ($"tp" + $"fp" + $"tn" + $"fn")).as("acc"))
   }
 
-  val confusionMatrixSql: String =
-    s"""WITH wm AS (
+  /** Shared wm/cm CTE chain (defines `cm` with tp/fp/tn/fn) — the single
+    * source for the plain and normalized confusion-matrix oracles.
+    */
+  private val cmCtesSql: String =
+    s"""wm AS (
        |  SELECT ${Features.labelSqlExpr} AS y,
        |    CASE WHEN regexp_matches(text, '$targetsRe') THEN 1 ELSE 0 END AS pred
        |  FROM documents),
@@ -381,7 +384,10 @@ object Evaluation {
        |    CAST(sum((1 - y) * pred) AS BIGINT) AS fp,
        |    CAST(sum((1 - y) * (1 - pred)) AS BIGINT) AS tn,
        |    CAST(sum(y * (1 - pred)) AS BIGINT) AS fn
-       |  FROM wm)
+       |  FROM wm)""".stripMargin
+
+  val confusionMatrixSql: String =
+    s"""WITH $cmCtesSql
        |SELECT tp, fp, tn, fn,
        |  CAST(tp AS DOUBLE) / (tp + fn) AS tpr,
        |  CAST(tn AS DOUBLE) / (tn + fp) AS tnr,
@@ -399,25 +405,14 @@ object Evaluation {
     */
   def confusionMatrixNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the row-normalized cells ARE the plain matrix's rate columns
     confusionMatrix(s, dir)
-      .select(
-        ($"tp".cast("double") / ($"tp" + $"fn")).as("tp_rate"),
-        ($"fn".cast("double") / ($"tp" + $"fn")).as("fn_rate"),
-        ($"fp".cast("double") / ($"fp" + $"tn")).as("fp_rate"),
-        ($"tn".cast("double") / ($"fp" + $"tn")).as("tn_rate"))
+      .select($"tpr".as("tp_rate"), $"fnr".as("fn_rate"),
+        $"fpr".as("fp_rate"), $"tnr".as("tn_rate"))
   }
 
   val confusionMatrixNormSql: String =
-    s"""WITH wm AS (
-       |  SELECT ${Features.labelSqlExpr} AS y,
-       |    CASE WHEN regexp_matches(text, '$targetsRe') THEN 1 ELSE 0 END AS pred
-       |  FROM documents),
-       |cm AS (
-       |  SELECT CAST(sum(y * pred) AS BIGINT) AS tp,
-       |    CAST(sum((1 - y) * pred) AS BIGINT) AS fp,
-       |    CAST(sum((1 - y) * (1 - pred)) AS BIGINT) AS tn,
-       |    CAST(sum(y * (1 - pred)) AS BIGINT) AS fn
-       |  FROM wm)
+    s"""WITH $cmCtesSql
        |SELECT CAST(tp AS DOUBLE) / (tp + fn) AS tp_rate,
        |  CAST(fn AS DOUBLE) / (tp + fn) AS fn_rate,
        |  CAST(fp AS DOUBLE) / (fp + tn) AS fp_rate,

@@ -48,15 +48,26 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.functions.DamerauLevenshtein.osa("queyr", "query") == 1)
   }
 
-  test("ml classifiers beat the dummy baseline on accuracy") {
+  private def acc(df: org.apache.spark.sql.DataFrame): Double = {
     import spark.implicits._
-    def acc(df: org.apache.spark.sql.DataFrame): Double =
-      df.agg(avg(($"label" === $"prediction").cast("double")))
-        .as[Double].collect().head
+    df.agg(avg(($"label" === $"prediction").cast("double")))
+      .as[Double].collect().head
+  }
+
+  test("ml classifiers beat the dummy baseline on accuracy") {
     val dummy = acc(graft.ml.Classifiers.dummy(spark, dir))
     val nb = acc(graft.ml.Classifiers.trainPredict("naive_bayes")(spark, dir))
     // lang='en' isn't predictable from this synthetic text, but the model
     // must at least learn the majority class better than a stratified draw
     assert(nb >= dummy - 0.05)
+  }
+
+  test("logreg predictions are deterministic and beat the dummy baseline") {
+    val p1 = graft.ml.Classifiers.trainPredict("logreg")(spark, dir).collect().toSeq
+    val p2 = graft.ml.Classifiers.trainPredict("logreg")(spark, dir).collect().toSeq
+    assert(p1 == p2 && p1.nonEmpty)
+    val dummy = acc(graft.ml.Classifiers.dummy(spark, dir))
+    val lr = acc(graft.ml.Classifiers.trainPredict("logreg")(spark, dir))
+    assert(lr >= dummy - 0.05)
   }
 }
