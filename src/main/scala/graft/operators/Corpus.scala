@@ -127,11 +127,13 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
-  /** Oracle: transitive closure by recursive CTE, min reachable id per
-    * node — the fixpoint the propagation loop converges to.
+  /** Cluster-label CTE chain (defines `labels`: doc_id, cluster_id by
+    * transitive closure, min reachable id per node — the fixpoint both
+    * contraction variants converge to). Shared by the standalone cluster
+    * oracle and the keep-best curation oracle.
     */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (
+  val clustersCtesSql: String =
+    s"""pairs AS (
        |  SELECT id_a, id_b FROM (${Dedup.minhashLshSql}) m
        |  WHERE est_jaccard >= 0.5),
        |edges AS (
@@ -141,9 +143,103 @@ object Corpus {
        |reach(id, r) AS (
        |  SELECT id, id FROM nodes
        |  UNION
-       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-       |SELECT id AS doc_id, min(r) AS cluster_id
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |labels AS (
+       |  SELECT id AS doc_id, min(r) AS cluster_id
+       |  FROM reach GROUP BY id)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $clustersCtesSql
+       |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin
+
+  /** The curation decision near-dup clustering exists FOR: per cluster,
+    * keep the highest-quality member (quality ties broken by smallest
+    * doc_id). One aggregation with a struct-max — no per-cluster window,
+    * so a pathological corpus-wide duplicate cluster costs one
+    * aggregation buffer, not a single-task sort.
+    */
+  def clusterKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = dedupClustersStar(s, dir)
+    val q = TextAnalysis.qualityScore(s, dir).select($"doc_id", $"quality")
+    labels.join(q, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        // struct max: highest quality first, then highest -doc_id = lowest id
+        max(struct($"quality", (-$"doc_id").as("neg_id"))).as("best"))
+      .select($"cluster_id", (-$"best.neg_id").as("keep_doc_id"),
+        $"best.quality".as("quality"), $"n_members")
+      .orderBy($"cluster_id")
+  }
+
+  val clusterKeepBestSql: String =
+    s"""WITH RECURSIVE $clustersCtesSql,
+       |${TextAnalysis.qualityCtesSql},
+       |scored_members AS (
+       |  SELECT l.cluster_id, l.doc_id,
+       |    ${TextAnalysis.qualitySqlExpr("n_tokens", "stop_ratio", "punct_ratio")}
+       |      AS quality
+       |  FROM labels l JOIN qm ON l.doc_id = qm.doc_id)
+       |SELECT cluster_id, doc_id AS keep_doc_id, quality, n_members FROM (
+       |  SELECT cluster_id, doc_id, quality,
+       |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality DESC, doc_id ASC) AS rn
+       |  FROM scored_members) z
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  /** Token-budget sequence packing — the concat-and-chunk step a
+    * pre-training pipeline runs before batching: documents concatenated
+    * in doc_id order are cut into fixed token-budget packs; each doc is
+    * assigned to the pack its FIRST token lands in
+    * (pack_id = ⌊tokens_before / budget⌋). The global prefix sum is the
+    * two-pass range-partitioned shape (32 doc_id ranges sized off
+    * max(doc_id) + broadcast offsets) — no partition-less window over the
+    * corpus.
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Long = 512L): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id",
+        coalesce(size(TF.tokens($"text")), lit(0)).cast("long").as("n_tokens"))
+    val mx = toks.agg(max($"doc_id").as("mx"))
+    // width-based ranges (integer division by W = ceil((mx+1)/32)): range
+    // order agrees with doc_id order and no doc_id multiplication can
+    // overflow
+    val ranged = toks.crossJoin(broadcast(mx))
+      .withColumn("rb", expr("doc_id div (((mx + 1) + 31) div 32)").cast("int"))
+      .drop("mx")
+    val wIn = Window.partitionBy($"rb").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inRange = ranged
+      .withColumn("before_in", coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+    val rangeTotals = ranged.groupBy($"rb").agg(sum($"n_tokens").as("bt"))
+    val offsets = rangeTotals.select($"rb".as("b1"))
+      .join(rangeTotals.select($"rb".as("b2"), $"bt"), $"b2" < $"b1", "left")
+      .groupBy($"b1").agg(coalesce(sum($"bt"), lit(0L)).as("off"))
+    inRange.join(broadcast(offsets), $"rb" === $"b1")
+      .withColumn("tokens_before", $"off" + $"before_in")
+      .select($"doc_id", $"n_tokens", $"tokens_before",
+        expr(s"tokens_before div $budget").as("pack_id"))
+      .orderBy($"doc_id")
+  }
+
+  val packSequencesSql: String =
+    """SELECT doc_id, n_tokens,
+      |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS tokens_before,
+      |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT)
+      |    AS pack_id
+      |FROM (
+      |  SELECT doc_id, CAST(coalesce(len(list_filter(
+      |      string_split_regex(text, '\s+'), t -> t <> '')), 0) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
 
   /** Benchmark decontamination: corpus documents sharing ≥2 distinct
     * word-3-gram shingles with any "benchmark" document (stand-in set:
@@ -433,6 +529,8 @@ object Corpus {
     // the registered plan is the O(log n) star-contraction scale path;
     // the label-propagation twin stays as the spec-checked baseline
     GraftQuery("q_dedup_clusters", dedupClustersStar, Some(dedupClustersSql)),
+    GraftQuery("q_cluster_keep_best", clusterKeepBest, Some(clusterKeepBestSql)),
+    GraftQuery("q_pack_sequences", packSequences(_, _), Some(packSequencesSql)),
     GraftQuery("q_contamination_check", contamination, Some(contaminationSql)),
     GraftQuery("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     GraftQuery("q_distinct_approx", distinctApprox, None),

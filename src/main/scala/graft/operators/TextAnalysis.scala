@@ -89,23 +89,30 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val qualityScoreSql: String = {
+  /** Shared quality-metric CTE chain (defines `qm`: doc_id, n_tokens,
+    * stop_ratio, punct_ratio) — the single source for the standalone
+    * quality query and any oracle composing per-doc quality.
+    */
+  val qualityCtesSql: String = {
     val lst = TF.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH d AS (
+    s"""qd AS (
        |  SELECT doc_id, text,
        |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
        |  FROM documents),
-       |m AS (
+       |qm AS (
        |  SELECT doc_id, len(toks) AS n_tokens,
        |    CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE)
        |      / len(toks) AS stop_ratio,
        |    CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE)
        |      / len(text) AS punct_ratio
-       |  FROM d)
+       |  FROM qd)""".stripMargin
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH $qualityCtesSql
        |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
        |  ${qualitySqlExpr("n_tokens", "stop_ratio", "punct_ratio")} AS quality
-       |FROM m ORDER BY doc_id""".stripMargin
-  }
+       |FROM qm ORDER BY doc_id""".stripMargin
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / single digits / other symbols).
