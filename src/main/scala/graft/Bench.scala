@@ -13,10 +13,14 @@ object Bench {
     // SparkEntry.all order (not Map hash order): timings stay comparable
     // across rounds even as queries are added, and a noop-format write
     // executes every projection a count() would let Catalyst prune away
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += q.name
+        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+      }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-decimal timings keep the whole line under ~1.9 KB so a
@@ -25,7 +29,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed names ride the JSON line: a swallowed exception otherwise
+    // reads as a suspiciously fast query instead of a broken one
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
