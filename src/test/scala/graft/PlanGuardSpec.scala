@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards — the scale properties SURVEY §5 claims,
+  * asserted mechanically so a refactor can't silently reintroduce them:
+  * no partition-less window anywhere in the evaluation-sweep family
+  * (Spark funnels ALL rows into one task for those), and no
+  * Catalyst-inlined recompute of the shingle-array expression in the
+  * Jaccard join (the InferFilters* pushdown trap, 3-4x measured).
+  */
+class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sweepFamily: Seq[String] = Seq(
+    "q_roc_curve", "q_pr_curve", "q_f1_sweep", "q_auc_trapezoid",
+    "q_optimal_cutoff", "q_confusion_sweep", "q_confusion_at_cutoff",
+    "q_classification_report", "q_learning_curve", "q_learning_curve_pr",
+    "q_mean_roc_folds", "q_model_compare", "q_ttest_5x2", "q_median_model",
+    "q_prevalence_pr", "q_pack_sequences")
+
+  test("no partition-less window in any sweep-family plan") {
+    val byName = SparkEntry.all.map(q => q.name -> q.fn).toMap
+    sweepFamily.foreach { name =>
+      val plan = byName(name)(spark, dir).queryExecution.optimizedPlan
+      val bare = plan.collect { case w: Window if w.partitionSpec.isEmpty => w }
+      assert(bare.isEmpty,
+        s"$name has ${bare.size} partition-less window(s) — single-task at scale")
+    }
+  }
+
+  test("jaccard plan computes the shingle expression at most once per branch") {
+    val plan = operators.Dedup.ngramJaccard(spark, dir)
+      .queryExecution.executedPlan.toString
+    // 4 branches (two join sides + two size lookups) — anything above
+    // means a pushed-down filter re-inlined the array construction
+    val computes = "split\\(text".r.findAllIn(plan).size
+    assert(computes <= 4, s"shingle expression inlined $computes times (expected <= 4)")
+  }
+}
