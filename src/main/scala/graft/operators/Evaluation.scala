@@ -299,6 +299,70 @@ object Evaluation {
        |  - (1.0 - CAST(cum_fp AS DOUBLE) / n)) ASC, rk ASC
        |LIMIT 1""".stripMargin
 
+  /** Label distribution per source — the notebook's "Distribution of
+    * RA and Non-RA-cases" bar chart (cell 27): positive/negative case
+    * counts and prevalence per corpus section. One hash aggregation.
+    */
+  def labelDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(sum(($"lang" === "en").cast("long")).as("n_pos"),
+        sum(($"lang" =!= "en").cast("long")).as("n_neg"),
+        (sum(($"lang" === "en").cast("long")).cast("double") / count(lit(1)))
+          .as("prevalence"))
+      .orderBy($"source")
+  }
+
+  val labelDistSql: String =
+    s"""SELECT source,
+       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |    AS prevalence
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-CV-iteration F1 of the word-match classifier — the analytic
+    * core of the reference's plotF1scores (src/TextClassification.py:
+    * 1302, the F1 boxplot across folds): F1 on each iteration's test
+    * half under the deterministic shuffle split. Exact integer counts
+    * per fold, one aggregation.
+    */
+  def f1Folds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iters = s.range(0, 10).select($"id".cast("int").as("iter"))
+    wordMatch(s, dir)
+      .crossJoin(broadcast(iters))
+      .where((((((($"doc_id" % 2147483648L) * 10 + $"iter") % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
+        .divide(65536).cast("long") % 2) === 1) // is_test (cvFolds' split)
+      .groupBy($"iter")
+      .agg(sum($"y" * $"pred").as("tp"),
+        sum((lit(1) - $"y") * $"pred").as("fp"),
+        sum($"y" * (lit(1) - $"pred")).as("fn"))
+      .select($"iter",
+        ((lit(2) * $"tp").cast("double") /
+          (lit(2) * $"tp" + $"fp" + $"fn")).as("f1"))
+      .orderBy($"iter")
+  }
+
+  val f1FoldsSql: String =
+    s"""WITH wm AS (
+       |  SELECT doc_id, ${Features.labelSqlExpr} AS y,
+       |    CASE WHEN regexp_matches(text, '$targetsRe') THEN 1 ELSE 0 END AS pred
+       |  FROM documents),
+       |folds AS (
+       |  SELECT iter, y, pred
+       |  FROM wm, (SELECT unnest(generate_series(0, 9)) AS iter) i
+       |  WHERE ((((((doc_id % 2147483648) * 10 + iter) % 2147483648) * 1103515245 + 12345) % 2147483648)
+       |    // 65536) % 2 = 1),
+       |cm AS (
+       |  SELECT iter, CAST(sum(y * pred) AS BIGINT) AS tp,
+       |    CAST(sum((1 - y) * pred) AS BIGINT) AS fp,
+       |    CAST(sum(y * (1 - pred)) AS BIGINT) AS fn
+       |  FROM folds GROUP BY iter)
+       |SELECT iter, CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1
+       |FROM cm ORDER BY iter""".stripMargin
+
   /** Full confusion-matrix sweep — the reference's confusion_window
     * (src/TextClassification.py:650): cumulative tp/fp/fn/tn plus
     * tpr/fpr/precision at every distinct threshold of the density score,
@@ -696,5 +760,7 @@ object Evaluation {
     GraftQuery("q_prevalence_resample", prevalenceResample, Some(prevalenceResampleSql)),
     GraftQuery("q_prevalence_pr", prevalencePr, Some(prevalencePrSql)),
     GraftQuery("q_confusion_sweep", confusionSweep, Some(confusionSweepSql)),
-    GraftQuery("q_score_distribution", scoreDistribution, Some(scoreDistributionSql)))
+    GraftQuery("q_score_distribution", scoreDistribution, Some(scoreDistributionSql)),
+    GraftQuery("q_label_dist", labelDist, Some(labelDistSql)),
+    GraftQuery("q_f1_folds", f1Folds, Some(f1FoldsSql)))
 }
