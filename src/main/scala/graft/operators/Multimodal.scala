@@ -111,6 +111,46 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling — the video-payload shape: the payload is treated as
+    * a sequence of fixed 32-byte "frames"; every 4th frame is sampled
+    * and featurized (md5-stub, like the decode path). The explode is a
+    * bounded `sequence` generator (≤ payload/32 rows per doc, pruned to
+    * 1/4 by the stride filter before any feature work), so frame
+    * sampling scales as a narrow projection — no shuffle.
+    */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val F = 32
+    val stride = 4
+    Tables.documents(s, dir)
+      .where(length($"text") > 0)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), ((length($"text") - 1) / F).cast("int")))
+          .as("fi"))
+      .select($"doc_id", $"text", $"fi".cast("long").as("frame_idx"))
+      .where($"frame_idx" % stride === 0)
+      .select($"doc_id", $"frame_idx",
+        expr(s"substring(text, frame_idx * $F + 1, $F)").as("frame"))
+      .select($"doc_id", $"frame_idx",
+        md5($"frame".cast("binary")).as("frame_md5"),
+        (conv(substring(md5($"frame".cast("binary")), 1, 7), 16, 10)
+          .cast("long").cast("double") / 268435456.0).as("f0"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val multimodalFramesSql: String =
+    """SELECT doc_id, frame_idx,
+      |  md5(substr(text, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_md5,
+      |  ('0x' || substr(md5(substr(text, CAST(frame_idx * 32 + 1 AS INT), 32)), 1, 7))::BIGINT
+      |    / 268435456.0 AS f0
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, (len(text) - 1) // 32)) AS frame_idx
+      |  FROM documents WHERE len(text) > 0) t
+      |WHERE frame_idx % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)))
+    GraftQuery("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    GraftQuery("q_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)))
 }
