@@ -63,6 +63,29 @@ object EventsStream {
         graft.functions.TextFunctions.tokens(col("text")))), " ").cast("binary")))
       .dropDuplicatesWithinWatermark("bag_md5")
 
+  /** Streaming ingest curation — the composed quality-gate → near-dup
+    * pipeline a live corpus feed runs: the STATELESS quality filter runs
+    * first, so rejected docs never enter the dedup state store (at
+    * 100 TB/day the gate is what keeps fingerprint state to the
+    * surviving fraction of the watermark horizon), then the watermarked
+    * fingerprint dedup keeps the first arrival of each near-dup class.
+    * Quality is the same composite as the batch gate
+    * (TextAnalysis.qualityCol), so a doc admitted by the stream is
+    * admitted identically by a batch backfill.
+    */
+  def curateStream(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val toks = TF.tokens(col("text"))
+    val stopRatio = size(filter(toks, t => t.isin(TF.englishStopwords: _*)))
+      .cast("double") / size(toks)
+    val punctRatio = size(regexp_extract_all(col("text"),
+      lit("[^a-z0-9\\s]"), lit(0))).cast("double") / length(col("text"))
+    val quality = graft.operators.TextAnalysis
+      .qualityCol(size(toks), stopRatio, punctRatio)
+    nearDedupStream(
+      docs.withColumn("quality", quality).where(col("quality") >= minQuality))
+  }
+
   /** Stream-stream attribution join — the streaming twin of the batch
     * as-of join (Temporal.asofJoin): each click joined to purchases by
     * the same user within 30 minutes after it. Both sides carry

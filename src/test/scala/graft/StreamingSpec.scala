@@ -70,6 +70,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("neardup_out").count() == 2)
   }
 
+  test("streaming curation gates quality before deduplicating") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(
+      // stopword-rich long text -> passes the quality gate
+      (1L, ts(10), "the data and the spark are in the table with the join of the scan"),
+      // token permutation of doc 1 -> same fingerprint, deduped
+      (2L, ts(11), "of the scan the data and the spark are in the table with the join"),
+      // no stopwords, short -> fails the quality gate, never enters state
+      (3L, ts(12), "zzz qqq"))
+    val q = EventsStream.curateStream(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("curate_out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("stream-stream join matches clicks to in-window purchases only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
