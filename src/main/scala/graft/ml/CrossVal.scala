@@ -29,10 +29,7 @@ object CrossVal {
     val rf = s.range(0, 10).select(
       ($"id" / 2).cast("int").as("r"), ($"id" % 2).cast("int").as("f"))
     base.crossJoin(broadcast(rf))
-      // high LCG bit — the low bit of x*odd+odd is pure parity and would
-      // collapse the 5x2 grid to two distinct folds
-      .where((((((($"doc_id" % 2147483648L) * 5 + $"r") % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
-        .divide(65536).cast("long") % 2) === $"f")
+      .where(Evaluation.shuffleSplitBit($"doc_id", $"r", 5) === $"f")
       .select($"r", $"f", $"doc_id", $"y",
         $"score".as("score_a"), $"score_b")
   }
@@ -103,7 +100,7 @@ object CrossVal {
        |  SELECT r, f, doc_id, y, score_a, score_b
        |  FROM base, (SELECT unnest(generate_series(0, 4)) AS r) rr,
        |       (SELECT unnest(generate_series(0, 1)) AS f) ff
-       |  WHERE ((((((doc_id % 2147483648) * 5 + r) % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 2 = f),
+       |  WHERE ${Evaluation.shuffleSplitBitSql("doc_id", "r", 5)} = f),
        |long AS (
        |  SELECT r, f, 'a' AS scorer, doc_id, y, score_a AS score FROM grid
        |  UNION ALL

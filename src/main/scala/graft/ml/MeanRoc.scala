@@ -28,8 +28,7 @@ object MeanRoc {
     // of x*odd+odd is pure parity and would degenerate the folds)
     val folds = Evaluation.scored(s, dir)
       .crossJoin(broadcast(iters))
-      .where((((((($"doc_id" % 2147483648L) * 10 + $"iter") % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
-        .divide(65536).cast("long") % 2) === 1) // is_test
+      .where(Evaluation.shuffleSplitBit($"doc_id", $"iter", 10) === 1) // is_test
     // collapse each fold to per-threshold tallies first (one hash agg on
     // the corpus-sized frame — the Evaluation.ranked shape); the windows
     // below then see only (iter × distinct score) rows
@@ -78,8 +77,7 @@ object MeanRoc {
        |folds AS (
        |  SELECT iter, doc_id, y, score
        |  FROM scored, (SELECT unnest(generate_series(0, 9)) AS iter) i
-       |  WHERE ((((((doc_id % 2147483648) * 10 + iter) % 2147483648) * 1103515245 + 12345) % 2147483648)
-       |    // 65536) % 2 = 1),
+       |  WHERE ${Evaluation.shuffleSplitBitSql("doc_id", "iter", 10)} = 1),
        |grouped AS (
        |  SELECT iter, score, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
        |  FROM folds GROUP BY iter, score),

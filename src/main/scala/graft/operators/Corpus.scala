@@ -215,7 +215,12 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, -1)
     val inRange = ranged
       .withColumn("before_in", coalesce(sum($"n_tokens").over(wIn), lit(0L)))
-    val rangeTotals = ranged.groupBy($"rb").agg(sum($"n_tokens").as("bt"))
+    // range totals derive FROM the windowed branch (max inclusive prefix
+    // per range), not from a second aggregation over `ranged`: that
+    // second branch would shuffle a different subplan, defeating
+    // exchange reuse and running the corpus-wide tokenization twice
+    val rangeTotals = inRange.groupBy($"rb")
+      .agg(max($"before_in" + $"n_tokens").as("bt"))
     val offsets = rangeTotals.select($"rb".as("b1"))
       .join(rangeTotals.select($"rb".as("b2"), $"bt"), $"b2" < $"b1", "left")
       .groupBy($"b1").agg(coalesce(sum($"bt"), lit(0L)).as("off"))

@@ -19,15 +19,10 @@ object Curation {
       .select($"doc_id", $"text", $"lang", md5($"text".cast("binary")).as("h"))
     // exact dedup: keep the min doc_id per content hash
     val keep = docs.groupBy($"h").agg(min($"doc_id").as("doc_id"))
-    val stop = TF.englishStopwords
     docs.join(keep, Seq("h", "doc_id"), "left_semi")
       .select($"doc_id", $"lang", TF.tokens($"text").as("toks"), $"text")
-      .select($"doc_id", $"lang",
-        size($"toks").as("n_tokens"),
-        (size(filter($"toks", t => t.isin(stop: _*))).cast("double") /
-          size($"toks")).as("stop_ratio"),
-        (size(regexp_extract_all($"text", lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
-          length($"text")).as("punct_ratio"))
+      .select($"doc_id" +: $"lang" +:
+        TextAnalysis.qualityMetricCols($"toks", $"text"): _*)
       .withColumn("quality",
         TextAnalysis.qualityCol($"n_tokens", $"stop_ratio", $"punct_ratio"))
       .where($"quality" >= 0.35 && $"lang" === "en")

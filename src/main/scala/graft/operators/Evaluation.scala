@@ -333,8 +333,7 @@ object Evaluation {
     val iters = s.range(0, 10).select($"id".cast("int").as("iter"))
     wordMatch(s, dir)
       .crossJoin(broadcast(iters))
-      .where((((((($"doc_id" % 2147483648L) * 10 + $"iter") % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
-        .divide(65536).cast("long") % 2) === 1) // is_test (cvFolds' split)
+      .where(shuffleSplitBit($"doc_id", $"iter", 10) === 1) // cvFolds' is_test
       .groupBy($"iter")
       .agg(sum($"y" * $"pred").as("tp"),
         sum((lit(1) - $"y") * $"pred").as("fp"),
@@ -353,8 +352,7 @@ object Evaluation {
        |folds AS (
        |  SELECT iter, y, pred
        |  FROM wm, (SELECT unnest(generate_series(0, 9)) AS iter) i
-       |  WHERE ((((((doc_id % 2147483648) * 10 + iter) % 2147483648) * 1103515245 + 12345) % 2147483648)
-       |    // 65536) % 2 = 1),
+       |  WHERE ${shuffleSplitBitSql("doc_id", "iter", 10)} = 1),
        |cm AS (
        |  SELECT iter, CAST(sum(y * pred) AS BIGINT) AS tp,
        |    CAST(sum((1 - y) * pred) AS BIGINT) AS fp,
@@ -483,6 +481,20 @@ object Evaluation {
        |  CAST(tn AS DOUBLE) / (fp + tn) AS tn_rate
        |FROM cm""".stripMargin
 
+  /** High bit of the seeded LCG shuffle-split state — THE deterministic
+    * fold-assignment bit, single-sourced for cvFolds, f1Folds, the
+    * mean-ROC folds, and the 5×2 grid (mult = iterations 10, or rounds
+    * 5). The HIGH bit, not the low: the low bit of x·odd+odd is pure
+    * parity and would collapse every split to all-or-nothing; hence the
+    * shift-16 before the mod-2.
+    */
+  private[graft] def shuffleSplitBit(docId: Column, iter: Column, mult: Long): Column =
+    ((((((docId % 2147483648L) * mult + iter) % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
+      .divide(65536).cast("long") % 2)
+
+  private[graft] def shuffleSplitBitSql(doc: String, iter: String, mult: Long): String =
+    s"(((((($doc % 2147483648) * $mult + $iter) % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 2"
+
   /** Deterministic shuffle-split fold assignment — the distributed twin of
     * the reference's seeded ShuffleSplit (preset_CV10Folds,
     * src/NLP_functions.py:198): 10 iterations, each a ~50/50 LCG-hash
@@ -494,20 +506,15 @@ object Evaluation {
     Tables.documents(s, dir).select($"doc_id")
       .crossJoin(broadcast(iters))
       .select($"iter", $"doc_id",
-        // high bit of the LCG state: the low bit of x*odd+odd is pure
-        // parity (degenerate all-or-nothing folds), so shift 16 first
-        (((((($"doc_id" % 2147483648L) * 10 + $"iter") % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
-          .divide(65536).cast("long") % 2)
-          .cast("int").as("is_test"))
+        shuffleSplitBit($"doc_id", $"iter", 10).cast("int").as("is_test"))
       .orderBy($"iter", $"doc_id")
   }
 
   val cvFoldsSql: String =
-    """SELECT iter, doc_id,
-      |  CAST(((CAST((((doc_id % 2147483648) * 10 + iter) % 2147483648) * 1103515245 + 12345 AS BIGINT)
-      |    % 2147483648) // 65536) % 2 AS INT) AS is_test
-      |FROM documents, (SELECT unnest(generate_series(0, 9)) AS iter) i
-      |ORDER BY iter, doc_id""".stripMargin
+    s"""SELECT iter, doc_id,
+       |  CAST(${shuffleSplitBitSql("doc_id", "iter", 10)} AS INT) AS is_test
+       |FROM documents, (SELECT unnest(generate_series(0, 9)) AS iter) i
+       |ORDER BY iter, doc_id""".stripMargin
 
   /** Deterministic prevalence re-sampling (under-sample negatives to hit
     * target prevalence; reference: plotPrevalencePR,

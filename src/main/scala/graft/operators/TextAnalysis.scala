@@ -70,20 +70,44 @@ object TextAnalysis {
   def qualitySqlExpr(n: String, stop: String, punct: String): String =
     s"round(0.5 * $stop + 0.3 * least(1.0, $n / 100.0) + 0.2 * (1.0 - $punct), 6)"
 
+  /** The three quality-metric expressions from a MATERIALIZED tokens
+    * column plus the raw text — the single Scala source for
+    * qualityScore, the batch curation gate, and the streaming gate.
+    * Callers must project `toks` in a prior select (higher-order
+    * functions are CodegenFallback, so an inlined tokens expression
+    * would re-tokenize once per referencing metric).
+    */
+  private def qualityMetricExprs(toks: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
+    size(toks),
+    size(filter(toks, t => t.isin(TF.englishStopwords: _*))).cast("double") /
+      size(toks),
+    size(regexp_extract_all(text, lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
+      length(text))
+
+  /** Aliased metric columns (n_tokens, stop_ratio, punct_ratio). */
+  def qualityMetricCols(toks: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val (n, sr, pr) = qualityMetricExprs(toks, text)
+    Seq(n.as("n_tokens"), sr.as("stop_ratio"), pr.as("punct_ratio"))
+  }
+
+  /** The composite quality score straight from (toks, text). */
+  def qualityFromToks(toks: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (n, sr, pr) = qualityMetricExprs(toks, text)
+    qualityCol(n, sr, pr)
+  }
+
   /** Quality scoring: length/stopword/punctuation heuristics composed
     * into one 0-1 score (the shape of a pretraining quality filter).
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stop = TF.englishStopwords
     Tables.documents(s, dir)
       .select($"doc_id", $"text", TF.tokens($"text").as("toks"))
-      .select($"doc_id",
-        size($"toks").as("n_tokens"),
-        (size(filter($"toks", t => t.isin(stop: _*))).cast("double") /
-          size($"toks")).as("stop_ratio"),
-        (size(regexp_extract_all($"text", lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
-          length($"text")).as("punct_ratio"))
+      .select($"doc_id" +: qualityMetricCols($"toks", $"text"): _*)
       .select($"doc_id", $"n_tokens", $"stop_ratio", $"punct_ratio",
         qualityCol($"n_tokens", $"stop_ratio", $"punct_ratio").as("quality"))
       .orderBy($"doc_id")

@@ -69,21 +69,21 @@ object EventsStream {
     * 100 TB/day the gate is what keeps fingerprint state to the
     * surviving fraction of the watermark horizon), then the watermarked
     * fingerprint dedup keeps the first arrival of each near-dup class.
-    * Quality is the same composite as the batch gate
-    * (TextAnalysis.qualityCol), so a doc admitted by the stream is
-    * admitted identically by a batch backfill.
+    * The quality composite AND the default threshold match the batch
+    * pipeline's quality stage (Curation.curationPipeline, 0.35), so
+    * quality admission is identical between stream and backfill; the
+    * batch pipeline's language gate is a separate downstream stage, not
+    * part of this operator.
     */
-  def curateStream(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+  def curateStream(docs: DataFrame, minQuality: Double = 0.35): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val toks = TF.tokens(col("text"))
-    val stopRatio = size(filter(toks, t => t.isin(TF.englishStopwords: _*)))
-      .cast("double") / size(toks)
-    val punctRatio = size(regexp_extract_all(col("text"),
-      lit("[^a-z0-9\\s]"), lit(0))).cast("double") / length(col("text"))
-    val quality = graft.operators.TextAnalysis
-      .qualityCol(size(toks), stopRatio, punctRatio)
-    nearDedupStream(
-      docs.withColumn("quality", quality).where(col("quality") >= minQuality))
+    val gated = docs
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("quality",
+        graft.operators.TextAnalysis.qualityFromToks(col("toks"), col("text")))
+      .where(col("quality") >= minQuality)
+      .drop("toks")
+    nearDedupStream(gated)
   }
 
   /** Stream-stream attribution join — the streaming twin of the batch

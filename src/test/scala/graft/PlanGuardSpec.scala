@@ -41,8 +41,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = operators.Dedup.ngramJaccard(spark, dir)
       .queryExecution.executedPlan.toString
     // 4 branches (two join sides + two size lookups) — anything above
-    // means a pushed-down filter re-inlined the array construction
+    // means a pushed-down filter re-inlined the array construction; zero
+    // means the pattern vanished (renamed column, plan-string truncation)
+    // and the guard must be updated, not silently passed
     val computes = "split\\(text".r.findAllIn(plan).size
+    assert(computes >= 1, "split(text pattern absent from plan — update this guard")
     assert(computes <= 4, s"shingle expression inlined $computes times (expected <= 4)")
   }
 }
