@@ -150,7 +150,46 @@ object Multimodal {
       |WHERE frame_idx % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize — the thumbnail shape: a deterministic downsample keeping
+    * every 4th 8-byte block of the payload, reassembled into a smaller
+    * binary (the stub for an image resize; a real codec slots into the
+    * same projection). Pure narrow per-row work — array comprehension
+    * over block indices, no generator, no shuffle.
+    */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 8
+    val stride = 4
+    val nBlocks = ((length($"text") - 1) / B).cast("int") + 1
+    val thumb = array_join(
+      transform(
+        filter(sequence(lit(0), nBlocks - 1), i => i % stride === 0),
+        i => $"text".substr(i * B + 1, lit(B))),
+      "")
+    Tables.documents(s, dir)
+      .where(length($"text") > 0)
+      .select($"doc_id", length($"text").as("n_bytes"), thumb.as("thumb"))
+      .select($"doc_id", $"n_bytes",
+        length($"thumb").as("thumb_bytes"),
+        md5($"thumb".cast("binary")).as("thumb_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val multimodalResizeSql: String =
+    """SELECT doc_id, n_bytes,
+      |  CAST(len(thumb) AS INT) AS thumb_bytes,
+      |  md5(thumb) AS thumb_md5
+      |FROM (
+      |  SELECT doc_id, CAST(len(text) AS INT) AS n_bytes,
+      |    array_to_string(
+      |      [substr(text, CAST(i * 8 + 1 AS INT), 8)
+      |       for i in generate_series(0, (len(text) - 1) // 8) if i % 4 = 0],
+      |      '') AS thumb
+      |  FROM documents WHERE len(text) > 0) t
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
-    GraftQuery("q_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)))
+    GraftQuery("q_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
+    GraftQuery("q_multimodal_resize", multimodalResize, Some(multimodalResizeSql)))
 }
