@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Corpus, Evaluation}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized-case guards for the round's two core distributed
+  * algorithms, each checked against a straightforward Scala reference
+  * on seeded pseudo-random inputs (deterministic, CI-stable): the
+  * large-star/small-star contraction vs brute-force connected
+  * components, and the bucketed two-pass prefix-sum vs a naive global
+  * cumsum.
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adj.keys.map { n =>
+      var seen = Set(n); var frontier = Set(n)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)).diff(seen)
+        seen ++= frontier
+      }
+      n -> seen.min
+    }.toMap
+  }
+
+  test("star contraction equals brute-force components on 25 random graphs") {
+    import spark.implicits._
+    (1 to 25).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(49)
+      val m = rnd.nextInt(81)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = bruteComponents(edges).toSet
+      val got = Corpus.starContract(spark, edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed n=$n m=${edges.size}")
+    }
+  }
+
+  test("cumTallies equals the naive global cumsum on 20 random tally frames") {
+    import spark.implicits._
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val k = 1 + rnd.nextInt(40)
+      // distinct scores on a [0,1] grid (cumTallies' density contract)
+      val rows = rnd.shuffle((0 to 40).toList).take(k).map { g =>
+        val c = 1L + rnd.nextInt(5)
+        (g / 40.0, c, rnd.nextLong(c + 1))
+      }
+      val expected = rows.sortBy(-_._1)
+        .scanLeft((0.0, 0L, 0L)) { case ((_, rk, tp), (s, c, cp)) => (s, rk + c, tp + cp) }
+        .drop(1).map { case (s, rk, tp) => s -> ((rk, tp)) }.toMap
+      val got = Evaluation.cumTallies(rows.toDF("score", "c", "cp"), Nil)
+        .select($"score", $"rk", $"cum_tp").as[(Double, Long, Long)]
+        .collect().map { case (s, rk, tp) => s -> ((rk, tp)) }.toMap
+      assert(got == expected, s"seed=$seed k=$k")
+    }
+  }
+
+  test("cumTallies with a partition column keeps groups independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      gi <- rnd.shuffle((0 to 40).toList).take(10 + rnd.nextInt(20))
+    } yield {
+      val c = 1L + rnd.nextInt(4)
+      (g, gi / 40.0, c, rnd.nextLong(c + 1))
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(-_._2)
+        .scanLeft(("", 0.0, 0L, 0L)) { case ((_, _, rk, tp), (_, s, c, cp)) =>
+          (g, s, rk + c, tp + cp)
+        }.drop(1).map { case (gg, s, rk, tp) => (gg, s) -> ((rk, tp)) }
+    }.toMap
+    val got = Evaluation.cumTallies(rows.toDF("g", "score", "c", "cp"), Seq("g"))
+      .select($"g", $"score", $"rk", $"cum_tp").as[(String, Double, Long, Long)]
+      .collect().map { case (g, s, rk, tp) => (g, s) -> ((rk, tp)) }.toMap
+    assert(got == expected)
+  }
+}
