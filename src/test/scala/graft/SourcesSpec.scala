@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.JsonlCorpus
+import graft.sources.{JsonlCorpus, OrcCorpus}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -28,6 +28,27 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = clean.select($"doc_id", $"text", $"lang", $"source")
       .as[(Long, String, String, String)].collect().toSet
     assert(a == b)
+  }
+
+  test("orc round-trip preserves the corpus and pushes filters into the scan") {
+    import spark.implicits._
+    val out = "/tmp/graft_orc_rt"
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source")
+    OrcCorpus.write(docs, out, shards = 4)
+    val back = OrcCorpus.read(spark, out)
+    val a = docs.as[(Long, String, String, String)].collect().toSet
+    val b = back.select($"doc_id", $"text", $"lang", $"source")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(a == b)
+    // predicate + column pushdown reach the ORC scan
+    val plan = back.where($"doc_id" >= 100).select($"doc_id", $"lang")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(doc_id,100)"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      plan.take(2000))
   }
 
   test("jsonl quarantine isolates malformed lines without failing the scan") {
