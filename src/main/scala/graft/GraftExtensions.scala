@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, DamerauLevenshtein, StemDutch, StripAccents}
+import graft.functions.{ArrayDot, DamerauLevenshtein, StemDutch, StripAccents, TokenizeWs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       info("array_dot", "array_dot(a, b) - double-array dot product"),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("tokenize_ws"),
+      info("tokenize_ws",
+        "tokenize_ws(str) - whitespace tokens, empties dropped"),
+      (args: Seq[Expression]) => TokenizeWs(args.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -53,10 +53,14 @@ object TextFunctions {
   }
 
   /** Whitespace tokens with empties dropped (both engines treat leading
-    * whitespace as an empty first token, so the filter keeps parity).
+    * whitespace as an empty first token, so the empty-drop keeps
+    * parity). Implemented by the fused codegen'd [[TokenizeWs]]
+    * expression — identical output to
+    * `filter(split(c, "\\s+"), t => t =!= "")`, without the
+    * HigherOrderFunction's interpreted per-element lambda (the hottest
+    * text kernel in the engine; FunctionsSpec pins the equivalence).
     */
-  def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= "")
+  def tokens(c: Column): Column = GraftExpressions.tokenizeWs(c)
 
   /** DuckDB fragment: a FROM-clause-ready unnest of whitespace tokens. */
   def tokensSqlSelect(inner: String): String =

@@ -23,6 +23,53 @@ object GraftExpressions {
       DamerauLevenshtein(GraftBridge.expression(a), GraftBridge.expression(b)))
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def tokenizeWs(c: Column): Column =
+    GraftBridge.column(TokenizeWs(GraftBridge.expression(c)))
+}
+
+/** Whitespace tokenization fused into one codegen'd expression — the
+  * single hottest text kernel (it runs in nearly every plan). Replaces
+  * `filter(split(text, "\\s+", -1), t => t =!= "")`, whose outer filter
+  * is a HigherOrderFunction and therefore an interpreted lambda island:
+  * this expression produces the identical token array (same
+  * java.util.regex split, same empty-token drop) in a single compiled
+  * pass with no per-element lambda dispatch and no intermediate array.
+  */
+case class TokenizeWs(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenizeWs.split(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenizeWs.split($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeWs =
+    copy(child = newChild)
+}
+
+object TokenizeWs {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Exactly `split(s, "\\s+", -1)` then drop empty tokens — the same
+    * java.util.regex engine and limit semantics as Spark's StringSplit,
+    * so results are bit-identical to the declarative form it replaces.
+    */
+  def split(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val parts = Ws.split(s.toString, -1)
+    val out = new java.util.ArrayList[AnyRef](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) out.add(UTF8String.fromString(parts(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
 }
 
 /** Unicode-NFD accent strip + non-ASCII drop, the semantics of the
