@@ -44,8 +44,8 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // means a pushed-down filter re-inlined the array construction; zero
     // means the pattern vanished (renamed column, plan-string truncation)
     // and the guard must be updated, not silently passed
-    val computes = "split\\(text".r.findAllIn(plan).size
-    assert(computes >= 1, "split(text pattern absent from plan — update this guard")
+    val computes = "tokenizews\\(text".r.findAllIn(plan).size
+    assert(computes >= 1, "tokenizews(text pattern absent from plan — update this guard")
     assert(computes <= 4, s"shingle expression inlined $computes times (expected <= 4)")
   }
 }
