@@ -74,9 +74,26 @@ object Corpus {
     */
   def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    starContract(s, Dedup.minhashLsh(s, dir)
-      .where($"est_jaccard" >= 0.5).select($"id_a", $"id_b"))
+    clusterLabels(s, dir).orderBy($"doc_id")
   }
+
+  /** Session-scoped materialized cluster labels: the star contraction is
+    * a multi-round shuffle cascade, and BOTH q_dedup_clusters and
+    * q_cluster_keep_best need its fixpoint — a pipeline that runs the
+    * two in one session must pay the contraction once, not twice. Keyed
+    * by (session, dir) so a fresh session (or another scale factor)
+    * recomputes; the labels frame is tiny (≤ one row per clustered doc),
+    * so the persist is a bounded cache, never a corpus-sized pin.
+    */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.computeIfAbsent((s, dir), { _ =>
+      import s.implicits._
+      starContract(s, Dedup.minhashLsh(s, dir)
+        .where($"est_jaccard" >= 0.5).select($"id_a", $"id_b")).persist()
+    })
 
   /** The contraction loop itself, on any (id_a, id_b) pair frame —
     * factored out so specs can drive it with adversarial graphs (deep
@@ -160,7 +177,7 @@ object Corpus {
     */
   def clusterKeepBest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val labels = dedupClustersStar(s, dir)
+    val labels = clusterLabels(s, dir)
     val q = TextAnalysis.qualityScore(s, dir).select($"doc_id", $"quality")
     labels.join(q, "doc_id")
       .groupBy($"cluster_id")

@@ -85,12 +85,13 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin
 
-  /** N-gram Jaccard near-dup pairs at τ=0.5. Candidates are generated by
-    * the inverted shingle join (pairs must share ≥1 shingle — identical
-    * result set to brute force, but the join key bounds the shuffle).
-    * At this corpus size the plain inverted join wins; when posting
-    * lists explode (the 100 TB regime) switch to [[ngramJaccardPrefix]]
-    * (exact, prefix-filtered) or [[minhashLsh]] (approximate).
+  /** N-gram Jaccard near-dup pairs at τ=0.5 via the plain inverted
+    * shingle join (pairs must share ≥1 shingle — identical result set to
+    * brute force, but the join key bounds the shuffle). Kept as the
+    * spec-checked twin of the REGISTERED [[ngramJaccardPrefix]] plan:
+    * the plain join shuffles on raw shingles, so one hot shingle's
+    * posting list grows a quadratic pair blowup at scale, which the
+    * prefix filter avoids by construction.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -112,15 +113,17 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Exact prefix-filtered variant (the PPJoin lemma): with each doc's
-    * shingles sorted by a global (frequency asc, shingle) order, any pair
-    * with J ≥ τ must share a shingle within both ⌊(1−τ)·n⌋+1 prefixes,
-    * and sizes must satisfy τ·na ≤ nb ≤ na/τ. Candidates join only on the
-    * rare-first prefixes — posting lists shrink by (1−τ) and skew moves
-    * off the hot shingles — then the exact intersection is counted for
-    * surviving pairs only. Identical result set to [[ngramJaccard]]
-    * (DedupSpec); pays two extra small passes, so it overtakes the plain
-    * join only once posting lists are long.
+  /** The REGISTERED q_dedup_ngram_jaccard plan — exact prefix filtering
+    * (the PPJoin lemma): with each doc's shingles sorted by a global
+    * (frequency asc, shingle) order, any pair with J ≥ τ must share a
+    * shingle within both ⌊(1−τ)·n⌋+1 prefixes, and sizes must satisfy
+    * τ·na ≤ nb ≤ na/τ. Candidates join only on the rare-first prefixes —
+    * posting lists shrink by (1−τ) and skew moves off the hot shingles —
+    * then the exact intersection is counted for surviving pairs only.
+    * Identical result set to [[ngramJaccard]] (DedupSpec, and the shared
+    * oracle SQL), so the driver's hash gate checks this plan against the
+    * plain inverted-join SQL; pays two extra small passes, the price of
+    * surviving hot posting lists at 100 TB.
     */
   def ngramJaccardPrefix(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     import s.implicits._
@@ -131,12 +134,22 @@ object Dedup {
     val frac = BigDecimal(tau.toString)
     val den = BigDecimal(10).pow(frac.scale).toLongExact
     val num = (frac * den).toLongExact
+    // ONE exploded tokenize pass feeds all three per-row stats: global
+    // shingle frequency (window by shingle — one shuffle, count only),
+    // then doc size n AND the freq-asc rank share the second shuffle
+    // (both windows partition by doc_id). A separate freq aggregate +
+    // join + sizes branch would re-run the corpus-wide n-gram
+    // construction three more times (measured ~1.5 s per pass at sf0.1).
+    // n/freq are window counts (never null), so InferFiltersFromConstraints
+    // has no isnotnull to derive and the array expression stays put.
     val sh = shingles(s, dir)
-    val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("freq"))
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"freq".asc, $"shingle".asc)
-    val ranked = sh.join(freq, "shingle").join(shingleSizes(s, dir), "doc_id")
-      .select($"doc_id", $"shingle",
-        row_number().over(wDoc).cast("long").as("rnk"), $"n")
+    val wFreq = Window.partitionBy($"shingle")
+    val wDoc = Window.partitionBy($"doc_id")
+    val wRank = Window.partitionBy($"doc_id").orderBy($"freq".asc, $"shingle".asc)
+    val ranked = sh
+      .withColumn("freq", count(lit(1)).over(wFreq))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
     // rnk <= floor((1-τ)n)+1  ⟺  (rnk-1)·den <= (den-num)·n
     val prefix = ranked.where(($"rnk" - 1) * den <= lit(den - num) * $"n")
       .select($"doc_id", $"shingle", $"n")
@@ -148,12 +161,19 @@ object Dedup {
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
         $"a.n".as("na"), $"b.n".as("nb"))
       .distinct()
-    val inter = cand
-      .join(sh.as("x"), $"id_a" === $"x.doc_id")
-      .join(sh.as("y"), $"id_b" === $"y.doc_id" && $"x.shingle" === $"y.shingle")
-      .groupBy($"id_a", $"id_b", $"na", $"nb")
-      .agg(count(lit(1)).as("inter"))
-    inter
+    // exact verification against the per-doc shingle ARRAYS, not a
+    // re-join of the exploded posting rows: candidates are few, so each
+    // side is one equi-join of the corpus arrays against a small frame
+    // (AQE broadcasts the candidate side) and the intersection is a
+    // per-row array_intersect — no candidate×shingle row blowup, no
+    // second corpus-wide aggregation
+    val arrs = shingleArrs(s, dir)
+    cand
+      .join(arrs.select($"doc_id".as("id_a"), $"arr".as("arr_a")), "id_a")
+      .join(arrs.select($"doc_id".as("id_b"), $"arr".as("arr_b")), "id_b")
+      .select($"id_a", $"id_b", $"na", $"nb",
+        coalesce(size(array_intersect($"arr_a", $"arr_b")), lit(0))
+          .cast("long").as("inter"))
       // J >= τ  ⟺  inter·den >= num·(na+nb−inter)
       .where($"inter" * den >= lit(num) * ($"na" + $"nb" - $"inter"))
       .select($"id_a", $"id_b",
@@ -324,7 +344,8 @@ object Dedup {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_dedup_exact", exact, Some(exactSql)),
-    GraftQuery("q_dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    GraftQuery("q_dedup_ngram_jaccard", ngramJaccardPrefix(_, _),
+      Some(ngramJaccardSql)),
     GraftQuery("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     GraftQuery("q_dedup_simhash", simhash, Some(simhashSql)))
 }

@@ -37,6 +37,19 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("registered jaccard query is the prefix-filtered plan") {
+    val plan = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+      .queryExecution.optimizedPlan
+    // the prefix variant ranks shingles per doc (a PARTITIONED window);
+    // the plain inverted join has no window at all — so window presence
+    // pins the plan, and the partition spec pins its scale shape
+    val wins = plan.collect { case w: Window => w }
+    assert(wins.nonEmpty, "expected the per-doc prefix-rank window — the " +
+      "plain inverted join appears to be registered")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "prefix-rank window lost its partition spec — single-task at scale")
+  }
+
   test("jaccard plan computes the shingle expression at most once per branch") {
     val plan = operators.Dedup.ngramJaccard(spark, dir)
       .queryExecution.executedPlan.toString
