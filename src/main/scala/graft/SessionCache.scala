@@ -1,0 +1,53 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memoization for expensive derived state (fitted
+  * models, persisted cluster-label frames): a pipeline that runs several
+  * registered queries in one session must pay each model fit / graph
+  * contraction once, not once per query. Keys embed the data directory,
+  * so a fresh session or another scale factor recomputes.
+  *
+  * Hygiene contract (the two leaks a naive static map has):
+  *  - entries are evicted when the owning SparkContext stops (a
+  *    SparkListener per context), so cycled sessions — test suites,
+  *    long-lived JVMs hosting many sessions — don't strongly retain
+  *    stopped sessions or their cached frames;
+  *  - values are computed OUTSIDE the map's bin locks (computeIfAbsent
+  *    only installs a memo cell; the computation runs under that cell's
+  *    own lock), so one slow model fit can't block unrelated keys.
+  *
+  * Data under a directory is assumed immutable for the session's
+  * lifetime (true for the immutable parquet snapshots this engine
+  * reads); a mutable-source deployment would key by snapshot version.
+  */
+object SessionCache {
+
+  /** Memo cell: `value` is a Scala lazy val, so the computation runs
+    * under the cell's monitor (per-key), not the map's bin lock.
+    */
+  private final class Cell(f: () => AnyRef) { lazy val value: AnyRef = f() }
+
+  private val cache = new ConcurrentHashMap[(SparkSession, String), Cell]()
+  private val hooked = ConcurrentHashMap.newKeySet[SparkContext]()
+
+  def getOrCompute[T <: AnyRef](s: SparkSession, key: String)(f: => T): T = {
+    val sc = s.sparkContext
+    if (hooked.add(sc)) {
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          // the context's executors are gone, so cached frames need no
+          // unpersist — dropping the references is the whole cleanup
+          hooked.remove(sc)
+          val it = cache.keySet().iterator()
+          while (it.hasNext) if (it.next()._1.sparkContext eq sc) it.remove()
+        }
+      })
+    }
+    cache.computeIfAbsent((s, key), _ => new Cell(() => f)).value.asInstanceOf[T]
+  }
+}

@@ -39,7 +39,7 @@ object CrossVal {
     * frame), then Σ (c−cp)·(2·cum_tp−cp) / (2·P·N) over the tiny
     * per-threshold frames — same shape as [[Evaluation.ranked]].
     */
-  private def foldAucs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def foldAucs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val g = grid(s, dir)
     val long = g.select($"r", $"f", lit("a").as("scorer"), $"doc_id", $"y",
@@ -59,12 +59,20 @@ object CrossVal {
   }
 
   /** 5×2cv paired t statistic between scorers A and B. */
-  def ttest5x2(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val d = foldAucs(s, dir)
+  def ttest5x2(s: SparkSession, dir: String): DataFrame =
+    ttestStat(foldAucs(s, dir), "a", "b")
+
+  /** The 5×2cv t statistic (Dietterich's test) on ANY per-fold-AUC frame
+    * with columns (r, f, scorer, auc) — the single algebra shared by the
+    * analytic-scorer pair (q_ttest_5x2) and the fitted-MLlib-model pair
+    * (ModelEval.mlTtest5x2), so the two queries can't drift.
+    */
+  private[graft] def ttestStat(aucs: DataFrame, sa: String, sb: String): DataFrame = {
+    import aucs.sparkSession.implicits._
+    val d = aucs
       .groupBy($"r", $"f")
-      .agg((max(when($"scorer" === "a", $"auc")) -
-        max(when($"scorer" === "b", $"auc"))).as("d"))
+      .agg((max(when($"scorer" === sa, $"auc")) -
+        max(when($"scorer" === sb, $"auc"))).as("d"))
     val perRound = d.groupBy($"r").agg(
       max(when($"f" === 0, $"d")).as("d0"),
       max(when($"f" === 1, $"d")).as("d1"))

@@ -81,19 +81,17 @@ object Corpus {
     * a multi-round shuffle cascade, and BOTH q_dedup_clusters and
     * q_cluster_keep_best need its fixpoint — a pipeline that runs the
     * two in one session must pay the contraction once, not twice. Keyed
-    * by (session, dir) so a fresh session (or another scale factor)
-    * recomputes; the labels frame is tiny (≤ one row per clustered doc),
-    * so the persist is a bounded cache, never a corpus-sized pin.
+    * by (session, dir) in [[graft.SessionCache]] (evicted when the
+    * context stops, computed outside the map's bin locks); the labels
+    * frame is tiny (≤ one row per clustered doc), so the persist is a
+    * bounded cache, never a corpus-sized pin.
     */
-  private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    labelCache.computeIfAbsent((s, dir), { _ =>
+    graft.SessionCache.getOrCompute(s, s"corpus.clusterLabels:$dir") {
       import s.implicits._
       starContract(s, Dedup.minhashLsh(s, dir)
         .where($"est_jaccard" >= 0.5).select($"id_a", $"id_b")).persist()
-    })
+    }
 
   /** The contraction loop itself, on any (id_a, id_b) pair frame —
     * factored out so specs can drive it with adversarial graphs (deep
@@ -138,10 +136,12 @@ object Corpus {
       s"dedupClustersStar did not converge within $round rounds")
     // stars: h is a member, l its component-min center; centers label
     // themselves
+    // unsorted: ordering is a query-surface concern (dedupClustersStar
+    // adds it); sorting here would make the cached labels pay a sort
+    // whose order consumers re-sort anyway
     e.select($"h".as("doc_id"), $"l".as("cluster_id"))
       .unionByName(e.select($"l".as("doc_id"), $"l".as("cluster_id")))
       .distinct()
-      .orderBy($"doc_id")
   }
 
   /** Cluster-label CTE chain (defines `labels`: doc_id, cluster_id by

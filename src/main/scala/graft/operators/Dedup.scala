@@ -134,20 +134,27 @@ object Dedup {
     val frac = BigDecimal(tau.toString)
     val den = BigDecimal(10).pow(frac.scale).toLongExact
     val num = (frac * den).toLongExact
-    // ONE exploded tokenize pass feeds all three per-row stats: global
-    // shingle frequency (window by shingle — one shuffle, count only),
-    // then doc size n AND the freq-asc rank share the second shuffle
-    // (both windows partition by doc_id). A separate freq aggregate +
-    // join + sizes branch would re-run the corpus-wide n-gram
-    // construction three more times (measured ~1.5 s per pass at sf0.1).
-    // n/freq are window counts (never null), so InferFiltersFromConstraints
-    // has no isnotnull to derive and the array expression stays put.
+    // Global shingle frequency is an AGGREGATE, not a window: groupBy
+    // partial-aggregates map-side, so the freq shuffle carries one row
+    // per DISTINCT shingle (not per posting), and no task ever buffers a
+    // hot shingle's full posting list — a window by shingle would ship
+    // every exploded posting row combiner-less and pin each hot shingle
+    // in one window partition (a multi-GB single-task buffer at 100 TB).
+    // The join back to postings is skew-safe: SMJ streams the posting
+    // side (the freq side has one row per key), AQE splits skewed
+    // partitions, and at local SF the tiny freq frame broadcasts so the
+    // postings aren't shuffled at all. Recomputing the narrow tokenize
+    // lineage for the second pass is the correct price. Doc size n and
+    // the freq-asc rank then share the one shuffle by doc_id (both
+    // windows carry a partition spec). freq is coalesced non-null so
+    // InferFiltersFromConstraints has no isnotnull to derive and the
+    // array expression stays put.
     val sh = shingles(s, dir)
-    val wFreq = Window.partitionBy($"shingle")
+    val freq = sh.groupBy($"shingle")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("freq"))
     val wDoc = Window.partitionBy($"doc_id")
     val wRank = Window.partitionBy($"doc_id").orderBy($"freq".asc, $"shingle".asc)
-    val ranked = sh
-      .withColumn("freq", count(lit(1)).over(wFreq))
+    val ranked = sh.join(freq, "shingle")
       .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rnk", row_number().over(wRank).cast("long"))
     // rnk <= floor((1-τ)n)+1  ⟺  (rnk-1)·den <= (den-num)·n

@@ -48,8 +48,9 @@ object Extras {
   def mlFeatureImportance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.classification.RandomForestClassificationModel
-    val (train, _) = graft.ml.Classifiers.featurize(s, dir)
-    val rf = graft.ml.Classifiers.fitOn("rf", train)
+    // session-cached fit — the SAME RandomForest as q_ml_rf, never a
+    // duplicate training pass
+    val rf = graft.ml.Classifiers.model(s, dir, "rf")
       .asInstanceOf[RandomForestClassificationModel]
     val imp = rf.featureImportances
     val rows = imp.toArray.zipWithIndex
@@ -84,8 +85,8 @@ object Extras {
   def mlTreeExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.classification.DecisionTreeClassificationModel
-    val (train, _) = graft.ml.Classifiers.featurize(s, dir)
-    val dt = graft.ml.Classifiers.fitOn("dtree", train)
+    // session-cached fit — the SAME DecisionTree as q_ml_dtree
+    val dt = graft.ml.Classifiers.model(s, dir, "dtree")
       .asInstanceOf[DecisionTreeClassificationModel]
     // strip the per-instance random uid so the dump is run-deterministic
     val lines = dt.toDebugString.replaceAll("uid=[A-Za-z0-9_]+", "uid=dtc")

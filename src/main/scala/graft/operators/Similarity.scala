@@ -40,8 +40,10 @@ object Similarity {
   private val vecsSql =
     "(SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings)"
 
-  /** Embedding-cosine near-dup pairs at τ=0.4. Brute force over the
-    * small side (broadcast); the LSH variant below is the scale path.
+  /** Brute-force broadcast twin of [[cosineDedupBlocked]] — kept as the
+    * oracle-shaped baseline (SimilaritySpec asserts the two plans agree);
+    * the broadcast nested-loop shape dies at corpus scale, so it is NOT
+    * the registered plan.
     */
   def cosineDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -52,6 +54,49 @@ object Similarity {
       .as("a").join(broadcast(v.as("b")), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
         round(dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
+      .where($"cos" >= 0.4)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** How many id-hash blocks the pair space shards over: B blocks →
+    * B·(B+1)/2 block-pair tasks and each vector shuffled (B+1)× — at a
+    * bigger cluster raise B ~ √tasks. 8 gives 36 even tasks on local[32].
+    */
+  private val PairBlocks = 8
+
+  /** The REGISTERED q_embed_cosine_dedup plan — exact τ=0.4 cosine pairs
+    * by BLOCK-PARTITIONED pair enumeration. Why not an LSH candidate
+    * filter: at τ=0.4 (θ ≈ 66°) qualifying pairs are the tail of the
+    * near-orthogonal bulk, and sign-LSH band recall at that angle is far
+    * below 1 — any pruning sketch silently drops qualifying pairs, and
+    * no exact sub-quadratic filter exists for dense vectors at low τ
+    * (norm/prefix bounds degenerate when per-dimension mass is even). So
+    * the exact semantics keep O(n²) compares, and the scale fix is the
+    * memory/shuffle shape instead: vectors hash into [[PairBlocks]]
+    * blocks, the B·(B+1)/2 block pairs become an equi-join key, and both
+    * sides shuffle on it — bounded tasks at any corpus size, no
+    * corpus-sized broadcast, no BroadcastNestedLoopJoin (PlanGuardSpec
+    * asserts). Same result set as [[cosineDedup]]; the approximate scale
+    * paths for high-similarity regimes are the registered q_ann_* family.
+    */
+  def cosineDedupBlocked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, dir).withColumn("blk", ($"vec_id" % PairBlocks).cast("int"))
+    val blockPairs = s.createDataFrame(
+      for { i <- 0 until PairBlocks; j <- i until PairBlocks } yield (i, j))
+      .toDF("ba", "bb")
+    // each side replicated to its block-pair rows (a tiny broadcast join),
+    // then ONE shuffle equi-join on the composite (ba, bb) key — 36 even
+    // keys, so parallelism is the block-pair count, not the block count
+    val a = blockPairs.join(
+      v.select($"blk".as("ba"), $"vec_id".as("id_x"), $"v".as("vx"), $"nrm".as("nx")), "ba")
+    val b = blockPairs.join(
+      v.select($"blk".as("bb"), $"vec_id".as("id_y"), $"v".as("vy"), $"nrm".as("ny")), "bb")
+    a.join(b, Seq("ba", "bb"))
+      .where($"ba" =!= $"bb" || $"id_x" < $"id_y")
+      .select(least($"id_x", $"id_y").as("id_a"),
+        greatest($"id_x", $"id_y").as("id_b"),
+        round(dot($"vx", $"vy") / ($"nx" * $"ny"), 6).as("cos"))
       .where($"cos" >= 0.4)
       .orderBy($"id_a", $"id_b")
   }
@@ -272,7 +317,7 @@ object Similarity {
   }
 
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q_embed_cosine_dedup", cosineDedup, Some(cosineDedupSql)),
+    GraftQuery("q_embed_cosine_dedup", cosineDedupBlocked, Some(cosineDedupSql)),
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
     GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)),
     GraftQuery("q_ann_ivf", annIvf, Some(annIvfSql)),

@@ -73,6 +73,25 @@ object TypoCorrection {
        |  dist
        |FROM best WHERE rk = 1 ORDER BY word""".stripMargin
 
+  /** The unique-corrections dictionary (reference: getUniqueCorrections,
+    * src/NLP_functions.py:86): only the words that actually changed,
+    * as (typo → correction) pairs — the reference's d_fix dict with
+    * identity entries dropped.
+    */
+  def typoDictionary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    typoCorrect(s, dir)
+      .where($"correction" =!= $"word")
+      .select($"word", $"correction")
+      .distinct()
+      .orderBy($"word")
+  }
+
+  val typoDictionarySql: String =
+    s"""SELECT DISTINCT word, correction FROM ($typoCorrectSql) t
+       |WHERE correction <> word ORDER BY word""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q_typo_correct", typoCorrect, Some(typoCorrectSql)))
+    GraftQuery("q_typo_correct", typoCorrect, Some(typoCorrectSql)),
+    GraftQuery("q_typo_dictionary", typoDictionary, Some(typoDictionarySql)))
 }

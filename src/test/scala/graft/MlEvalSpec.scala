@@ -1,0 +1,135 @@
+package graft
+
+import graft.ml.{Classifiers, CrossVal, ModelEval}
+import graft.operators.Evaluation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MLlib scores composed through the evaluation machinery: per-model
+  * AUC determinism across independent refits, ROC-curve invariants, the
+  * CV-fold grid shape, and the shared 5×2cv t-test algebra against a
+  * hand-computed statistic.
+  */
+class MlEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Tie-aware trapezoid AUC of a (y, score) frame — the same collapsed-
+    * tallies algebra as the registered queries, recomputed independently.
+    */
+  private def aucOf(scores: DataFrame): Double = {
+    import spark.implicits._
+    val grouped = scores.groupBy($"score")
+      .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
+    Evaluation.cumTallies(grouped, Nil)
+      .agg((Evaluation.aucNumerator /
+        Evaluation.aucDenominator(sum($"cp"), sum($"c" - $"cp"))).as("auc"))
+      .as[Double].head()
+  }
+
+  test("per-model holdout AUC/AP cover the bank and sit in range") {
+    val rows = ModelEval.mlRocAuc(spark, dir).collect()
+    val models = rows.map(_.getString(0)).toSet
+    assert(models == Classifiers.estimators.map(_._1).toSet)
+    rows.foreach { r =>
+      val (auc, ap) = (r.getDouble(1), r.getDouble(2))
+      assert(auc >= 0.0 && auc <= 1.0, s"${r.getString(0)} auc=$auc")
+      assert(ap > 0.0 && ap <= 1.0, s"${r.getString(0)} ap=$ap")
+    }
+  }
+
+  test("registered per-model AUC is reproduced exactly by an independent refit") {
+    import spark.implicits._
+    val registered = ModelEval.mlRocAuc(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // cache-bypassed second fit on the same layout (featurize is the
+    // uncached builder, fitOn a fresh training pass): seeded learners are
+    // deterministic for a fixed input layout, so the AUC must be
+    // bit-identical — one cheap linear model and one seeded ensemble
+    Seq("logreg", "rf").foreach { name =>
+      val (train, test) = Classifiers.featurize(spark, dir)
+      val m = Classifiers.fitOn(name, train)
+      val fresh = aucOf(m.transform(test).select(
+        $"label".cast("int").as("y"), Classifiers.scoreExpr(name).as("score")))
+      assert(fresh == registered(name), s"$name: $fresh != ${registered(name)}")
+    }
+  }
+
+  test("per-model ROC curves are monotone and end at (1, 1)") {
+    val rows = ModelEval.mlRocCurve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (model, pts) =>
+      val sorted = pts.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, t1, f1), (_, _, t2, f2)) =>
+          assert(t2 >= t1 && f2 >= f1, s"$model: non-monotone ROC")
+        case _ =>
+      }
+      val (_, _, tl, fl) = sorted.last
+      assert(tl == 1.0 && fl == 1.0, s"$model: curve ends at ($tl, $fl)")
+    }
+  }
+
+  test("CV-fold grid covers both refit models on all 10 folds") {
+    val rows = ModelEval.mlCvAuc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    assert(rows.map(_._1).toSet == Set("naive_bayes", "logreg"))
+    assert(rows.map(t => (t._2, t._3)).toSet ==
+      (for { r <- 0 until 5; f <- 0 until 2 } yield (r, f)).toSet)
+    rows.foreach { case (m, r, f, auc) =>
+      assert(auc >= 0.0 && auc <= 1.0, s"$m r=$r f=$f auc=$auc")
+    }
+  }
+
+  test("ttestStat reproduces a hand-computed Dietterich statistic") {
+    import spark.implicits._
+    // synthetic 5×2 grid with known AUCs
+    val as = (0 until 5).flatMap(r => (0 until 2).map(f =>
+      (r, f, "a", 0.70 + 0.011 * r + 0.02 * f)))
+    val bs = (0 until 5).flatMap(r => (0 until 2).map(f =>
+      (r, f, "b", 0.65 + 0.017 * r - 0.01 * f)))
+    val aucs = (as ++ bs).toDF("r", "f", "scorer", "auc")
+    val got = CrossVal.ttestStat(aucs, "a", "b").collect().head
+    // same arithmetic shape as the plan: d per fold, per-round variance
+    // around the round mean, variances folded in r order
+    val d = (0 until 5).map { r =>
+      val d0 = (0.70 + 0.011 * r) - (0.65 + 0.017 * r)
+      val d1 = (0.70 + 0.011 * r + 0.02) - (0.65 + 0.017 * r - 0.01)
+      (d0, d1)
+    }
+    val s2 = d.map { case (d0, d1) =>
+      val m = (d0 + d1) / 2
+      (d0 - m) * (d0 - m) + (d1 - m) * (d1 - m)
+    }
+    val sSqr = s2.reduceLeft(_ + _)
+    val expected = d.head._1 / math.sqrt(sSqr / 5)
+    assert(math.abs(got.getDouble(0) - d.head._1) < 1e-12)
+    assert(math.abs(got.getDouble(2) - expected) < 1e-9,
+      s"t=${got.getDouble(2)} expected=$expected")
+  }
+
+  test("the registered analytic t-test equals ttestStat on the analytic fold AUCs") {
+    // the refactor's no-drift guarantee: q_ttest_5x2 IS the shared
+    // algebra applied to the analytic scorers
+    val viaShared = CrossVal.ttestStat(CrossVal.foldAucs(spark, dir), "a", "b")
+      .collect().head
+    val registered = CrossVal.ttest5x2(spark, dir).collect().head
+    assert(viaShared == registered)
+  }
+
+  test("model-refitting learning curve has the 5 nested sizes, AUC in range") {
+    val rows = ModelEval.mlLearningCurve(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSeq == Seq(20, 40, 60, 80, 100))
+    rows.foreach { case (frac, auc) =>
+      assert(auc >= 0.0 && auc <= 1.0, s"frac=$frac auc=$auc")
+    }
+  }
+}

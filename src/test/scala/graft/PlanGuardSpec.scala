@@ -25,7 +25,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_optimal_cutoff", "q_confusion_sweep", "q_confusion_at_cutoff",
     "q_classification_report", "q_learning_curve", "q_learning_curve_pr",
     "q_mean_roc_folds", "q_model_compare", "q_ttest_5x2", "q_median_model",
-    "q_prevalence_pr", "q_pack_sequences")
+    "q_prevalence_pr", "q_pack_sequences",
+    // the MLlib-score composition family routes through the same
+    // cumTallies prefix-sum — guard it the same way
+    "q_ml_roc_auc", "q_ml_roc_curve", "q_ml_pr_curve", "q_ml_cv_auc",
+    "q_ml_ttest_5x2", "q_ml_learning_curve")
 
   test("no partition-less window in any sweep-family plan") {
     val byName = SparkEntry.all.map(q => q.name -> q.fn).toMap
@@ -48,6 +52,32 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "plain inverted join appears to be registered")
     assert(wins.forall(_.partitionSpec.nonEmpty),
       "prefix-rank window lost its partition spec — single-task at scale")
+  }
+
+  test("registered jaccard plan has no window partitioned by shingle") {
+    // the shingle-frequency stat must be a partial-aggregating groupBy,
+    // never a window by shingle: that shape ships every exploded posting
+    // row combiner-less and buffers each hot shingle's full posting list
+    // in one window partition
+    val plan = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+      .queryExecution.optimizedPlan
+    val byShingle = plan.collect {
+      case w: Window if w.partitionSpec.exists(_.references.exists(_.name == "shingle")) => w
+    }
+    assert(byShingle.isEmpty,
+      s"${byShingle.size} window(s) partitioned by shingle — hot-key buffering at scale")
+  }
+
+  test("registered embed-cosine dedup is the blocked plan (no BNLJ, no cartesian)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = SparkEntry.queries("q_embed_cosine_dedup")(spark, dir)
+      .queryExecution.sparkPlan
+    val bad = plan.collect {
+      case b: BroadcastNestedLoopJoinExec => b: org.apache.spark.sql.execution.SparkPlan
+      case c: CartesianProductExec => c
+    }
+    assert(bad.isEmpty,
+      s"${bad.size} non-equi pair-sweep join(s) — corpus-sized broadcast at scale")
   }
 
   test("jaccard plan computes the shingle expression at most once per branch") {

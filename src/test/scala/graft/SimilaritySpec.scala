@@ -42,4 +42,10 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
   }
 
+  test("blocked pair enumeration equals the brute-force cosine dedup exactly") {
+    val blocked = Similarity.cosineDedupBlocked(spark, dir).collect().toSeq
+    val brute = Similarity.cosineDedup(spark, dir).collect().toSeq
+    assert(blocked.nonEmpty && blocked == brute)
+  }
+
 }
