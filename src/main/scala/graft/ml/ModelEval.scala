@@ -111,27 +111,41 @@ object ModelEval {
   private[ml] def mlFoldAucs(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"ml.cvFoldAucs:$dir") {
       import s.implicits._
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
       // the one frame all 10 featurizer fits + 20 model fits re-read;
       // persisting it is the same iterative-trainer argument as fitOn
       val data = Classifiers.prepared(s, dir).persist()
-      val scored = (for {
-        r <- 0 until 5
-        f <- 0 until 2
-      } yield {
-        val isTest = Evaluation.shuffleSplitBit($"doc_id", lit(r), 5) === f
-        val (ftrain, ftest) =
-          Classifiers.featurizePair(data.where(!isTest), data.where(isTest))
-        val cached = ftrain.persist()
-        val branches = cvPair.map { case (name, est) =>
-          val m = est().fit(cached).asInstanceOf[Transformer]
-          m.transform(ftest).select(
-            lit(name).as("scorer"), lit(r).as("r"), lit(f).as("f"),
-            $"label".cast("int").as("y"),
-            Classifiers.scoreExpr(name).as("score"))
+      data.count() // materialize once before the concurrent fits race to
+      val folds = for { r <- 0 until 5; f <- 0 until 2 } yield (r, f)
+      // fold pipelines are independent — overlap a FEW as concurrent
+      // Spark jobs (the CrossValidator-parallelism pattern). 3, not all
+      // 10: at sf0.1 the fits are tiny and the single-threaded DAG
+      // scheduler is the floor (measured: sequential ~19 s ≈ 3-way
+      // ~20 s, 10-way degrades to ~36 s), so wide overlap only buys
+      // contention; on a real cluster, where each fold's jobs are
+      // resource-bound rather than scheduler-bound, bounded overlap is
+      // the wall-time win.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val scored = try Await.result(Future.traverse(folds) { case (r, f) =>
+        Future {
+          val isTest = Evaluation.shuffleSplitBit($"doc_id", lit(r), 5) === f
+          val (ftrain, ftest) =
+            Classifiers.featurizePair(data.where(!isTest), data.where(isTest))
+          val cached = ftrain.persist()
+          val branches = cvPair.map { case (name, est) =>
+            val m = est().fit(cached).asInstanceOf[Transformer]
+            m.transform(ftest).select(
+              lit(name).as("scorer"), lit(r).as("r"), lit(f).as("f"),
+              $"label".cast("int").as("y"),
+              Classifiers.scoreExpr(name).as("score"))
+          }
+          cached.unpersist(blocking = false)
+          branches.reduce(_.unionByName(_))
         }
-        cached.unpersist(blocking = false)
-        branches.reduce(_.unionByName(_))
-      }).reduce(_.unionByName(_))
+      }, Duration.Inf).reduce(_.unionByName(_))
+      finally pool.shutdown()
       val grouped = scored.groupBy($"scorer", $"r", $"f", $"score")
         .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
       val aucs = Evaluation.cumTallies(grouped, Seq("scorer", "r", "f"))
@@ -171,19 +185,28 @@ object ModelEval {
   def mlLearningCurve(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"ml.learningCurve:$dir") {
       import s.implicits._
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
       val (train, test) = Classifiers.featurized(s, dir)
+      train.count() // materialize before the concurrent refits race to
       val h = (($"doc_id" % 2147483648L) * 2654435761L + 54321L) % 2147483648L
       val fracs = Seq(20, 40, 60, 80, 100)
-      val scored = fracs.map { frac =>
-        // h ∈ [0, 2³¹); h·100 < frac·2³¹ keeps ≈frac% — exact nesting,
-        // all-long arithmetic (max h·100 ≈ 2³⁸, far inside int64)
-        val sub = train.where(h * 100 < lit(frac.toLong) * 2147483648L)
-        val m = new LogisticRegression().setMaxIter(10).setRegParam(1e-4)
-          .fit(sub).asInstanceOf[Transformer]
-        m.transform(test).select(lit(frac).as("frac_pct"),
-          $"label".cast("int").as("y"),
-          Classifiers.scoreExpr("logreg").as("score"))
-      }.reduce(_.unionByName(_))
+      // independent refits → a few concurrent Spark jobs, like mlFoldAucs
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val scored = try Await.result(Future.traverse(fracs) { frac =>
+        Future {
+          // h ∈ [0, 2³¹); h·100 < frac·2³¹ keeps ≈frac% — exact nesting,
+          // all-long arithmetic (max h·100 ≈ 2³⁸, far inside int64)
+          val sub = train.where(h * 100 < lit(frac.toLong) * 2147483648L)
+          val m = new LogisticRegression().setMaxIter(10).setRegParam(1e-4)
+            .fit(sub).asInstanceOf[Transformer]
+          m.transform(test).select(lit(frac).as("frac_pct"),
+            $"label".cast("int").as("y"),
+            Classifiers.scoreExpr("logreg").as("score"))
+        }
+      }, Duration.Inf).reduce(_.unionByName(_))
+      finally pool.shutdown()
       val grouped = scored.groupBy($"frac_pct", $"score")
         .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
       Evaluation.cumTallies(grouped, Seq("frac_pct"))
