@@ -34,42 +34,64 @@ object MeanRoc {
     // below then see only (iter × distinct score) rows
     val grouped = folds.groupBy($"iter", $"score")
       .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
+    meanRocFromTallies(s, grouped, Nil)
+  }
+
+  /** The grid-interpolated mean-ROC algebra on ANY per-(parts..., iter,
+    * score) tally frame (columns: parts..., iter, score, c, cp) — the
+    * single implementation behind the analytic q_mean_roc_folds
+    * (parts = ∅) and the fitted-model q_ml_mean_roc (parts = model), so
+    * the two can't drift. Means fold per (parts..., g) over the iters in
+    * fixed iter order; every window carries a partition spec
+    * (cumTallies bucketing included).
+    */
+  private[graft] def meanRocFromTallies(
+      s: SparkSession, grouped: DataFrame, parts: Seq[String]): DataFrame = {
+    import s.implicits._
+    val pc = parts.map(col)
+    val pi = parts :+ "iter"
     // bucketed prefix-sum (Evaluation.cumTallies), not a per-iter window:
     // an iter group holds all of its fold's distinct scores
-    val iterTotals = grouped.groupBy($"iter")
+    val iterTotals = grouped.groupBy(pi.map(col): _*)
       .agg(sum($"cp").as("p"), sum($"c" - $"cp").as("n"))
-    val ranked = Evaluation.cumTallies(grouped, Seq("iter"))
-      .join(broadcast(iterTotals), "iter")
-      .select($"iter", $"score", $"c", $"cp", $"cum_tp",
-        ($"rk" - $"cum_tp").as("cum_fp"), $"p", $"n")
+    val ranked = Evaluation.cumTallies(grouped, pi)
+      .join(broadcast(iterTotals), pi)
+      .select(pc ++ Seq($"iter", $"score", $"c", $"cp", $"cum_tp",
+        ($"rk" - $"cum_tp").as("cum_fp"), $"p", $"n"): _*)
     // collapse each fold to its best tpr per first-reachable grid point:
     // threshold becomes visible at g0 = ceil(cum_fp*100/n) (integer-exact)
     val perThresh = ranked
-      .groupBy($"iter", ((($"cum_fp" * 100) + $"n" - 1).divide($"n")
-        .cast("long")).as("g0"))
+      .groupBy(pc ++ Seq($"iter", ((($"cum_fp" * 100) + $"n" - 1).divide($"n")
+        .cast("long")).as("g0")): _*)
       .agg(max($"cum_tp".cast("double") / $"p").as("tpr0"))
-    // step-carry: running max over the full grid per fold. The grid side
-    // carries its own column names (g_iter) so the join with perThresh —
-    // both descendants of `iters` — has no ambiguous attributes
+    // step-carry: running max over the full grid per (parts, fold). The
+    // domain side carries its own column names (d_*) so the join with
+    // perThresh — both descendants of grouped — has no ambiguous
+    // attributes
     val grid = s.range(0, 101).select($"id".cast("long").as("g"))
-    val ig = iters.select($"iter".as("g_iter")).crossJoin(broadcast(grid))
-    val carried = ig
+    val domain = grouped.select(pi.map(c0 => col(c0).as(s"d_$c0")): _*)
+      .distinct().crossJoin(broadcast(grid))
+    val carried = domain
       .join(perThresh,
-        $"g_iter" === perThresh("iter") && $"g" === perThresh("g0"), "left")
-      .select($"g_iter".as("iter"), $"g", $"tpr0")
+        pi.map(c0 => col(s"d_$c0") === perThresh(c0))
+          .reduce(_ && _) && $"g" === perThresh("g0"), "left")
+      .select(pi.map(c0 => col(s"d_$c0")) ++ Seq($"g", $"tpr0"): _*)
       .withColumn("tpr", coalesce(
-        max($"tpr0").over(Window.partitionBy($"iter").orderBy($"g")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        max($"tpr0").over(
+          Window.partitionBy(pi.map(c0 => col(s"d_$c0")): _*).orderBy($"g")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
         lit(0.0)))
-    // fixed-order fold of the 10 per-fold values: deterministic float sum
-    carried.groupBy($"g")
+    // fixed-order fold of the per-fold values: deterministic float sum;
+    // divide by the exact fold count (== 10.0 for both callers)
+    carried.groupBy(parts.map(c0 => col(s"d_$c0").as(c0)) :+ $"g": _*)
       .agg(round(
         aggregate(
-          transform(array_sort(collect_list(struct($"iter", $"tpr"))),
+          transform(array_sort(collect_list(struct($"d_iter".as("iter"), $"tpr"))),
             x => x("tpr")),
-          lit(0.0), (acc, x) => acc + x) / 10.0, 6).as("mean_tpr"),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1)).cast("double"), 6)
+        .as("mean_tpr"),
         count(lit(1)).as("n_folds"))
-      .orderBy($"g")
+      .orderBy(pc :+ $"g": _*)
   }
 
   val meanRocFoldsSql: String =

@@ -102,14 +102,17 @@ object ModelEval {
     "naive_bayes" -> (() => new NaiveBayes().setSmoothing(1.0)),
     "logreg" -> (() => new LogisticRegression().setMaxIter(10).setRegParam(1e-4)))
 
-  /** Per-(model, r, f) hold-out AUCs of the 5×2 grid with BOTH models
-    * REFIT on each fold's train half (featurizer included — no IDF
-    * leakage across the fold boundary): the reference's fitModels loop
-    * per CV iteration. 20 fits, paid once per (session, dir); the AUC
-    * algebra is the same collapsed-tallies rank shape as everywhere else.
+  /** Per-(scorer, r, f, score) threshold tallies of the 5×2 grid with
+    * BOTH models REFIT on each fold's train half (featurizer included —
+    * no IDF leakage across the fold boundary): the reference's fitModels
+    * loop per CV iteration. 20 fits, paid once per (session, dir); every
+    * fold statistic (AUCs, the mean-ROC grid) derives from this one
+    * cached frame. The persist is bounded at any corpus size: scores are
+    * rounded to 6 dp, so a (scorer, fold) group holds at most ~10⁶
+    * distinct-score rows no matter how large the test folds are.
     */
-  private[ml] def mlFoldAucs(s: SparkSession, dir: String): DataFrame =
-    SessionCache.getOrCompute(s, s"ml.cvFoldAucs:$dir") {
+  private[ml] def foldTallies(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"ml.cvFoldTallies:$dir") {
       import s.implicits._
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -146,16 +149,40 @@ object ModelEval {
         }
       }, Duration.Inf).reduce(_.unionByName(_))
       finally pool.shutdown()
-      val grouped = scored.groupBy($"scorer", $"r", $"f", $"score")
+      scored.groupBy($"scorer", $"r", $"f", $"score")
         .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
-      val aucs = Evaluation.cumTallies(grouped, Seq("scorer", "r", "f"))
+        .persist()
+    }
+
+  /** Per-(model, r, f) hold-out AUCs over the refit 5×2 grid — the same
+    * collapsed-tallies rank shape as everywhere else, on the cached
+    * [[foldTallies]].
+    */
+  private[ml] def mlFoldAucs(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"ml.cvFoldAucs:$dir") {
+      import s.implicits._
+      val aucs = Evaluation.cumTallies(foldTallies(s, dir), Seq("scorer", "r", "f"))
         .groupBy($"scorer", $"r", $"f")
         .agg((Evaluation.aucNumerator /
           Evaluation.aucDenominator(sum($"cp"), sum($"c" - $"cp"))).as("auc"))
       // 20 rows — persist so the t-test and the fold listing don't re-run
-      // the 20 test-half transforms
+      // the sweep
       aucs.persist()
     }
+
+  /** Mean ROC across the 5×2 folds PER FITTED MODEL (reference: plotSTD,
+    * src/TextClassification.py:826, over fitted classifiers): each refit
+    * fold's ROC interpolated onto the fixed 101-point FPR grid, then
+    * averaged in fold order — the fitted-model twin of q_mean_roc_folds,
+    * through the same MeanRoc.meanRocFromTallies algebra.
+    */
+  def mlMeanRoc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tallies = foldTallies(s, dir)
+      .select($"scorer".as("model"), ($"r" * 2 + $"f").cast("int").as("iter"),
+        $"score", $"c", $"cp")
+    MeanRoc.meanRocFromTallies(s, tallies, Seq("model"))
+  }
 
   /** The per-fold AUC grid itself (model × 5 rounds × 2 folds). */
   def mlCvAuc(s: SparkSession, dir: String): DataFrame = {
@@ -222,5 +249,6 @@ object ModelEval {
     GraftQuery("q_ml_pr_curve", mlPrCurve, None),
     GraftQuery("q_ml_cv_auc", mlCvAuc, None),
     GraftQuery("q_ml_ttest_5x2", mlTtest5x2, None),
+    GraftQuery("q_ml_mean_roc", mlMeanRoc, None),
     GraftQuery("q_ml_learning_curve", mlLearningCurve, None))
 }

@@ -124,6 +124,22 @@ class MlEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaShared == registered)
   }
 
+  test("per-model mean ROC is monotone on the grid and ends at 1") {
+    val rows = ModelEval.mlMeanRoc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == 2 * 101 && rows.forall(_._4 == 10))
+    rows.groupBy(_._1).foreach { case (model, pts) =>
+      val sorted = pts.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L to 100L), s"$model: grid gaps")
+      sorted.sliding(2).foreach {
+        case Array((_, _, t1, _), (_, _, t2, _)) =>
+          assert(t2 >= t1, s"$model: non-monotone mean ROC")
+        case _ =>
+      }
+      assert(sorted.last._3 == 1.0, s"$model: ends at ${sorted.last._3}")
+    }
+  }
+
   test("model-refitting learning curve has the 5 nested sizes, AUC in range") {
     val rows = ModelEval.mlLearningCurve(spark, dir).collect()
       .map(r => (r.getInt(0), r.getDouble(1)))

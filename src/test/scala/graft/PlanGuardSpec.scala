@@ -29,7 +29,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the MLlib-score composition family routes through the same
     // cumTallies prefix-sum — guard it the same way
     "q_ml_roc_auc", "q_ml_roc_curve", "q_ml_pr_curve", "q_ml_cv_auc",
-    "q_ml_ttest_5x2", "q_ml_learning_curve")
+    "q_ml_ttest_5x2", "q_ml_mean_roc", "q_ml_learning_curve")
 
   test("no partition-less window in any sweep-family plan") {
     val byName = SparkEntry.all.map(q => q.name -> q.fn).toMap
