@@ -50,4 +50,12 @@ object SessionCache {
     }
     cache.computeIfAbsent((s, key), _ => new Cell(() => f)).value.asInstanceOf[T]
   }
+
+  /** Entries owned by a context — SessionCacheSpec asserts eviction. */
+  private[graft] def entriesFor(sc: SparkContext): Int = {
+    var n = 0
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext eq sc) n += 1
+    n
+  }
 }
