@@ -27,9 +27,16 @@ object Dedup {
     * single source for both the exploded posting rows and the explode-
     * free size branch.
     */
-  private[operators] def shingleArrs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  private[operators] def shingleArrs(s: SparkSession, dir: String): DataFrame =
+    shingleArrsOf(Tables.documents(s, dir))
+
+  /** The shingle-array builder on ANY (doc_id, text) frame — factored so
+    * specs can drive the jaccard plans with adversarial synthetic
+    * corpora (hot shingles, boundary sizes) directly.
+    */
+  private[graft] def shingleArrsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", TF.tokens($"text").as("toks"))
       .select($"doc_id",
         array_distinct(
@@ -43,6 +50,11 @@ object Dedup {
   private[operators] def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     shingleArrs(s, dir).select($"doc_id", explode($"arr").as("shingle"))
+  }
+
+  private def shinglesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    shingleArrsOf(docs).select($"doc_id", explode($"arr").as("shingle"))
   }
 
   /** Per-doc distinct-shingle counts WITHOUT exploding: one size() on
@@ -125,7 +137,11 @@ object Dedup {
     * plain inverted-join SQL; pays two extra small passes, the price of
     * surviving hot posting lists at 100 TB.
     */
-  def ngramJaccardPrefix(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+  def ngramJaccardPrefix(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
+    ngramJaccardPrefixOn(s, Tables.documents(s, dir), tau)
+
+  private[graft] def ngramJaccardPrefixOn(
+      s: SparkSession, docs: DataFrame, tau: Double): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // exact rational τ = num/den so every bound below is integer
@@ -149,7 +165,7 @@ object Dedup {
     // windows carry a partition spec). freq is coalesced non-null so
     // InferFiltersFromConstraints has no isnotnull to derive and the
     // array expression stays put.
-    val sh = shingles(s, dir)
+    val sh = shinglesOf(docs)
     val freq = sh.groupBy($"shingle")
       .agg(coalesce(count(lit(1)), lit(0L)).as("freq"))
     val wDoc = Window.partitionBy($"doc_id")
@@ -184,7 +200,7 @@ object Dedup {
     // (AQE broadcasts the candidate side) and the intersection is a
     // per-row array_intersect — no candidate×shingle row blowup, no
     // second corpus-wide aggregation
-    val arrs = shingleArrs(s, dir)
+    val arrs = shingleArrsOf(docs)
     cand
       .join(arrs.select($"doc_id".as("id_a"), $"arr".as("arr_a")), "id_a")
       .join(arrs.select($"doc_id".as("id_b"), $"arr".as("arr_b")), "id_b")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Evaluation}
+import graft.operators.{Corpus, Dedup, Evaluation}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -63,6 +63,41 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         .select($"score", $"rk", $"cum_tp").as[(Double, Long, Long)]
         .collect().map { case (s, rk, tp) => s -> ((rk, tp)) }.toMap
       assert(got == expected, s"seed=$seed k=$k")
+    }
+  }
+
+  test("positional-filtered prefix join equals brute-force jaccard on 12 random corpora") {
+    import spark.implicits._
+    // small vocab → hot shingles, shared 3-grams, boundary doc sizes —
+    // the regime where a wrong prefix length or positional bound drops a
+    // qualifying pair
+    (1 to 12).foreach { seed =>
+      val rnd = new scala.util.Random(1000 + seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      val docs = (0L until (10 + rnd.nextInt(30)).toLong).map { id =>
+        val len = 3 + rnd.nextInt(18)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // exact rational τ, the same num/den arithmetic as the plan — a
+      // double quotient could disagree at exact boundaries (J == τ)
+      val (tau, num, den) =
+        Seq((0.3, 3L, 10L), (0.5, 5L, 10L), (0.75, 75L, 100L))(rnd.nextInt(3))
+      def shingleSet(text: String): Set[String] = {
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        t.indices.collect {
+          case i if i + 3 <= t.length => t.slice(i, i + 3).mkString(" ")
+        }.toSet
+      }
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = sa.intersect(sb).size.toLong
+        if sa.nonEmpty && sb.nonEmpty &&
+          inter * den >= num * (sa.size + sb.size - inter)
+      } yield (ia, ib)).toSet
+      val got = Dedup.ngramJaccardPrefixOn(spark, docs.toDF("doc_id", "text"), tau)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed tau=$tau docs=${docs.size}")
     }
   }
 
