@@ -116,10 +116,17 @@ object ModelEval {
       import s.implicits._
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      // the one frame all 10 featurizer fits + 20 model fits re-read;
-      // persisting it is the same iterative-trainer argument as fitOn
-      val data = Classifiers.prepared(s, dir).persist()
-      data.count() // materialize once before the concurrent fits race to
+      import org.apache.spark.ml.feature.{HashingTF, IDF}
+      // HashingTF is STATELESS, so the term-hash pass runs ONCE over the
+      // corpus and every fold refits only the stage that actually
+      // depends on its train half — the IDF statistics (bit-identical to
+      // refitting the whole featurizer per fold, ~10 corpus hash passes
+      // cheaper). The persisted tf frame is one sparse vector per doc.
+      val tf = new HashingTF().setInputCol("grams").setOutputCol("tf")
+        .setNumFeatures(Classifiers.NumFeatures)
+        .transform(Classifiers.prepared(s, dir))
+        .select($"doc_id", $"label", $"tf").persist()
+      tf.count() // materialize once before the concurrent fits race to
       val folds = for { r <- 0 until 5; f <- 0 until 2 } yield (r, f)
       // fold pipelines are independent — overlap a FEW as concurrent
       // Spark jobs (the CrossValidator-parallelism pattern). 3, not all
@@ -134,8 +141,12 @@ object ModelEval {
       val scored = try Await.result(Future.traverse(folds) { case (r, f) =>
         Future {
           val isTest = Evaluation.shuffleSplitBit($"doc_id", lit(r), 5) === f
-          val (ftrain, ftest) =
-            Classifiers.featurizePair(data.where(!isTest), data.where(isTest))
+          // IDF fit on the fold's train half only — no leakage
+          val idf = new IDF().setInputCol("tf").setOutputCol("features")
+            .fit(tf.where(!isTest))
+          def feat(df: org.apache.spark.sql.DataFrame) =
+            idf.transform(df).select($"doc_id", $"label", $"features")
+          val (ftrain, ftest) = (feat(tf.where(!isTest)), feat(tf.where(isTest)))
           val cached = ftrain.persist()
           val branches = cvPair.map { case (name, est) =>
             val m = est().fit(cached).asInstanceOf[Transformer]
