@@ -37,14 +37,26 @@ object ModelEval {
     }.reduce(_.unionByName(_))
   }
 
+  /** Per-(model, score) hold-out threshold tallies, memoized per
+    * (session, dir): the AUC/ROC/PR trio all consume them, and the
+    * persist is bounded at any corpus size by the 6-dp score rounding
+    * (≤ ~10⁶ distinct-score rows per model).
+    */
+  private def holdoutTallies(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"ml.holdoutTallies:$dir") {
+      import s.implicits._
+      scoresAll(s, dir)
+        .groupBy($"model", $"score")
+        .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
+        .persist()
+    }
+
   /** Per-(model, score) threshold tallies with cumulative counts and
     * per-model totals — [[Evaluation.ranked]] partitioned by model.
     */
   private def rankedByModel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grouped = scoresAll(s, dir)
-      .groupBy($"model", $"score")
-      .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
+    val grouped = holdoutTallies(s, dir)
     val totals = grouped.groupBy($"model")
       .agg(sum($"cp").as("p"), (sum($"c") - sum($"cp")).as("n"))
     Evaluation.cumTallies(grouped, Seq("model"))
