@@ -76,6 +76,25 @@ class MlEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("per-model PR curves have valid ranges and recall monotone in rk") {
+    val rows = ModelEval.mlPrCurve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (model, pts) =>
+      val sorted = pts.sortBy(_._2)
+      // precision CAN be 0.0 (a negative top-scored doc); both are rates
+      sorted.foreach { case (_, rk, pr, rc) =>
+        assert(pr >= 0.0 && pr <= 1.0 && rc >= 0.0 && rc <= 1.0,
+          s"$model rk=$rk precision=$pr recall=$rc")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, r1), (_, _, _, r2)) =>
+          assert(r2 >= r1, s"$model: recall not monotone")
+        case _ =>
+      }
+      assert(sorted.last._4 == 1.0, s"$model: recall ends at ${sorted.last._4}")
+    }
+  }
+
   test("CV-fold grid covers both refit models on all 10 folds") {
     val rows = ModelEval.mlCvAuc(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
