@@ -37,8 +37,12 @@ object SessionCache {
 
   def getOrCompute[T <: AnyRef](s: SparkSession, key: String)(f: => T): T = {
     val sc = s.sparkContext
+    // a stopped context gets no memoization: inserting after the
+    // eviction sweep would strongly retain the dead session forever, and
+    // addSparkListener on a stopped bus throws
+    if (sc.isStopped) return f
     if (hooked.add(sc)) {
-      sc.addSparkListener(new SparkListener {
+      try sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           // the context's executors are gone, so cached frames need no
           // unpersist — dropping the references is the whole cleanup
@@ -46,9 +50,17 @@ object SessionCache {
           val it = cache.keySet().iterator()
           while (it.hasNext) if (it.next()._1.sparkContext eq sc) it.remove()
         }
-      })
+      }) catch {
+        case _: IllegalStateException => // stopped between check and hook
+          hooked.remove(sc)
+          return f
+      }
     }
-    cache.computeIfAbsent((s, key), _ => new Cell(() => f)).value.asInstanceOf[T]
+    val v = cache.computeIfAbsent((s, key), _ => new Cell(() => f)).value
+    // best-effort close of the remaining race: an insert that slipped in
+    // while the context was stopping is swept here instead of leaking
+    if (sc.isStopped) cache.remove((s, key))
+    v.asInstanceOf[T]
   }
 
   /** Entries owned by a context — SessionCacheSpec asserts eviction. */

@@ -34,7 +34,7 @@ object MeanRoc {
     // below then see only (iter × distinct score) rows
     val grouped = folds.groupBy($"iter", $"score")
       .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
-    meanRocFromTallies(s, grouped, Nil)
+    meanRocFromTallies(s, grouped, Nil, iters)
   }
 
   /** The grid-interpolated mean-ROC algebra on ANY per-(parts..., iter,
@@ -44,9 +44,17 @@ object MeanRoc {
     * the two can't drift. Means fold per (parts..., g) over the iters in
     * fixed iter order; every window carries a partition spec
     * (cumTallies bucketing included).
+    *
+    * `domain` is the EXPECTED fold grid (columns: parts..., iter),
+    * supplied explicitly rather than derived from the observed tallies:
+    * a degenerate fold with zero test rows must still contribute a
+    * tpr=0 curve to the mean (the oracle cross-joins the literal
+    * generate_series fold list and divides by the full fold count — a
+    * distinct() over observed folds would silently average over fewer).
     */
   private[graft] def meanRocFromTallies(
-      s: SparkSession, grouped: DataFrame, parts: Seq[String]): DataFrame = {
+      s: SparkSession, grouped: DataFrame, parts: Seq[String],
+      domain: DataFrame): DataFrame = {
     import s.implicits._
     val pc = parts.map(col)
     val pi = parts :+ "iter"
@@ -66,12 +74,12 @@ object MeanRoc {
       .agg(max($"cum_tp".cast("double") / $"p").as("tpr0"))
     // step-carry: running max over the full grid per (parts, fold). The
     // domain side carries its own column names (d_*) so the join with
-    // perThresh — both descendants of grouped — has no ambiguous
-    // attributes
+    // perThresh — potentially both descendants of one frame — has no
+    // ambiguous attributes
     val grid = s.range(0, 101).select($"id".cast("long").as("g"))
-    val domain = grouped.select(pi.map(c0 => col(c0).as(s"d_$c0")): _*)
-      .distinct().crossJoin(broadcast(grid))
-    val carried = domain
+    val gridded = domain.select(pi.map(c0 => col(c0).as(s"d_$c0")): _*)
+      .crossJoin(broadcast(grid))
+    val carried = gridded
       .join(perThresh,
         pi.map(c0 => col(s"d_$c0") === perThresh(c0))
           .reduce(_ && _) && $"g" === perThresh("g0"), "left")

@@ -172,9 +172,15 @@ object ModelEval {
         }
       }, Duration.Inf).reduce(_.unionByName(_))
       finally pool.shutdown()
-      scored.groupBy($"scorer", $"r", $"f", $"score")
+      val tallies = scored.groupBy($"scorer", $"r", $"f", $"score")
         .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
         .persist()
+      // materialize the bounded tallies NOW so the corpus-sized tf pin
+      // can be released before the memo returns — only the rounded-score
+      // tallies stay resident for the session
+      tallies.count()
+      tf.unpersist(blocking = false)
+      tallies
     }
 
   /** Per-(model, r, f) hold-out AUCs over the refit 5×2 grid — the same
@@ -204,7 +210,12 @@ object ModelEval {
     val tallies = foldTallies(s, dir)
       .select($"scorer".as("model"), ($"r" * 2 + $"f").cast("int").as("iter"),
         $"score", $"c", $"cp")
-    MeanRoc.meanRocFromTallies(s, tallies, Seq("model"))
+    // the EXPECTED grid — both refit models × all 10 folds, independent
+    // of which folds happened to score rows
+    val domain = s.createDataFrame(
+      for { m <- cvPair.map(_._1); i <- 0 until 10 } yield (m, i))
+      .toDF("model", "iter")
+    MeanRoc.meanRocFromTallies(s, tallies, Seq("model"), domain)
   }
 
   /** The per-fold AUC grid itself (model × 5 rounds × 2 folds). */

@@ -47,10 +47,8 @@ object Dedup {
   }
 
   /** Distinct word 3-gram shingles per doc, exploded. */
-  private[operators] def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    shingleArrs(s, dir).select($"doc_id", explode($"arr").as("shingle"))
-  }
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir))
 
   private def shinglesOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._

@@ -81,7 +81,9 @@ object Similarity {
     */
   def cosineDedupBlocked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = vecs(s, dir).withColumn("blk", ($"vec_id" % PairBlocks).cast("int"))
+    // pmod, not %: Spark's % keeps the sign, and a negative id's block
+    // would match no block-pair row — its pairs would silently vanish
+    val v = vecs(s, dir).withColumn("blk", pmod($"vec_id", lit(PairBlocks)).cast("int"))
     val blockPairs = s.createDataFrame(
       for { i <- 0 until PairBlocks; j <- i until PairBlocks } yield (i, j))
       .toDF("ba", "bb")

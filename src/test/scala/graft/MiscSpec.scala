@@ -63,8 +63,14 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("logreg predictions are deterministic and beat the dummy baseline") {
+    import spark.implicits._
     val p1 = graft.ml.Classifiers.trainPredict("logreg")(spark, dir).collect().toSeq
-    val p2 = graft.ml.Classifiers.trainPredict("logreg")(spark, dir).collect().toSeq
+    // cache-BYPASSED second fit (featurize + fitOn run fresh): the
+    // memoized path would make this comparison tautological
+    val (train, test) = graft.ml.Classifiers.featurize(spark, dir)
+    val p2 = graft.ml.Classifiers.fitOn("logreg", train).transform(test)
+      .select($"doc_id", $"label", $"prediction").orderBy($"doc_id")
+      .collect().toSeq
     assert(p1 == p2 && p1.nonEmpty)
     val dummy = acc(graft.ml.Classifiers.dummy(spark, dir))
     val lr = acc(graft.ml.Classifiers.trainPredict("logreg")(spark, dir))

@@ -48,11 +48,12 @@ class ScanFloorSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       f
       // listener events are async and the bus is private[spark]: poll
-      // until the recorded counts are stable
+      // until at least one reading task is recorded AND the counts are
+      // stable (an empty map can look "stable" while the bus drains)
       var last = -1
       var same = 0
       var spins = 0
-      while (same < 3 && spins < 100) {
+      while ((last <= 0 || same < 3) && spins < 200) {
         val now = readers.values().stream().mapToInt(_.intValue()).sum()
         if (now == last) same += 1 else { same = 0; last = now }
         spins += 1
@@ -61,6 +62,7 @@ class ScanFloorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(l)
     import scala.jdk.CollectionConverters._
     val byStage = readers.asScala.toMap
+    assert(byStage.nonEmpty, "no reading tasks recorded — listener bus never drained")
     byStage(byStage.keys.min).intValue()
   }
 
