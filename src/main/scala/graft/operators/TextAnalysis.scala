@@ -188,9 +188,99 @@ object TextAnalysis {
        |SELECT doc_id, CAST(sum(term) % ${P} AS BIGINT) AS fingerprint
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** PII patterns shared by both engines — Java regex and RE2 agree on
+    * this subset (character classes, bounded repeats, \b; no backrefs).
+    * Replacement order matters and is fixed: emails first (they contain
+    * dots and digits), then IPv4, then long digit runs.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("num", "\\b\\d{9,}\\b", "<NUM>"))
+
+  /** The corpus is PII-free, so the query plants a fixed PII suffix on
+    * doc_id < 5 (the TypoCorrection precedent) to exercise every
+    * pattern.
+    */
+  val plantedPii = " contact alice.smith@example.org or 10.12.0.255 id 123456789012"
+
+  /** PII redaction — the curation stage every training-data pipeline
+    * runs before anything else sees the text: emails / IPv4 / long
+    * digit runs masked by typed placeholders, with per-kind match
+    * counts. A pure projection (regexp_replace + regexp_count inside
+    * codegen): no shuffle, no UDF, scale cost = one pass over text.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", concat($"text",
+        when($"doc_id" < 5, lit(plantedPii)).otherwise(lit(""))).as("t"))
+    val redacted = piiPatterns.foldLeft(col("t")) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    base.select(($"doc_id" +: redacted.as("redacted") +:
+        piiPatterns.map { case (kind, pat, _) =>
+          regexp_count($"t", lit(pat)).as(s"n_$kind")
+        }): _*)
+      .orderBy($"doc_id")
+  }
+
+  val piiRedactSql: String = {
+    val redactExpr = piiPatterns.foldLeft("t") { case (e, (_, pat, rep)) =>
+      s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
+    val counts = piiPatterns.map { case (kind, pat, _) =>
+      s"CAST(len(regexp_extract_all(t, '$pat')) AS INT) AS n_$kind"
+    }.mkString(",\n  ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    text || (CASE WHEN doc_id < 5 THEN '$plantedPii' ELSE '' END) AS t
+       |  FROM documents)
+       |SELECT doc_id, $redactExpr AS redacted,
+       |  $counts
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  /** Context-window chunking — fixed 64-token windows at stride 48 (the
+    * LLM dataset-prep shape: overlapping windows cover every token under
+    * a context budget). The window starts are a bounded per-row
+    * generator (⌈n/48⌉ rows per doc), the slice a per-row projection —
+    * no shuffle, no UDF; an empty doc yields one empty window.
+    */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(1), greatest(size($"toks"), lit(1)),
+          lit(ChunkStride))).as("start"))
+      .select($"doc_id",
+        (($"start" - 1) / ChunkStride).cast("int").as("win_id"),
+        coalesce(size(slice($"toks", $"start", lit(ChunkSize))), lit(0)).as("n_win_tokens"),
+        array_join(slice($"toks", $"start", lit(ChunkSize)), " ").as("win_text"))
+      .orderBy($"doc_id", $"win_id")
+  }
+
+  val chunkWindowsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
+       |  FROM documents),
+       |starts AS (
+       |  SELECT doc_id, l, unnest(generate_series(1, greatest(len(l), 1), $ChunkStride)) AS start
+       |  FROM toks)
+       |SELECT doc_id, CAST((start - 1) // $ChunkStride AS INT) AS win_id,
+       |  CAST(len(l[start:start + ${ChunkSize - 1}]) AS INT) AS n_win_tokens,
+       |  array_to_string(l[start:start + ${ChunkSize - 1}], ' ') AS win_text
+       |FROM starts ORDER BY doc_id, win_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_lang_id", langId, Some(langIdSql)),
     GraftQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
     GraftQuery("q_token_stats", tokenStats, Some(tokenStatsSql)),
-    GraftQuery("q_fingerprint", fingerprint, Some(fingerprintSql)))
+    GraftQuery("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    GraftQuery("q_pii_redact", piiRedact, Some(piiRedactSql)),
+    GraftQuery("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)))
 }
