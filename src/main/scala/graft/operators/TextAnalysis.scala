@@ -276,11 +276,59 @@ object TextAnalysis {
        |  array_to_string(l[start:start + ${ChunkSize - 1}], ' ') AS win_text
        |FROM starts ORDER BY doc_id, win_id""".stripMargin
 
+  /** Unigram-LM log-probability — the perplexity-proxy quality signal
+    * (the CCNet-style LM filter, with the corpus's own unigram model
+    * standing in for the external KenLM): per doc, the mean
+    * ln(freq(t)/N) over its tokens. Two hash aggregations (global
+    * unigram counts; per-doc mean) + one join; the per-doc fold runs in
+    * token-position order (list_reduce twin in the oracle) so the one
+    * float sum is order-deterministic, and the mean rounds to 6 dp
+    * before the hash gate (ln may differ in the last ulp across libm
+    * implementations — the cosine precedent).
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "token")))
+    val freq = tok.groupBy($"token").agg(count(lit(1)).as("freq"))
+    val tot = freq.agg(sum($"freq").cast("double").as("n_total"))
+    tok.join(freq, "token").crossJoin(broadcast(tot))
+      .select($"doc_id", $"pos",
+        log($"freq".cast("double") / $"n_total").as("logp"))
+      .groupBy($"doc_id")
+      .agg(round(
+        aggregate(
+          transform(array_sort(collect_list(struct($"pos", $"logp"))),
+            x => x("logp")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val unigramLogprobSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, l[i] AS token
+       |  FROM (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM toks) z),
+       |freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS n_total FROM freq),
+       |lp AS (
+       |  SELECT doc_id, pos, ln(CAST(freq AS DOUBLE) / n_total) AS logp
+       |  FROM tok JOIN freq USING (token) CROSS JOIN tot)
+       |SELECT doc_id,
+       |  round(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+       |    (x, y) -> x + y) / count(*), 6) AS avg_logprob,
+       |  count(*) AS n_tokens
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_lang_id", langId, Some(langIdSql)),
     GraftQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
     GraftQuery("q_token_stats", tokenStats, Some(tokenStatsSql)),
     GraftQuery("q_fingerprint", fingerprint, Some(fingerprintSql)),
     GraftQuery("q_pii_redact", piiRedact, Some(piiRedactSql)),
-    GraftQuery("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)))
+    GraftQuery("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
+    GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)))
 }
