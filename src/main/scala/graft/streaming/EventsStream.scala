@@ -63,21 +63,29 @@ object EventsStream {
         graft.functions.TextFunctions.tokens(col("text")))), " ").cast("binary")))
       .dropDuplicatesWithinWatermark("bag_md5")
 
-  /** Streaming ingest curation — the composed quality-gate → near-dup
-    * pipeline a live corpus feed runs: the STATELESS quality filter runs
-    * first, so rejected docs never enter the dedup state store (at
-    * 100 TB/day the gate is what keeps fingerprint state to the
-    * surviving fraction of the watermark horizon), then the watermarked
-    * fingerprint dedup keeps the first arrival of each near-dup class.
-    * The quality composite AND the default threshold match the batch
-    * pipeline's quality stage (Curation.curationPipeline, 0.35), so
-    * quality admission is identical between stream and backfill; the
-    * batch pipeline's language gate is a separate downstream stage, not
-    * part of this operator.
+  /** Streaming ingest curation — the composed PII-mask → quality-gate →
+    * near-dup pipeline a live corpus feed runs: PII redaction is the
+    * FIRST stage (a stateless projection, so raw identifiers never
+    * reach the quality computation, the dedup state store, or the
+    * sink — the same patterns and placeholders as the batch
+    * q_pii_redact), then the STATELESS quality filter, so rejected docs
+    * never enter the dedup state store (at 100 TB/day the gate is what
+    * keeps fingerprint state to the surviving fraction of the watermark
+    * horizon), then the watermarked fingerprint dedup keeps the first
+    * arrival of each near-dup class. The quality composite AND the
+    * default threshold match the batch pipeline's quality stage
+    * (Curation.curationPipeline, 0.35), so quality admission is
+    * identical between stream and backfill; the batch pipeline's
+    * language gate is a separate downstream stage, not part of this
+    * operator.
     */
   def curateStream(docs: DataFrame, minQuality: Double = 0.35): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val gated = docs
+    val masked = docs.withColumn("text",
+      graft.operators.TextAnalysis.piiPatterns.foldLeft(col("text")) {
+        case (c, (_, pat, rep)) => regexp_replace(c, pat, rep)
+      })
+    val gated = masked
       .withColumn("toks", TF.tokens(col("text")))
       .withColumn("quality",
         graft.operators.TextAnalysis.qualityFromToks(col("toks"), col("text")))

@@ -75,10 +75,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
     mem.addData(
-      // stopword-rich long text -> passes the quality gate
-      (1L, ts(10), "the data and the spark are in the table with the join of the scan"),
-      // token permutation of doc 1 -> same fingerprint, deduped
-      (2L, ts(11), "of the scan the data and the spark are in the table with the join"),
+      // stopword-rich long text (with planted PII) -> passes the gate
+      (1L, ts(10), "the data and the spark are in the table with the join of the scan by bob@example.org"),
+      // token permutation of doc 1 (same PII) -> same fingerprint, deduped
+      (2L, ts(11), "of the scan the data and the spark are in the table with the join by bob@example.org"),
       // no stopwords, short -> fails the quality gate, never enters state
       (3L, ts(12), "zzz qqq"))
     val q = EventsStream.curateStream(
@@ -88,8 +88,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     q.stop()
     val kept = spark.table("curate_out")
-      .select($"doc_id").as[Long].collect().toSet
-    assert(kept == Set(1L))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(kept.keySet == Set(1L))
+    // the PII mask ran BEFORE anything stateful: the surviving row
+    // carries the placeholder, never the raw address
+    assert(kept(1L).contains("<EMAIL>") && !kept(1L).contains("bob@"))
   }
 
   test("stream-stream join matches clicks to in-window purchases only") {
