@@ -1,38 +1,90 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Scoreboard benchmark. One JSON line: per-query MEDIAN-of-3 wall
+  * times (noise immunity — a single loaded-host outlier can fabricate a
+  * 6× "regression" on any query, or mask a real one), plus a selective
+  * spread map so a noisy measurement is visible as noisy.
+  *
+  * Rep semantics: pass 1 runs the FULL registry cold, in SURVEY §2
+  * order — byte-identical semantics to earlier rounds' single-shot
+  * numbers. Passes 2-3 re-run only the REPEATABLE queries: operators
+  * whose plans memoize fitted models / contraction fixpoints through
+  * [[SessionCache]] are excluded (a warm rep would time a cache hit,
+  * not the plan, and a median over {cold, warm, warm} would report the
+  * cache); their single cold number is carried as-is — they are the
+  * expensive ML heads, so the 3× cost lands only on the cheap tail.
+  * Reps are full passes (not back-to-back per query) so the three
+  * samples are temporally separated — a load spike hits one pass, not
+  * all three reps of the same query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/session warm-up (codegen, parquet reader JIT) so it
     // doesn't land on the first query
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // SparkEntry.all order (not Map hash order): timings stay comparable
-    // across rounds even as queries are added, and a noop-format write
-    // executes every projection a count() would let Catalyst prune away
+
+    // Queries whose first run installs SessionCache state (model fits,
+    // tally frames, cluster labels): later reps measure the memo, not
+    // the plan — one cold rep only.
+    def sessionCached(name: String): Boolean =
+      name.startsWith("q_ml_") ||
+        name == "q_dedup_clusters" || name == "q_cluster_keep_best"
+
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.all.map { q =>
+    def time(q: GraftQuery): Option[Double] = {
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        failed += q.name
-        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+      try {
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          failed += q.name
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          None
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal timings keep the whole line under ~1.9 KB so a
-    // tail-capture of the run log still contains the complete JSON
+
+    // pass 1: everything, cold, registry order (comparable across rounds)
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    SparkEntry.all.foreach(q => samples(q.name) = time(q).toList)
+    // passes 2..reps: repeatable subset only, skipping pass-1 failures
+    val again = SparkEntry.all.filter(q =>
+      !sessionCached(q.name) && samples(q.name).nonEmpty)
+    (2 to reps).foreach { _ =>
+      again.foreach(q => time(q).foreach(t => samples(q.name) ::= t))
+    }
+
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2) // odd rep counts; best-of-center for even
+    }
+    // 3-decimal timings keep the line compact enough that a tail-capture
+    // of the run log still contains the complete JSON
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    val meds = samples.collect { case (k, xs) if xs.nonEmpty => k -> median(xs) }
+    val qs = meds.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // spread (max-min over reps) only where it is material (>25% of the
+    // median AND >0.5 s absolute — sub-second queries jitter relatively
+    // without mattering): flags which numbers were measured under load
+    // without doubling the line for the quiet majority
+    val spread = samples.collect {
+      case (k, xs) if xs.size > 1 && (xs.max - xs.min) > 0.25 * median(xs) &&
+          (xs.max - xs.min) > 0.5 =>
+        s"\"" + k + "\":" + f(xs.max - xs.min)
+    }.mkString("{", ",", "}")
+    val total = meds.values.sum
     // failed names ride the JSON line: a swallowed exception otherwise
     // reads as a suspiciously fast query instead of a broken one
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val errs = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -123,7 +123,7 @@ object ModelEval {
     * rounded to 6 dp, so a (scorer, fold) group holds at most ~10⁶
     * distinct-score rows no matter how large the test folds are.
     */
-  private[ml] def foldTallies(s: SparkSession, dir: String): DataFrame =
+  private[graft] def foldTallies(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"ml.cvFoldTallies:$dir") {
       import s.implicits._
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -138,6 +138,10 @@ object ModelEval {
         .setNumFeatures(Classifiers.NumFeatures)
         .transform(Classifiers.prepared(s, dir))
         .select($"doc_id", $"label", $"tf").persist()
+      // the whole fit-and-collapse body runs under try/finally: the
+      // corpus-sized tf pin is released on the failure path too (a
+      // thrown fold fit must not leave tf resident for the session)
+      try {
       tf.count() // materialize once before the concurrent fits race to
       val folds = for { r <- 0 until 5; f <- 0 until 2 } yield (r, f)
       // fold pipelines are independent — overlap a FEW as concurrent
@@ -179,13 +183,17 @@ object ModelEval {
       // can be released before the memo returns — only the rounded-score
       // tallies stay resident for the session
       tallies.count()
-      tf.unpersist(blocking = false)
       tallies
+      } finally tf.unpersist(blocking = false)
     }
 
-  /** Per-(model, r, f) hold-out AUCs over the refit 5×2 grid — the same
-    * collapsed-tallies rank shape as everywhere else, on the cached
-    * [[foldTallies]].
+  /** Per-(model, r, f) hold-out AUC **and AUPRC** over the refit 5×2
+    * grid — the same collapsed-tallies rank shape as everywhere else, on
+    * the cached [[foldTallies]]. AUPRC per CV iteration mirrors the
+    * reference's assessPerformance tracking average precision alongside
+    * AUC (reference: src/TextClassification.py:583, getAUPRC :125); the
+    * AP term is the same ordered fold as [[mlRocAuc]] — Σ over positive
+    * thresholds of cp·precision, divided by the fold's P.
     */
   private[ml] def mlFoldAucs(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"ml.cvFoldAucs:$dir") {
@@ -193,7 +201,10 @@ object ModelEval {
       val aucs = Evaluation.cumTallies(foldTallies(s, dir), Seq("scorer", "r", "f"))
         .groupBy($"scorer", $"r", $"f")
         .agg((Evaluation.aucNumerator /
-          Evaluation.aucDenominator(sum($"cp"), sum($"c" - $"cp"))).as("auc"))
+          Evaluation.aucDenominator(sum($"cp"), sum($"c" - $"cp"))).as("auc"),
+          round(graft.functions.FloatFold.orderedSumOrNull($"rk",
+            $"cp".cast("double") * $"cum_tp" / $"rk", $"cp" > 0) /
+            sum($"cp"), 6).as("auprc"))
       // 20 rows — persist so the t-test and the fold listing don't re-run
       // the sweep
       aucs.persist()
@@ -218,11 +229,11 @@ object ModelEval {
     MeanRoc.meanRocFromTallies(s, tallies, Seq("model"), domain)
   }
 
-  /** The per-fold AUC grid itself (model × 5 rounds × 2 folds). */
+  /** The per-fold AUC+AUPRC grid itself (model × 5 rounds × 2 folds). */
   def mlCvAuc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mlFoldAucs(s, dir)
-      .select($"scorer".as("model"), $"r", $"f", $"auc")
+      .select($"scorer".as("model"), $"r", $"f", $"auc", $"auprc")
       .orderBy($"model", $"r", $"f")
   }
 
@@ -238,10 +249,15 @@ object ModelEval {
     * src/TextClassification.py:1021; sampleSizeROC,
     * src/NLP_functions.py:752): refit the cheap seeded logreg on nested
     * LCG-hash subsets of the train half (20..100%) and report hold-out
-    * AUC per size — model-performance-vs-data-volume, not the analytic
-    * subset sweep of q_learning_curve. Subsets nest by construction
-    * (h < t₁ ⊆ h < t₂): the hash threshold needs no global rank, so
-    * subset selection is a map-side filter at any scale.
+    * AUC — and AUPRC, the reference's PR flavor of the same curve
+    * (samplingCurvePR, src/TextClassification.py:1163; sampleSizePR,
+    * src/NLP_functions.py:794) — per size:
+    * model-performance-vs-data-volume, not the analytic subset sweep of
+    * q_learning_curve. Subsets nest by construction (h < t₁ ⊆ h < t₂):
+    * the hash threshold needs no global rank, so subset selection is a
+    * map-side filter at any scale. Both curve flavors come from ONE set
+    * of refits: the scored frame collapses once and AUC/AP read the
+    * same cumulative tallies.
     */
   def mlLearningCurve(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"ml.learningCurve:$dir") {
@@ -273,7 +289,10 @@ object ModelEval {
       Evaluation.cumTallies(grouped, Seq("frac_pct"))
         .groupBy($"frac_pct")
         .agg((Evaluation.aucNumerator /
-          Evaluation.aucDenominator(sum($"cp"), sum($"c" - $"cp"))).as("auc"))
+          Evaluation.aucDenominator(sum($"cp"), sum($"c" - $"cp"))).as("auc"),
+          round(graft.functions.FloatFold.orderedSumOrNull($"rk",
+            $"cp".cast("double") * $"cum_tp" / $"rk", $"cp" > 0) /
+            sum($"cp"), 6).as("auprc"))
         .persist()
     }.orderBy("frac_pct")
 

@@ -95,15 +95,20 @@ class MlEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("CV-fold grid covers both refit models on all 10 folds") {
+  test("CV-fold grid covers both refit models on all 10 folds, AUC+AUPRC in range") {
     val rows = ModelEval.mlCvAuc(spark, dir).collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4)))
     assert(rows.length == 20)
     assert(rows.map(_._1).toSet == Set("naive_bayes", "logreg"))
     assert(rows.map(t => (t._2, t._3)).toSet ==
       (for { r <- 0 until 5; f <- 0 until 2 } yield (r, f)).toSet)
-    rows.foreach { case (m, r, f, auc) =>
+    rows.foreach { case (m, r, f, auc, ap) =>
       assert(auc >= 0.0 && auc <= 1.0, s"$m r=$r f=$f auc=$auc")
+      // AP is a mean of precisions over positive thresholds: strictly
+      // positive as long as the fold has a positive (every fold does —
+      // the label is a deterministic function of text)
+      assert(ap > 0.0 && ap <= 1.0, s"$m r=$r f=$f auprc=$ap")
     }
   }
 
@@ -159,12 +164,36 @@ class MlEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("model-refitting learning curve has the 5 nested sizes, AUC in range") {
+  test("model-refitting learning curve has the 5 nested sizes, AUC+AUPRC in range") {
     val rows = ModelEval.mlLearningCurve(spark, dir).collect()
-      .map(r => (r.getInt(0), r.getDouble(1)))
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
     assert(rows.map(_._1).toSeq == Seq(20, 40, 60, 80, 100))
-    rows.foreach { case (frac, auc) =>
+    rows.foreach { case (frac, auc, ap) =>
       assert(auc >= 0.0 && auc <= 1.0, s"frac=$frac auc=$auc")
+      assert(ap > 0.0 && ap <= 1.0, s"frac=$frac auprc=$ap")
     }
+  }
+
+  test("fold AUPRC matches an independently computed average precision") {
+    import spark.implicits._
+    // recompute AP for one (scorer, r, f) cell from the raw tallies with
+    // plain Scala arithmetic — the registered fold value must agree
+    val cell = ModelEval.foldTallies(spark, dir)
+      .where($"scorer" === "logreg" && $"r" === 0 && $"f" === 0)
+      .select($"score", $"c", $"cp").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1) // descending score = rank order
+    val p = cell.map(_._3).sum.toDouble
+    var (rk, tp, ap) = (0L, 0L, 0.0)
+    cell.foreach { case (_, c, cp) =>
+      rk += c; tp += cp
+      if (cp > 0) ap += cp * tp.toDouble / rk
+    }
+    val expected = BigDecimal(ap / p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val got = ModelEval.mlCvAuc(spark, dir)
+      .where($"model" === "logreg" && $"r" === 0 && $"f" === 0)
+      .select($"auprc").as[Double].head()
+    assert(math.abs(got - expected) < 2e-6, s"got=$got expected=$expected")
   }
 }
