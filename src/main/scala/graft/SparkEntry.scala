@@ -14,7 +14,8 @@ object SparkEntry {
       TypoCorrection.queries ++ Extras.queries ++ Temporal.queries ++ Curation.queries ++
       Corpus.queries ++
       graft.ml.Classifiers.queries ++ graft.ml.CrossVal.queries ++
-      graft.ml.MeanRoc.queries ++ graft.ml.ModelEval.queries
+      graft.ml.MeanRoc.queries ++ graft.ml.ModelEval.queries ++
+      graft.ml.NamedFeatures.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
