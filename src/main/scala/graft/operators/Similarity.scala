@@ -79,11 +79,17 @@ object Similarity {
     * asserts). Same result set as [[cosineDedup]]; the approximate scale
     * paths for high-similarity regimes are the registered q_ann_* family.
     */
-  def cosineDedupBlocked(s: SparkSession, dir: String): DataFrame = {
+  def cosineDedupBlocked(s: SparkSession, dir: String): DataFrame =
+    blockedPairs(s, vecs(s, dir), 0.4)
+
+  /** The blocked exact pair sweep on any (vec_id, v, nrm) frame at
+    * threshold `tau` — the low-τ leg of [[cosineDedupRouted]].
+    */
+  private[graft] def blockedPairs(s: SparkSession, vin: DataFrame, tau: Double): DataFrame = {
     import s.implicits._
     // pmod, not %: Spark's % keeps the sign, and a negative id's block
     // would match no block-pair row — its pairs would silently vanish
-    val v = vecs(s, dir).withColumn("blk", pmod($"vec_id", lit(PairBlocks)).cast("int"))
+    val v = vin.withColumn("blk", pmod($"vec_id", lit(PairBlocks)).cast("int"))
     val blockPairs = s.createDataFrame(
       for { i <- 0 until PairBlocks; j <- i until PairBlocks } yield (i, j))
       .toDF("ba", "bb")
@@ -99,7 +105,7 @@ object Similarity {
       .select(least($"id_x", $"id_y").as("id_a"),
         greatest($"id_x", $"id_y").as("id_b"),
         round(dot($"vx", $"vy") / ($"nx" * $"ny"), 6).as("cos"))
-      .where($"cos" >= 0.4)
+      .where($"cos" >= tau)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -317,6 +323,103 @@ object Similarity {
        |  WHERE a.vec_id <> p.q_id) z
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
+
+  /** τ floor of the LSH route: at τ ≥ 0.7 (θ ≤ 45.6°) a 16-band × 4-bit
+    * sign-LSH candidate filter has ≥ 0.997 per-pair recall, so
+    * candidates + exact verify is the scale path; below it band recall
+    * collapses toward the measured near-orthogonal regime (τ = 0.4 →
+    * θ ≈ 66°, recall ≪ 1) and NO exact sub-quadratic filter exists for
+    * dense vectors, so the only exact plan is the quadratic blocked sweep.
+    */
+  val TauLshFloor = 0.7
+
+  /** ROUTED exact-threshold cosine dedup — the documented entry point a
+    * pipeline calls instead of picking a pair plan by hand:
+    *
+    *  - `tau ≥` [[TauLshFloor]]: banded sign-LSH candidates + exact
+    *    cosine verification ([[lshVerified]]). Sub-quadratic — per-pair
+    *    candidate recall ≥ 1 − (1 − p⁴)¹⁶ with p = 1 − θ/π (≥ 0.997 at
+    *    the floor, ~1 − 5·10⁻⁸ at τ = 0.95); the exact verify step means
+    *    NO false positives ever. This is the 100 TB route.
+    *  - `tau <` [[TauLshFloor]]: the exact semantics are inherently
+    *    O(n²) compares (SURVEY §5), so the router REFUSES unless the
+    *    caller passes `allowQuadratic = true`, which dispatches to the
+    *    bounded-task blocked sweep ([[blockedPairs]]) — correct at any τ,
+    *    affordable only below corpus scale.
+    *
+    * The registered q_embed_cosine_dedup stays the τ=0.4 blocked sweep
+    * (the driver's embeddings have no high-cos pairs to route); this
+    * entry point is the library surface, spec'd on planted
+    * near-duplicates (SimilaritySpec).
+    */
+  def cosineDedupRouted(s: SparkSession, dir: String, tau: Double,
+      allowQuadratic: Boolean = false): DataFrame =
+    routedPairs(s, vecs(s, dir), tau, allowQuadratic)
+
+  private[graft] def routedPairs(s: SparkSession, v: DataFrame, tau: Double,
+      allowQuadratic: Boolean): DataFrame =
+    if (tau >= TauLshFloor) lshVerified(s, v, tau)
+    else if (allowQuadratic) blockedPairs(s, v, tau)
+    else throw new IllegalArgumentException(
+      s"exact cosine pairs at tau=$tau < $TauLshFloor require O(n^2) compares " +
+        "(no sub-quadratic exact filter exists for dense vectors at low tau); " +
+        "pass allowQuadratic=true to run the blocked sweep on a sub-corpus " +
+        "input, or raise tau to use the LSH-verified route")
+
+  /** 64-bit sign signature (same LCG hyperplane family as [[annLsh]],
+    * extended to 64 planes), assembled with bitwise OR — bit 63 through
+    * a sum would wrap the long.
+    */
+  private def signSignature(v: Column): Column =
+    aggregate(
+      zip_with(
+        array((0 until 64).map { p =>
+          array((0 until 64).map { d =>
+            val x = (p * 64 + d) * 6364136223846793005L + 1442695040888963407L
+            lit(((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0)
+          }: _*)
+        }: _*),
+        sequence(lit(0), lit(63)),
+        (plane, idx) =>
+          when(aggregate(zip_with(plane, v, (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) > 0,
+            call_function("shiftleft", lit(1L), idx)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** High-τ leg: 16 bands × 4 sign bits generate candidates (equi-join
+    * within a (band, bits) bucket — never all-pairs), candidate id pairs
+    * dedup BEFORE verification (one dot product per pair, not per
+    * colliding band), then the exact rounded cosine filters at `tau`.
+    * Every join is an equi-join on bounded keys; at corpus scale the
+    * bucket join is the same shape as the MinHash band join in
+    * Dedup.minhashLsh.
+    */
+  private[graft] def lshVerified(s: SparkSession, vin: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    val sig = vin.select($"vec_id", signSignature($"v").as("sig"))
+    val bands = sig.select($"vec_id", explode(array((0 until 16).map { k =>
+        struct(lit(k).as("band"),
+          shiftrightunsigned($"sig", 4 * k).bitwiseAND(lit(15L)).as("bits"))
+      }: _*)).as("bk"))
+      .select($"vec_id", $"bk.band", $"bk.bits")
+    val cand = bands.select($"band", $"bits", $"vec_id".as("id_a"))
+      .join(bands.select($"band", $"bits", $"vec_id".as("id_b")), Seq("band", "bits"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").distinct()
+    val va = vin.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
+    val vb = vin.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select($"id_a", $"id_b",
+        round(dot($"va", $"vb") / ($"na" * $"nb"), 6).as("cos"))
+      .where($"cos" >= tau)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Norm-decorated view of an arbitrary (vec_id, v: array<double>)
+    * frame — lets specs drive the router with planted vectors.
+    */
+  private[graft] def withNorms(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_embed_cosine_dedup", cosineDedupBlocked, Some(cosineDedupSql)),

@@ -48,4 +48,45 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blocked.nonEmpty && blocked == brute)
   }
 
+  /** Planted router corpus: 60 seeded random 64-dim vectors (pairwise
+    * cos ≈ N(0, 1/64) — nowhere near any τ the router serves) plus 5
+    * near-duplicates of the first 5 (tiny seeded perturbation → cos
+    * > 0.95). The driver's embeddings have no high-cos pairs, so the
+    * high-τ route is provable only on planted data (the plantedPii
+    * precedent).
+    */
+  private lazy val plantedVecs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(26062019L)
+    val base = (0 until 60).map(i => i.toLong -> Array.fill(64)(rnd.nextGaussian()))
+    val dups = (0 until 5).map { i =>
+      (100L + i) -> base(i)._2.map(_ + 0.05 * rnd.nextGaussian())
+    }
+    Similarity.withNorms(
+      (base ++ dups).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v"))
+  }
+
+  test("router high-tau: LSH-verified route finds exactly the planted pairs") {
+    val got = Similarity.routedPairs(spark, plantedVecs, 0.8, allowQuadratic = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0 until 5).map(i => (i.toLong, 100L + i)).toSet, s"got $got")
+  }
+
+  test("router high-tau agrees with the exact blocked sweep on planted data") {
+    val routed = Similarity.routedPairs(spark, plantedVecs, 0.8, allowQuadratic = false)
+      .collect().toSeq
+    val exact = Similarity.blockedPairs(spark, plantedVecs, 0.8).collect().toSeq
+    assert(routed == exact && routed.nonEmpty)
+  }
+
+  test("router low-tau refuses without allowQuadratic, routes to blocked with it") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.routedPairs(spark, plantedVecs, 0.4, allowQuadratic = false)
+    }
+    assert(e.getMessage.contains("allowQuadratic"))
+    val routed = Similarity.cosineDedupRouted(spark, dir, 0.4, allowQuadratic = true)
+      .collect().toSeq
+    val registered = Similarity.cosineDedupBlocked(spark, dir).collect().toSeq
+    assert(routed == registered && routed.nonEmpty)
+  }
 }
