@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, and push them through a
   * decode → feature-extract pipeline.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB — `fakeFeatures` stands in for a real
-  * decoder/embedder (it derives 4 pseudo-features from md5 prefixes of
-  * the payload). Everything around it — the binary column, metadata
-  * struct, per-batch feature extraction shape, partitioning — is the
-  * real Spark plumbing a production decode UDF would drop into.
+  * The container has no external image/audio codec libs, so the
+  * CORPUS-FACING decode step is a DETERMINISTIC STUB (md5-derived
+  * pseudo-features — the documents table holds text, not media bytes).
+  * Everything around it — the binary column, metadata struct, per-batch
+  * feature extraction shape, partitioning — is the real Spark plumbing
+  * a production decode UDF drops into, and [[decodeImages]] PROVES the
+  * boundary with a real codec: the JDK's javax.imageio PNG reader
+  * decoding planted valid payloads ([[plantedPng]]) inside the same
+  * mapPartitions iterator (MultimodalSpec asserts real decoded
+  * dimensions and channel means).
   */
 object Multimodal {
 
@@ -109,6 +113,76 @@ object Multimodal {
       val codec = java.security.MessageDigest.getInstance("MD5")
       rows.map { case (id, bytes) => decodeOne(codec, id, bytes) }
     }
+  }
+
+  /** One REAL-decoded image record: actual pixel dimensions plus mean
+    * RGB channel features in [0, 1]. Undecodable payloads keep their
+    * row with mime `application/octet-stream` and -1 dimensions — a
+    * curation pipeline filters on mime instead of losing rows.
+    */
+  case class DecodedImage(doc_id: Long, mime: String, width: Int, height: Int,
+      n_bytes: Int, features: Array[Double])
+
+  /** A REAL codec through the SAME partition boundary as
+    * [[decodeFeatures]]: javax.imageio (JDK java.desktop — public
+    * platform API, no external codec libs) decodes PNG payloads inside
+    * the `mapPartitions` iterator. The PNG ImageReader is obtained ONCE
+    * per partition and re-targeted per payload (`setInput`/`read`) —
+    * the once-per-partition codec-init shape the stub documents, now
+    * exercised with real bytes. Payloads are sniffed by PNG magic first,
+    * so arbitrary binary never reaches the reader.
+    */
+  def decodeImages(payloads: Dataset[(Long, Array[Byte])]): Dataset[DecodedImage] = {
+    import payloads.sparkSession.implicits._
+    val pngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    payloads.mapPartitions { rows =>
+      // per-partition codec init: one reusable PNG reader per partition
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      rows.map { case (id, bytes) =>
+        if (bytes.length < 4 || !bytes.take(4).sameElements(pngMagic))
+          DecodedImage(id, "application/octet-stream", -1, -1, bytes.length,
+            Array.empty)
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis)
+            val img = reader.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (r, g, b) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val px = img.getRGB(x, y)
+                r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h * 255).toDouble
+            DecodedImage(id, "image/png", w, h, bytes.length,
+              Array(r / n, g / n, b / n))
+          } finally iis.close()
+        }
+      }
+    }
+  }
+
+  /** Deterministic tiny real PNG (the plantedPii precedent for media):
+    * a w×h RGB gradient encoded by the JDK's own PNG writer — a VALID
+    * image payload for planting in tests and demos.
+    */
+  def plantedPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (((x * 255) / math.max(w - 1, 1)) << 16) |
+          (((y * 255) / math.max(h - 1, 1)) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Frame sampling — the video-payload shape: the payload is treated as
