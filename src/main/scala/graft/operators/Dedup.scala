@@ -237,6 +237,45 @@ object Dedup {
     (i, ((i + 1) * 2654435761L) % P, ((i + 1) * 2654921567L) % P)
   }
 
+  /** Wide MinHash signature frame (doc_id, mh0..mh15) of any exploded
+    * (doc_id, shingle) frame: all 16 hashes as one wide projection + one
+    * wide min-aggregation — shuffle volume is docs × 16 columns, not
+    * docs × shingles × 16 rows. Shared by the batch LSH pairs and the
+    * incremental signature store.
+    */
+  private[graft] def minhashWide(sh0: DataFrame): DataFrame = {
+    import sh0.sparkSession.implicits._
+    val sh = sh0.select($"doc_id", (hash60($"shingle") % P).as("x"))
+    val withH = sh.select(($"doc_id" +: hashParams.map { case (i, a, b) =>
+      ((lit(a) * $"x" + lit(b)) % P).as(s"h$i")
+    }): _*)
+    withH.groupBy($"doc_id")
+      .agg(min(col("h0")).as("mh0"),
+        hashParams.tail.map { case (i, _, _) => min(col(s"h$i")).as(s"mh$i") }: _*)
+  }
+
+  /** Banded signature rows (doc_id, band, band_key, sig) of any
+    * (doc_id, text) frame — the unit the incremental dedup store
+    * persists and delta batches compute. band_key concatenates the
+    * band's 4 minhashes (identical keys to [[minhashLsh]]'s
+    * collect_list path); sig carries the full 16-hash signature so a
+    * band-key match can verify minhash agreement WITHOUT a second
+    * lookup join. The band rows are a bounded 4-per-doc generator on
+    * the wide frame — no extra shuffle.
+    */
+  private[graft] def signatureBands(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nBands = NumHashes / BandSize
+    minhashWide(shinglesOf(docs)).select($"doc_id",
+        array(hashParams.map { case (i, _, _) => col(s"mh$i") }: _*).as("sig"),
+        explode(array((0 until nBands).map { k =>
+          struct(lit(k).as("band"),
+            concat_ws("-", (0 until BandSize).map(j =>
+              col(s"mh${k * BandSize + j}")): _*).as("band_key"))
+        }: _*)).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.band_key", $"sig")
+  }
+
   /** MinHash signatures + LSH band-bucket near-dup pairs with the exact
     * minhash-agreement estimate. Shuffles only on band buckets — the
     * scale path that replaces the inverted-index join when shingle
@@ -244,16 +283,7 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // all 16 hashes as one wide projection + one wide min-aggregation:
-    // shuffle volume is docs × 16 columns, not docs × shingles × 16 rows
-    val sh = shingles(s, dir)
-      .select($"doc_id", (hash60($"shingle") % P).as("x"))
-    val withH = sh.select(($"doc_id" +: hashParams.map { case (i, a, b) =>
-      ((lit(a) * $"x" + lit(b)) % P).as(s"h$i")
-    }): _*)
-    val wide = withH.groupBy($"doc_id")
-      .agg(min(col("h0")).as("mh0"),
-        hashParams.tail.map { case (i, _, _) => min(col(s"h$i")).as(s"mh$i") }: _*)
+    val wide = minhashWide(shinglesOf(Tables.documents(s, dir)))
     val sigs = wide.select($"doc_id",
         explode(array(hashParams.map { case (i, _, _) =>
           struct(lit(i).as("i"), col(s"mh$i").as("mh"))

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Dedup, IncrementalDedup}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The batch-incremental dedup contract: a delta joined against the
+  * bucketed signature store must (a) reproduce exactly the batch LSH
+  * pairs that span the delta/store split, and (b) plan with NO exchange
+  * on the store side — only the delta shuffles.
+  */
+class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  val table = "sig_store_spec"
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.stop()
+  }
+
+  // "yesterday's corpus" = docs with doc_id >= 50; today's delta = the rest
+  private def splitDocs = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    (docs.where($"doc_id" >= 50), docs.where($"doc_id" < 50))
+  }
+
+  test("delta-vs-store pairs equal the batch LSH pairs spanning the split") {
+    import spark.implicits._
+    val (store, delta) = splitDocs
+    IncrementalDedup.writeStore(store, table)
+    val got = IncrementalDedup.deltaAgainstStore(spark, delta, table)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch reference: full-corpus LSH pairs with exactly one endpoint
+    // in the delta (pairs inside either half are not delta-vs-store)
+    val expected = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a < 50) != (b < 50) }
+      .map { case (a, b, j) => if (a < 50) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(expected.nonEmpty, "split produced no spanning pairs — pick another split")
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+  }
+
+  test("the signature-store side of the delta join plans without an exchange") {
+    import spark.implicits._
+    val (store, delta) = splitDocs
+    IncrementalDedup.writeStore(store, table)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path (at real scale the delta is GBs, not
+      // broadcastable) so the exchange question is visible in the plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val d = Dedup.signatureBands(delta)
+        .select($"band", $"band_key", $"doc_id".as("delta_id"))
+      val st = spark.table(table)
+        .select($"band", $"band_key", $"doc_id".as("store_id"))
+      val joined = d.join(st, Seq("band", "band_key"))
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val root: SparkPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val smj = root.collect { case j: SortMergeJoinExec => j }
+      assert(smj.size == 1, s"expected one sort-merge join:\n$root")
+      // the delta (left) side shuffles into the store's bucketing; the
+      // store (right) side must read bucket-aligned with NO re-shuffle
+      val storeSide = smj.head.right
+      assert(storeSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"store side re-shuffles:\n$storeSide")
+      assert(storeSide.toString.contains("Bucketed: true"),
+        s"store scan is not bucket-aligned:\n$storeSide")
+      assert(smj.head.left.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        "expected the delta side to shuffle into the store's bucketing")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
