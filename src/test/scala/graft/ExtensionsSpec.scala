@@ -32,6 +32,37 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("array") || e2.getMessage.contains("DATATYPE"))
   }
 
+  test("SQL pii_redact masks every planted pattern in replacement order") {
+    val r = spark.sql(
+      s"""SELECT pii_redact('write bob.jones+x@mail.example.com from 192.168.0.1
+         | ref 9876543210') AS red""".stripMargin.replaceAll("\n", ""))
+      .collect()(0).getString(0)
+    assert(r == "write <EMAIL> from <IP> ref <NUM>", r)
+  }
+
+  test("SQL quality_score equals the batch operator per document") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+        "SELECT doc_id, quality_score(text) AS q FROM docs_ext")
+      .as[(Long, Double)].collect().toMap
+    val viaOp = graft.operators.TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+    assert(viaOp.nonEmpty && viaOp.forall { case (id, q) => viaSql(id) == q })
+  }
+
+  test("SQL lang_id equals the batch operator per document") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql("SELECT doc_id, lang_id(text) AS l FROM docs_ext")
+      .as[(Long, String)].collect().toMap
+    val viaOp = graft.operators.TextAnalysis.langId(spark, dir)
+      .select($"doc_id", $"lang_pred").as[(Long, String)].collect()
+    assert(viaOp.nonEmpty && viaOp.forall { case (id, l) => viaSql(id) == l })
+  }
+
   test("direct Tables.events load works without prior EventOps call") {
     assert(Tables.events(spark, "/root/testdata/sf0.001").count() > 0)
   }
