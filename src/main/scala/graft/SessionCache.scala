@@ -24,6 +24,14 @@ import org.apache.spark.sql.SparkSession
   * Data under a directory is assumed immutable for the session's
   * lifetime (true for the immutable parquet snapshots this engine
   * reads); a mutable-source deployment would key by snapshot version.
+  *
+  * Known retention bound: eviction is keyed to SparkContext STOP, so a
+  * long-lived context cycling many `newSession()` clones retains each
+  * clone's entries until the whole context stops — acceptable for the
+  * one-session-per-run drivers this engine serves (and every test
+  * suite stops its context). A multi-session-JVM deployment would add
+  * per-session eviction (weak session keys or a session-end listener)
+  * before relying on session churn to free fitted models.
   */
 object SessionCache {
 

@@ -209,34 +209,41 @@ object TextAnalysis {
     * digit runs masked by typed placeholders, with per-kind match
     * counts. A pure projection (regexp_replace + regexp_count inside
     * codegen): no shuffle, no UDF, scale cost = one pass over text.
+    *
+    * Each n_<kind> is counted against the PROGRESSIVELY-REDACTED text —
+    * the stage input its replacement actually ran on — so it equals the
+    * number of substitutions performed: a digit run or IP-shaped
+    * substring consumed by an earlier replacement (e.g. inside an email
+    * local part) is never double-counted by a later pattern.
     */
   def piiRedact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, dir)
       .select($"doc_id", concat($"text",
         when($"doc_id" < 5, lit(plantedPii)).otherwise(lit(""))).as("t"))
-    val redacted = piiPatterns.foldLeft(col("t")) { case (c, (_, pat, rep)) =>
+    // stage texts: stages(k) = text after the first k replacements
+    val stages = piiPatterns.scanLeft(col("t")) { case (c, (_, pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
-    base.select(($"doc_id" +: redacted.as("redacted") +:
-        piiPatterns.map { case (kind, pat, _) =>
-          regexp_count($"t", lit(pat)).as(s"n_$kind")
+    base.select(($"doc_id" +: stages.last.as("redacted") +:
+        piiPatterns.zip(stages).map { case ((kind, pat, _), stageIn) =>
+          regexp_count(stageIn, lit(pat)).as(s"n_$kind")
         }): _*)
       .orderBy($"doc_id")
   }
 
   val piiRedactSql: String = {
-    val redactExpr = piiPatterns.foldLeft("t") { case (e, (_, pat, rep)) =>
+    val stages = piiPatterns.scanLeft("t") { case (e, (_, pat, rep)) =>
       s"regexp_replace($e, '$pat', '$rep', 'g')"
     }
-    val counts = piiPatterns.map { case (kind, pat, _) =>
-      s"CAST(len(regexp_extract_all(t, '$pat')) AS INT) AS n_$kind"
+    val counts = piiPatterns.zip(stages).map { case ((kind, pat, _), stageIn) =>
+      s"CAST(len(regexp_extract_all($stageIn, '$pat')) AS INT) AS n_$kind"
     }.mkString(",\n  ")
     s"""WITH base AS (
        |  SELECT doc_id,
        |    text || (CASE WHEN doc_id < 5 THEN '$plantedPii' ELSE '' END) AS t
        |  FROM documents)
-       |SELECT doc_id, $redactExpr AS redacted,
+       |SELECT doc_id, ${stages.last} AS redacted,
        |  $counts
        |FROM base ORDER BY doc_id""".stripMargin
   }

@@ -29,12 +29,23 @@ class ScanFloorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   val dir = "/root/testdata/sf0.01"
 
+  private val multiRoot = s"/tmp/graft_multifile_${ProcessHandle.current().pid()}"
+
   lazy val spark: SparkSession = GraftSession.builder("local[8]", 8)
     .config("spark.sql.files.maxPartitionBytes", 256 * 1024)
     .config("spark.sql.files.openCostInBytes", 1024)
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    spark.stop()
+    // the written copy is per-pid scratch — delete it so repeated runs
+    // don't accumulate under /tmp
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(multiRoot))
+  }
 
   /** Tasks of one action's FIRST (scan) stage that actually read rows. */
   private def readingScanTasks(f: => Unit): Int = {
@@ -70,9 +81,15 @@ class ScanFloorSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect().toSeq.map(_.toString)
 
   test("q1_agg scan parallelism follows the input layout, results don't") {
-    val multiRoot = s"/tmp/graft_multifile_${ProcessHandle.current().pid()}"
     Tables.lineitem(spark, dir).repartition(8)
       .write.mode("overwrite").parquet(s"$multiRoot/lineitem.parquet")
+    // the honest expectation is one reading task per NON-EMPTY written
+    // data file (an empty output partition writes a row-group-free file
+    // no scan task ever reports reading) — count files that actually
+    // hold rows instead of assuming repartition(8) produced 8
+    val dataFiles = spark.read.parquet(s"$multiRoot/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count().toInt
 
     var singleRes: Seq[String] = null
     var multiRes: Seq[String] = null
@@ -84,8 +101,10 @@ class ScanFloorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // one file, one row group → one task does ALL the reading
     assert(singleTasks == 1, s"single-file scan had $singleTasks reading tasks")
-    // same plan, 8 files → the scan fans out to one reader per file
-    assert(multiTasks == 8, s"multi-file scan had $multiTasks reading task(s)")
+    // same plan, N files → the scan fans out to one reader per file
+    assert(dataFiles >= 2, s"layout copy produced only $dataFiles data files")
+    assert(multiTasks == dataFiles,
+      s"multi-file scan had $multiTasks reading task(s), expected $dataFiles")
     // layout changes parallelism, never the answer
     assert(singleRes == multiRes && singleRes.nonEmpty)
   }
