@@ -79,6 +79,22 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(routed == exact && routed.nonEmpty)
   }
 
+  test("router high-tau plan is bucket-join only — no BNLJ, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Similarity.routedPairs(spark, plantedVecs, 0.8, allowQuadratic = false)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val bad = root.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty,
+      s"LSH-verified route must generate candidates by bucket equi-join only:\n$root")
+  }
+
   test("router low-tau refuses without allowQuadratic, routes to blocked with it") {
     val e = intercept[IllegalArgumentException] {
       Similarity.routedPairs(spark, plantedVecs, 0.4, allowQuadratic = false)
