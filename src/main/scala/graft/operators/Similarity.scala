@@ -324,6 +324,118 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Product-quantization ANN with asymmetric distance computation —
+    * the MEMORY-side scale path the IVF/LSH family lacks: each vector
+    * compresses to [[PqM]] one-byte codes (64 float dims → 8 bytes,
+    * 32×), queries keep full precision and score candidates by summing
+    * per-subspace dot-product lookups (ADC). Codebook is deterministic
+    * (subvectors of the first [[PqK]] vectors — the annIvf
+    * fixed-centroid precedent, which keeps the whole operator
+    * SQL-expressible; a production deployment fits per-subspace k-means
+    * and composes with the IVF lists to prune the ADC scan). Encoding
+    * is a broadcast join + struct-min aggregation (no window, partial
+    * aggregation applies); the ADC sum folds the 8 per-subspace terms
+    * in fixed subspace order (FloatFold) so both engines accumulate
+    * identically.
+    */
+  val PqM = 8 // subspaces
+  val PqD = 8 // dims per subspace
+  val PqK = 16 // codewords per subspace
+
+  /** The PQ search shape on any unit-normalized (vec_id, vn) frame with
+    * a query predicate — factored so the spec can drive it with planted
+    * near-duplicate vectors.
+    */
+  private[graft] def pqTopK(s: SparkSession, vn: DataFrame, qPred: Column): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def subspaces(vecCol: Column): Column = explode(array((0 until PqM).map { m =>
+      struct(lit(m).as("m"), slice(vecCol, m * PqD + 1, PqD).as("sv"))
+    }: _*))
+    val subs = vn.select($"vec_id", subspaces($"vn").as("ms"))
+      .select($"vec_id", $"ms.m".as("m"), $"ms.sv".as("sv"))
+    val cb = subs.where($"vec_id" < PqK)
+      .select($"m", $"vec_id".cast("int").as("j"), $"sv".as("c"))
+    // encode: argmin-L2 codeword per (vector, subspace) — struct-min
+    // aggregation, never a window (clusterKeepBest precedent)
+    val enc = subs.join(broadcast(cb), "m")
+      .withColumn("diff", zip_with($"sv", $"c", (x, y) => x - y))
+      .withColumn("d2", round(dot($"diff", $"diff"), 6))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d2", $"j")).as("best"))
+      .select($"vec_id", $"m", $"best.j".as("code"))
+    // ADC lookup table: query × subspace × codeword dots (tiny: nq·M·K)
+    val lut = vn.where(qPred)
+      .select($"vec_id".as("q_id"), subspaces($"vn").as("ms"))
+      .select($"q_id", $"ms.m".as("m"), $"ms.sv".as("qs"))
+      .join(broadcast(cb), "m")
+      .select($"q_id", $"m", $"j", dot($"qs", $"c").as("pdot"))
+    val wTop = Window.partitionBy($"q_id").orderBy($"approx_cos".desc, $"neighbor_id".asc)
+    // disambiguated lut keys: both sides carry an `m` after the join
+    val lutR = lut.withColumnRenamed("m", "lm").withColumnRenamed("j", "lj")
+    enc.join(broadcast(lutR), $"m" === $"lm" && $"code" === $"lj")
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(round(graft.functions.FloatFold.orderedSum($"m", $"pdot"), 6)
+        .as("approx_cos"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("rank", row_number().over(wTop))
+      .where($"rank" <= 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Registered PQ query: unit-normalized embeddings (ADC dot = approx
+    * cosine), first 10 vectors as queries, top-5 by ADC score.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vn = vecs(s, dir)
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("vn"))
+    pqTopK(s, vn, col("vec_id") < 10)
+  }
+
+  val annPqSql: String = {
+    def dotE(terms: String) = s"list_reduce([$terms], (x, y) -> x + y)"
+    s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |vn AS (
+       |  SELECT vec_id,
+       |    [x / sqrt(${dotE("v[i] * v[i] for i in generate_series(1, len(v))")})
+       |     for x in v] AS vn
+       |  FROM vv),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |subs AS (
+       |  SELECT vec_id, m,
+       |    [vn[m * ${PqD} + i] for i in generate_series(1, ${PqD})] AS sv
+       |  FROM vn, ms),
+       |cb AS (
+       |  SELECT m, CAST(vec_id AS INT) AS j, sv AS c
+       |  FROM subs WHERE vec_id < ${PqK}),
+       |enc AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT s.vec_id, s.m, c.j,
+       |      CAST(row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        round(${dotE("(s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]) for i in generate_series(1, " + PqD + ")")}, 6)
+       |        ASC, c.j ASC) AS INT) AS rk
+       |    FROM subs s JOIN cb c USING (m)) z
+       |  WHERE rk = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.j,
+       |    ${dotE("s.sv[i] * c.c[i] for i in generate_series(1, " + PqD + ")")} AS pdot
+       |  FROM subs s JOIN cb c USING (m) WHERE s.vec_id < 10),
+       |adc AS (
+       |  SELECT l.q_id, e.vec_id AS neighbor_id,
+       |    round(${graft.functions.FloatFold.orderedSumSql("pdot", "e.m")}, 6) AS approx_cos
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.j
+       |  WHERE e.vec_id <> l.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, neighbor_id, approx_cos, rank FROM (
+       |  SELECT q_id, neighbor_id, approx_cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_cos DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM adc) z
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** τ floor of the LSH route: at τ ≥ 0.7 (θ ≤ 45.6°) a 16-band × 4-bit
     * sign-LSH candidate filter has ≥ 0.997 per-pair recall, so
     * candidates + exact verify is the scale path; below it band recall
@@ -426,5 +538,6 @@ object Similarity {
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
     GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)),
     GraftQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
-    GraftQuery("q_ann_ivf_kmeans", annIvfKmeans, None))
+    GraftQuery("q_ann_ivf_kmeans", annIvfKmeans, None),
+    GraftQuery("q_ann_pq", annPq, Some(annPqSql)))
 }

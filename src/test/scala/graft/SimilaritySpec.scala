@@ -79,6 +79,21 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(routed == exact && routed.nonEmpty)
   }
 
+  test("PQ ADC retrieves each planted twin's base as its top neighbor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.transform
+    val vn = plantedVecs.select($"vec_id",
+      transform($"v", x => x / $"nrm").as("vn"))
+    // queries = the 5 planted twins; their bases (ids 0-4) are codebook
+    // members, so their quantization is exact and must rank first
+    val top = Similarity.pqTopK(spark, vn, $"vec_id" >= 100L)
+      .where($"rank" === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 5).foreach { i =>
+      assert(top(100L + i) == i.toLong, s"query ${100 + i} top-1 = ${top(100L + i)}")
+    }
+  }
+
   test("router high-tau plan is bucket-join only — no BNLJ, no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
