@@ -38,13 +38,47 @@ object Dedup {
     import docs.sparkSession.implicits._
     docs
       .select($"doc_id", TF.tokens($"text").as("toks"))
-      .select($"doc_id",
-        array_distinct(
-          filter(
-            transform($"toks", (_, i) =>
-              when(i + 3 <= size($"toks"), array_join(slice($"toks", i + 1, lit(3)), " "))),
-            g => g.isNotNull)).as("arr"))
+      .select($"doc_id", shingleArrFromToks($"toks").as("arr"))
   }
+
+  /** The distinct word 3-gram array from a MATERIALIZED tokens column
+    * (callers project toks in a prior select — higher-order functions
+    * are CodegenFallback, so an inlined tokens expression would
+    * re-tokenize per reference). One source for the batch builder and
+    * the row-local streaming signature.
+    */
+  private[graft] def shingleArrFromToks(toks: Column): Column =
+    array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i + 3 <= size(toks), array_join(slice(toks, i + 1, lit(3)), " "))),
+        g => g.isNotNull))
+
+  /** ROW-LOCAL 16-hash MinHash signature from a materialized
+    * shingle-hash array — the same VALUES as [[minhashWide]]'s grouped
+    * mins (min over exploded rows ≡ array_min over the same per-doc
+    * hash list), computed with zero cross-row aggregation so it
+    * composes with Structured Streaming's stateless stages (a streaming
+    * groupBy would be a stateful operator). Callers materialize the
+    * hash array (`transform(arr, s => hash60(s) % P)`) in a prior
+    * projection — it is referenced once per hash function — and filter
+    * empty shingle arrays first (array_min of an empty array is null;
+    * the batch path simply emits no rows for sub-3-token docs).
+    */
+  private[graft] def rowSignature(xarr: Column): Column =
+    array(hashParams.map { case (_, a, b) =>
+      array_min(transform(xarr, x => (lit(a) * x + lit(b)) % P))
+    }: _*)
+
+  /** The 4 LSH band structs (band, band_key) of a signature array —
+    * identical key strings to [[signatureBands]].
+    */
+  private[graft] def bandStructsOf(sig: Column): Column =
+    array((0 until NumHashes / BandSize).map { k =>
+      struct(lit(k).as("band"),
+        concat_ws("-", (0 until BandSize).map(j =>
+          element_at(sig, k * BandSize + j + 1)): _*).as("band_key"))
+    }: _*)
 
   /** Distinct word 3-gram shingles per doc, exploded. */
   private[operators] def shingles(s: SparkSession, dir: String): DataFrame =

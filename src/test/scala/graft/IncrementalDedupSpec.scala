@@ -47,6 +47,31 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
   }
 
+  test("row-local signature bands equal the batch builder's values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    val docs = Tables.documents(spark, dir)
+    // the streaming (row-local) construction, run in batch on the same
+    // frame: array folds must reproduce the grouped-min signatures and
+    // band keys exactly
+    val rowLocal = docs
+      .withColumn("toks", TF.tokens($"text"))
+      .withColumn("arr", Dedup.shingleArrFromToks($"toks"))
+      .where(size($"arr") > 0)
+      .withColumn("xarr", transform($"arr", x => Dedup.hash60(x) % Dedup.P))
+      .withColumn("sig", Dedup.rowSignature($"xarr"))
+      .select($"doc_id", explode(Dedup.bandStructsOf($"sig")).as("bk"), $"sig")
+      .select($"doc_id", $"bk.band", $"bk.band_key", $"sig")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getSeq[Long](3))).toMap
+    val batch = Dedup.signatureBands(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getSeq[Long](3))).toMap
+    assert(batch.nonEmpty && rowLocal == batch,
+      s"${rowLocal.size} row-local vs ${batch.size} batch band rows")
+  }
+
   test("the signature-store side of the delta join plans without an exchange") {
     import spark.implicits._
     val (store, delta) = splitDocs

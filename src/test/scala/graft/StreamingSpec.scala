@@ -95,6 +95,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept(1L).contains("<EMAIL>") && !kept(1L).contains("bob@"))
   }
 
+  test("stream-static incremental dedup flags historical near-dups only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val table = "sig_store_stream_spec"
+    try {
+      // yesterday's corpus → bucketed signature store
+      graft.operators.IncrementalDedup.writeStore(
+        Seq(
+          (10L, "the quick brown fox jumps over the lazy dog today"),
+          (11L, "spark shuffles data across the cluster with partitions"),
+          (12L, "a completely unrelated historical document about joins"))
+          .toDF("doc_id", "text"),
+        table)
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      mem.addData(
+        // exact text of store doc 10 → identical signature, est = 1.0
+        (1L, ts(10), "the quick brown fox jumps over the lazy dog today"),
+        // novel text → no band collision, no output row
+        (2L, ts(11), "genuinely new content arriving on the stream now"))
+      val q = EventsStream.incrementalDedupStream(spark,
+          mem.toDF().toDF("doc_id", "ts", "text"), table)
+        .writeStream.format("memory").queryName("incdedup_out")
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("incdedup_out")
+        .select($"doc_id", $"store_id", $"est_jaccard")
+        .as[(Long, Long, Double)].collect()
+      assert(rows.toSet == Set((1L, 10L, 1.0)), rows.mkString(", "))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("stream-stream join matches clicks to in-window purchases only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
