@@ -324,6 +324,64 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** k-NN label agreement — the standard embedding-space label-noise /
+    * mislabel diagnostic a training-data pipeline runs over labeled
+    * embeddings: for each probe vector, the fraction of its 5 nearest
+    * neighbors (exact cosine, the annCosineTopK algebra) sharing its
+    * label. Low agreement flags candidate label errors or off-manifold
+    * points. Probes broadcast like every ANN query set; at corpus scale
+    * the neighbor search swaps to the ANN family (IVF/LSH/PQ) with the
+    * same downstream agreement aggregation.
+    */
+  def labelKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val labels = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    val v = vecs(s, dir).join(labels, "vec_id")
+    val q = v.where($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"label".as("q_label"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    v.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_label", $"vec_id".as("neighbor_id"),
+        $"label".as("n_label"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 5)
+      .groupBy($"q_id")
+      .agg(first($"q_label").as("label"),
+        sum(($"n_label" === $"q_label").cast("int")).cast("int").as("n_same"),
+        (sum(($"n_label" === $"q_label").cast("int")).cast("double") / 5)
+          .as("agree_frac"))
+      .orderBy($"q_id")
+  }
+
+  val labelKnnSql: String =
+    s"""WITH vv AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v, label
+       |  FROM embeddings),
+       |vn AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
+       |      (x, y) -> x + y)) AS nrm, label
+       |  FROM vv),
+       |nb AS (
+       |  SELECT q_id, q_label, n_label, rank FROM (
+       |    SELECT a.vec_id AS q_id, a.label AS q_label, b.label AS n_label,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        round(list_reduce(
+       |          [a.v[i] * b.v[i] for i in generate_series(1, len(a.v))],
+       |          (x, y) -> x + y) / (a.nrm * b.nrm), 6) DESC,
+       |        b.vec_id ASC) AS INT) AS rank
+       |    FROM vn a JOIN vn b ON a.vec_id < 50 AND b.vec_id <> a.vec_id) z
+       |  WHERE rank <= 5)
+       |SELECT q_id, any_value(q_label) AS label,
+       |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS INT)
+       |    AS n_same,
+       |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE) / 5
+       |    AS agree_frac
+       |FROM nb GROUP BY q_id ORDER BY q_id""".stripMargin
+
   /** Product-quantization ANN with asymmetric distance computation —
     * the MEMORY-side scale path the IVF/LSH family lacks: each vector
     * compresses to [[PqM]] one-byte codes (64 float dims → 8 bytes,
@@ -539,5 +597,6 @@ object Similarity {
     GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)),
     GraftQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GraftQuery("q_ann_ivf_kmeans", annIvfKmeans, None),
-    GraftQuery("q_ann_pq", annPq, Some(annPqSql)))
+    GraftQuery("q_ann_pq", annPq, Some(annPqSql)),
+    GraftQuery("q_embed_label_knn", labelKnn, Some(labelKnnSql)))
 }
