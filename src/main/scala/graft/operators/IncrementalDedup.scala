@@ -44,6 +44,18 @@ object IncrementalDedup {
     * [[Dedup.signatureBands]] rows to the store table afterwards to
     * absorb the batch.
     */
+  /** Absorb a delta batch into the store after its dedup decision: the
+    * delta's signature rows APPEND to the bucketed table (insertInto
+    * honors the table's recorded bucket spec, so the new files land
+    * bucket-aligned and tomorrow's delta join stays exchange-free on
+    * the store side) — the write is sized to the delta, the historical
+    * files are untouched.
+    */
+  def absorbDelta(s: SparkSession, delta: DataFrame, table: String): Unit =
+    Dedup.signatureBands(delta)
+      .select(s.table(table).columns.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append").insertInto(table)
+
   def deltaAgainstStore(s: SparkSession, delta: DataFrame, table: String): DataFrame = {
     import s.implicits._
     val d = Dedup.signatureBands(delta)

@@ -72,6 +72,34 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${rowLocal.size} row-local vs ${batch.size} batch band rows")
   }
 
+  test("absorbed delta is visible to the next day's delta, still bucket-aligned") {
+    import spark.implicits._
+    val (store, delta) = splitDocs
+    IncrementalDedup.writeStore(store, table)
+    val before = spark.table(table).count()
+    IncrementalDedup.absorbDelta(spark, delta, table)
+    val after = spark.table(table)
+    assert(after.count() > before, "absorb appended no rows")
+    // day 2: a near-copy of a day-1 delta doc must now match the store
+    val day2 = delta.limit(1).select($"doc_id" + 100000, $"text")
+      .toDF("doc_id", "text")
+    val got = IncrementalDedup.deltaAgainstStore(spark, day2, table)
+      .where($"est_jaccard" === 1.0).collect()
+    val d2id = day2.collect()(0).getLong(0)
+    assert(got.exists(r => r.getLong(0) == d2id && r.getLong(1) == d2id - 100000),
+      s"day-2 copy not matched against the absorbed delta: ${got.mkString(", ")}")
+    // appended files honored the bucket spec: the store scan is still a
+    // bucketed read
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val plan = Dedup.signatureBands(day2)
+        .join(spark.table(table), Seq("band", "band_key"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"post-absorb scan unbucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("the signature-store side of the delta join plans without an exchange") {
     import spark.implicits._
     val (store, delta) = splitDocs
