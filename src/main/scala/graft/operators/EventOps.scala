@@ -83,7 +83,69 @@ object EventOps {
       |FROM events GROUP BY event_type, date_trunc('hour', ts::TIMESTAMP)
       |ORDER BY event_type, window_start""".stripMargin
 
+  /** Funnel steps in conversion order. */
+  private val funnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** Funnel conversion — the canonical event-analytics ask: how many
+    * users reach each step of signup → view → click → purchase, where
+    * each step must occur STRICTLY AFTER the user's first qualifying
+    * occurrence of the previous step. Per step, one per-user min-ts
+    * aggregation joined to the previous step's frame — every join and
+    * aggregation keys on user_id (co-partitioned, one shuffle key
+    * throughout), the per-step counts are single-row aggregates, and
+    * conversion rates come from a broadcast self-join of the 4-row
+    * count frame — no partition-less window, no collect.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir).select($"user_id", $"event_type", $"ts")
+    val first = e.where($"event_type" === funnelSteps.head)
+      .groupBy($"user_id").agg(min($"ts").as("t"))
+    val reached = funnelSteps.tail.scanLeft(first) { (prev, typ) =>
+      e.where($"event_type" === typ)
+        .join(prev.select($"user_id", $"t".as("pt")), "user_id")
+        .where($"ts" > $"pt")
+        .groupBy($"user_id").agg(min($"ts").as("t"))
+    }
+    val counts = funnelSteps.zip(reached).zipWithIndex.map {
+      case ((typ, df), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(typ).as("event_type"), $"n_users")
+    }.reduce(_ unionByName _)
+    val prevCounts = counts.select(($"step" + 1).as("step"),
+      $"n_users".as("n_prev"))
+    counts.join(broadcast(prevCounts), Seq("step"), "left")
+      .select($"step", $"event_type", $"n_users",
+        round($"n_users".cast("double") / $"n_prev", 6).as("conv_rate"))
+      .orderBy($"step")
+  }
+
+  val eventsFunnelSql: String = {
+    val stepCtes = funnelSteps.zipWithIndex.map { case (typ, i) =>
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, min(ts::TIMESTAMP) AS t FROM events
+           |  WHERE event_type = '$typ' GROUP BY user_id)"""
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t
+           |  FROM events e JOIN s$i ON e.user_id = s$i.user_id
+           |  WHERE e.event_type = '$typ' AND e.ts::TIMESTAMP > s$i.t
+           |  GROUP BY e.user_id)"""
+    }.mkString(",\n")
+    val unions = funnelSteps.zipWithIndex.map { case (typ, i) =>
+      s"SELECT ${i + 1} AS step, '$typ' AS event_type, count(*) AS n_users FROM s${i + 1}"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${stepCtes.stripMargin},
+       |counts AS (${unions})
+       |SELECT c.step, c.event_type, c.n_users,
+       |  round(CAST(c.n_users AS DOUBLE) / p.n_users, 6) AS conv_rate
+       |FROM counts c LEFT JOIN counts p ON c.step = p.step + 1
+       |ORDER BY c.step""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_events_sessionize", sessionize, Some(sessionizeSql)),
-    GraftQuery("q_stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)))
+    GraftQuery("q_stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
+    GraftQuery("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)))
 }
