@@ -144,8 +144,52 @@ object EventOps {
        |ORDER BY c.step""".stripMargin
   }
 
+  /** Retention cohorts — the other canonical event-analytics matrix:
+    * users cohorted by first-seen day, per-(cohort, day-offset) active
+    * user counts and retention rates. Two hash aggregations (first-seen
+    * day per user; distinct user-days) joined on user_id, then one
+    * count per matrix cell — the cohort matrix is bounded by
+    * days² regardless of event volume, and cohort sizes ride a
+    * broadcast join onto it.
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+      .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+    val cohorts = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val sizes = cohorts.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_n"))
+    e.distinct()
+      .join(cohorts, "user_id")
+      .groupBy($"cohort_day", datediff($"day", $"cohort_day").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select($"cohort_day", $"day_offset", $"n_active",
+        round($"n_active".cast("double") / $"cohort_n", 6).as("retention"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::DATE AS day
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_day, count(*) AS cohort_n FROM cohorts GROUP BY cohort_day),
+      |cells AS (
+      |  SELECT c.cohort_day,
+      |    CAST(date_diff('day', c.cohort_day, e.day) AS INT) AS day_offset,
+      |    count(*) AS n_active
+      |  FROM e JOIN cohorts c ON e.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cohort_day, day_offset, n_active,
+      |  round(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention
+      |FROM cells JOIN sizes USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_events_sessionize", sessionize, Some(sessionizeSql)),
     GraftQuery("q_stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
-    GraftQuery("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)))
+    GraftQuery("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
+    GraftQuery("q_events_retention", eventsRetention, Some(eventsRetentionSql)))
 }

@@ -128,6 +128,26 @@ object Relational {
       |  CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS price_p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch-based percentiles — the scale swap-in [[percentiles]]
+    * documents: `percentile_approx` (Greenwald-Khanna) keeps a bounded
+    * per-group sketch instead of buffering the group's values, so the
+    * same matrix costs O(groups × sketch) memory at any corpus size.
+    * Rows-only for the gate (sketch internals differ across engines);
+    * RelationalSpec bounds the relative error against the exact
+    * operator at ≤1% per cell.
+    */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("qty_p50"),
+        expr("percentile_approx(l_quantity, 0.95, 10000)").as("qty_p95"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("price_p50"),
+        expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("price_p95"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Region → nation revenue rollup with subtotals (GROUPING SETS):
     * one pass producing all aggregation levels.
     */
@@ -180,5 +200,6 @@ object Relational {
     GraftQuery("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
     GraftQuery("q_window_topk", windowTopK, Some(windowTopKSql)),
     GraftQuery("q_percentiles", percentiles, Some(percentilesSql)),
+    GraftQuery("q_percentiles_approx", percentilesApprox, None),
     GraftQuery("q_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)))
 }

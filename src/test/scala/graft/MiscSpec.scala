@@ -14,6 +14,20 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("approx percentiles sit within 1% of the exact operator per cell") {
+    val exact = graft.operators.Relational.percentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    val approx = graft.operators.Relational.percentilesApprox(spark, dir)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (flag, es) =>
+      es.zip(approx(flag)).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= 0.01 * math.abs(e),
+          s"$flag: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("quality scores stay within [0, 1]") {
     import spark.implicits._
     val q = TextAnalysis.qualityScore(spark, dir)
