@@ -248,6 +248,48 @@ object TextAnalysis {
        |FROM base ORDER BY doc_id""".stripMargin
   }
 
+  /** One per-doc compression record (the deflate-entropy quality
+    * signal).
+    */
+  case class CompressionStat(doc_id: Long, n_bytes: Int, n_compressed: Int,
+      ratio: Double)
+
+  /** Compression-ratio quality signal — the zlib entropy proxy real
+    * pretraining curation runs (highly repetitive or templated text
+    * compresses far below natural prose; near-random text compresses
+    * above it): deflate each doc at level 6 and report
+    * compressed/uncompressed. The Deflater is a native codec, so this
+    * runs through the same DECLARED per-partition boundary as the
+    * multimodal decode (Multimodal.decodeImages): one Deflater per
+    * partition, reset per row, sizes accumulated without materializing
+    * the compressed bytes. Rows-only for the gate (no SQL deflate);
+    * spec pins the repetitive ≪ prose ≪ noise ordering on planted text
+    * and run-to-run determinism.
+    */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { rows =>
+        // per-partition codec init; reset per row (the expensive native
+        // allocation is paid once per partition, not per doc)
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          CompressionStat(id, bytes.length, n,
+            math.round(n.toDouble / math.max(bytes.length, 1) * 1e6) / 1e6)
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   /** Context-window chunking — fixed 64-token windows at stride 48 (the
     * LLM dataset-prep shape: overlapping windows cover every token under
     * a context budget). The window starts are a bounded per-row
@@ -337,5 +379,6 @@ object TextAnalysis {
     GraftQuery("q_fingerprint", fingerprint, Some(fingerprintSql)),
     GraftQuery("q_pii_redact", piiRedact, Some(piiRedactSql)),
     GraftQuery("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
-    GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)))
+    GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
+    GraftQuery("q_compression_ratio", compressionRatio, None))
 }

@@ -14,6 +14,43 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("compression ratio orders repetitive < prose < noise and is deterministic") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // run the corpus operator end-to-end: sane ranges, one row per doc
+    val corpus = TextAnalysis.compressionRatio(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(corpus.nonEmpty && corpus.forall { case (_, nb, nc, ratio) =>
+      nb > 0 && nc > 0 && ratio > 0.0 && ratio < 1.5
+    })
+    val again = TextAnalysis.compressionRatio(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(corpus.toSeq == again.toSeq, "deflate sizes not run-deterministic")
+    // planted ordering: the signal must separate the three text regimes
+    val rnd = new scala.util.Random(26062019L)
+    val planted = Seq(
+      1L -> Seq.fill(200)("spam").mkString(" "),
+      2L -> ("the quick brown fox jumps over the lazy dog and then " * 20),
+      3L -> Seq.fill(800)((rnd.nextInt(94) + 33).toChar).mkString)
+      .toDF("doc_id", "text")
+    planted.createOrReplaceTempView("documents_cmp")
+    // reuse the partition codec directly on the planted frame
+    val ratios = planted.as[(Long, String)].mapPartitions { rows =>
+      val d = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](1 << 16)
+      rows.map { case (id, text) =>
+        val b = text.getBytes("UTF-8")
+        d.reset(); d.setInput(b); d.finish()
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf)
+        (id, n.toDouble / b.length)
+      }
+    }.collect().toMap
+    assert(ratios(1L) < ratios(2L) && ratios(2L) < ratios(3L),
+      s"ordering violated: $ratios")
+    assert(ratios(3L) > 0.8, s"noise should be near-incompressible: ${ratios(3L)}")
+  }
+
   test("approx percentiles sit within 1% of the exact operator per cell") {
     val exact = graft.operators.Relational.percentiles(spark, dir).collect()
       .map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
