@@ -9,14 +9,21 @@ import org.apache.spark.sql.SparkSession
   * Rep semantics: pass 1 runs the FULL registry cold, in SURVEY §2
   * order — byte-identical semantics to earlier rounds' single-shot
   * numbers. Passes 2-3 re-run only the REPEATABLE queries: operators
-  * whose plans memoize fitted models / contraction fixpoints through
-  * [[SessionCache]] are excluded (a warm rep would time a cache hit,
-  * not the plan, and a median over {cold, warm, warm} would report the
-  * cache); their single cold number is carried as-is — they are the
-  * expensive ML heads, so the 3× cost lands only on the cheap tail.
-  * Reps are full passes (not back-to-back per query) so the three
-  * samples are temporally separated — a load spike hits one pass, not
-  * all three reps of the same query.
+  * registered with `singleShot = true` (their first run installs
+  * [[SessionCache]] state — a warm rep would time the memo, not the
+  * plan, and a median over {cold, warm, warm} would report the cache)
+  * get one cold rep only; they are the expensive ML heads, so the 3×
+  * cost lands only on the cheap tail. Reps are full passes (not
+  * back-to-back per query) so the three samples are temporally
+  * separated — a load spike hits one pass, not all three reps of the
+  * same query.
+  *
+  * The JSON line is self-describing about both caveats: `single_shot`
+  * names the one-cold-rep queries (so a reader separates medians from
+  * single-shot numbers without consulting this source), and `cold`
+  * carries each repeatable query's pass-1 time next to its median (so
+  * cross-round comparisons can anchor on cold-vs-cold — warm medians
+  * benefit from page cache and JIT).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,13 +36,6 @@ object Bench {
     // doesn't land on the first query
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-
-    // Queries whose first run installs SessionCache state (model fits,
-    // tally frames, cluster labels): later reps measure the memo, not
-    // the plan — one cold rep only.
-    def sessionCached(name: String): Boolean =
-      name.startsWith("q_ml_") ||
-        name == "q_dedup_clusters" || name == "q_cluster_keep_best"
 
     val failed = scala.collection.mutable.ListBuffer[String]()
     def time(q: GraftQuery): Option[Double] = {
@@ -51,12 +51,15 @@ object Bench {
       }
     }
 
-    // pass 1: everything, cold, registry order (comparable across rounds)
+    // pass 1: everything, cold, registry order (comparable across rounds).
+    // PREPEND per pass — head of each list is the latest sample, LAST
+    // element is always the pass-1 cold time.
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     SparkEntry.all.foreach(q => samples(q.name) = time(q).toList)
-    // passes 2..reps: repeatable subset only, skipping pass-1 failures
+    // passes 2..reps: repeatable subset only (registry metadata, not a
+    // name heuristic), skipping pass-1 failures
     val again = SparkEntry.all.filter(q =>
-      !sessionCached(q.name) && samples(q.name).nonEmpty)
+      !q.singleShot && samples(q.name).nonEmpty)
     (2 to reps).foreach { _ =>
       again.foreach(q => time(q).foreach(t => samples(q.name) ::= t))
     }
@@ -71,6 +74,12 @@ object Bench {
     val meds = samples.collect { case (k, xs) if xs.nonEmpty => k -> median(xs) }
     val qs = meds.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // pass-1 cold time for every multi-rep query (for single-shot ones
+    // the median IS the cold time): cold-vs-cold is the cross-round
+    // anchor — warm medians benefit from OS page cache and JIT
+    val colds = samples.collect { case (k, xs) if xs.size > 1 =>
+      s"\"" + k + "\":" + f(xs.last)
+    }.mkString("{", ",", "}")
     // spread (max-min over reps) only where it is material (>25% of the
     // median AND >0.5 s absolute — sub-second queries jitter relatively
     // without mattering): flags which numbers were measured under load
@@ -81,10 +90,15 @@ object Bench {
         s"\"" + k + "\":" + f(xs.max - xs.min)
     }.mkString("{", ",", "}")
     val total = meds.values.sum
+    // the one-cold-rep names ride the line so their numbers are
+    // self-describing as single-shot (load-sensitive) without reading
+    // this source
+    val oneShot = SparkEntry.all.filter(_.singleShot).map("\"" + _.name + "\"")
+      .mkString("[", ",", "]")
     // failed names ride the JSON line: a swallowed exception otherwise
     // reads as a suspiciously fast query instead of a broken one
     val errs = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"cold":$colds,"spread":$spread,"single_shot":$oneShot,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -208,6 +208,6 @@ object Classifiers {
 
   val queries: Seq[GraftQuery] =
     estimators.map { case (name, _) =>
-      GraftQuery(s"q_ml_$name", trainPredict(name), None)
-    } :+ GraftQuery("q_ml_dummy", dummy, Some(dummySql))
+      GraftQuery(s"q_ml_$name", trainPredict(name), None, singleShot = true)
+    } :+ GraftQuery("q_ml_dummy", dummy, Some(dummySql), singleShot = true)
 }

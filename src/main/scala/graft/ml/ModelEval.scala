@@ -297,11 +297,11 @@ object ModelEval {
     }.orderBy("frac_pct")
 
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q_ml_roc_auc", mlRocAuc, None),
-    GraftQuery("q_ml_roc_curve", mlRocCurve, None),
-    GraftQuery("q_ml_pr_curve", mlPrCurve, None),
-    GraftQuery("q_ml_cv_auc", mlCvAuc, None),
-    GraftQuery("q_ml_ttest_5x2", mlTtest5x2, None),
-    GraftQuery("q_ml_mean_roc", mlMeanRoc, None),
-    GraftQuery("q_ml_learning_curve", mlLearningCurve, None))
+    GraftQuery("q_ml_roc_auc", mlRocAuc, None, singleShot = true),
+    GraftQuery("q_ml_roc_curve", mlRocCurve, None, singleShot = true),
+    GraftQuery("q_ml_pr_curve", mlPrCurve, None, singleShot = true),
+    GraftQuery("q_ml_cv_auc", mlCvAuc, None, singleShot = true),
+    GraftQuery("q_ml_ttest_5x2", mlTtest5x2, None, singleShot = true),
+    GraftQuery("q_ml_mean_roc", mlMeanRoc, None, singleShot = true),
+    GraftQuery("q_ml_learning_curve", mlLearningCurve, None, singleShot = true))
 }

@@ -129,6 +129,7 @@ object NamedFeatures {
   }
 
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q_ml_named_importance", mlNamedImportance, None),
-    GraftQuery("q_ml_coefficients", mlCoefficients, None))
+    GraftQuery("q_ml_named_importance", mlNamedImportance, None,
+      singleShot = true),
+    GraftQuery("q_ml_coefficients", mlCoefficients, None, singleShot = true))
 }

@@ -550,8 +550,10 @@ object Corpus {
     GraftQuery("q_bm25_search", bm25Search, Some(bm25SearchSql)),
     // the registered plan is the O(log n) star-contraction scale path;
     // the label-propagation twin stays as the spec-checked baseline
-    GraftQuery("q_dedup_clusters", dedupClustersStar, Some(dedupClustersSql)),
-    GraftQuery("q_cluster_keep_best", clusterKeepBest, Some(clusterKeepBestSql)),
+    GraftQuery("q_dedup_clusters", dedupClustersStar, Some(dedupClustersSql),
+      singleShot = true),
+    GraftQuery("q_cluster_keep_best", clusterKeepBest, Some(clusterKeepBestSql),
+      singleShot = true),
     GraftQuery("q_pack_sequences", packSequences(_, _), Some(packSequencesSql)),
     GraftQuery("q_contamination_check", contamination, Some(contaminationSql)),
     GraftQuery("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

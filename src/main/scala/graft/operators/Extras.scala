@@ -159,7 +159,8 @@ object Extras {
     GraftQuery("q_classification_report", classificationReport,
       Some(classificationReportSql)),
     GraftQuery("q_confusion_at_cutoff", confusionAtCutoff, Some(confusionAtCutoffSql)),
-    GraftQuery("q_ml_feature_importance", mlFeatureImportance, None),
-    GraftQuery("q_ml_tree_export", mlTreeExport, None),
+    GraftQuery("q_ml_feature_importance", mlFeatureImportance, None,
+      singleShot = true),
+    GraftQuery("q_ml_tree_export", mlTreeExport, None, singleShot = true),
     GraftQuery("q_json_extract", jsonExtract, Some(jsonExtractSql)))
 }

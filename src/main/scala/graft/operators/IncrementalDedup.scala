@@ -35,15 +35,6 @@ object IncrementalDedup {
       .sortBy("band", "band_key")
       .mode("overwrite").saveAsTable(table)
 
-  /** Candidate near-dup matches of a DELTA batch against the store:
-    * signature the delta (its own cost only), equi-join on
-    * (band, band_key) — the store side reads bucket-aligned, the delta
-    * side shuffles into the store's bucketing — dedup colliding pairs,
-    * and report the minhash-agreement estimate from the two signatures
-    * the matched row already carries. Append the delta's own
-    * [[Dedup.signatureBands]] rows to the store table afterwards to
-    * absorb the batch.
-    */
   /** Absorb a delta batch into the store after its dedup decision: the
     * delta's signature rows APPEND to the bucketed table (insertInto
     * honors the table's recorded bucket spec, so the new files land
@@ -56,6 +47,15 @@ object IncrementalDedup {
       .select(s.table(table).columns.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append").insertInto(table)
 
+  /** Candidate near-dup matches of a DELTA batch against the store:
+    * signature the delta (its own cost only), equi-join on
+    * (band, band_key) — the store side reads bucket-aligned, the delta
+    * side shuffles into the store's bucketing — dedup colliding pairs,
+    * and report the minhash-agreement estimate from the two signatures
+    * the matched row already carries. Append the delta's own
+    * [[Dedup.signatureBands]] rows to the store table afterwards to
+    * absorb the batch ([[absorbDelta]]).
+    */
   def deltaAgainstStore(s: SparkSession, delta: DataFrame, table: String): DataFrame = {
     import s.implicits._
     val d = Dedup.signatureBands(delta)

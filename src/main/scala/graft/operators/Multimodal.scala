@@ -130,7 +130,11 @@ object Multimodal {
     * per partition and re-targeted per payload (`setInput`/`read`) —
     * the once-per-partition codec-init shape the stub documents, now
     * exercised with real bytes. Payloads are sniffed by PNG magic first,
-    * so arbitrary binary never reaches the reader.
+    * so arbitrary binary never reaches the reader; a payload with valid
+    * magic but a corrupt/truncated body also falls back to the
+    * octet-stream row (corrupt media is the norm at corpus scale — a
+    * bad payload must cost one row, never the task). The reader is
+    * dispose()d when the partition iterator is exhausted.
     */
   def decodeImages(payloads: Dataset[(Long, Array[Byte])]): Dataset[DecodedImage] = {
     import payloads.sparkSession.implicits._
@@ -138,10 +142,12 @@ object Multimodal {
     payloads.mapPartitions { rows =>
       // per-partition codec init: one reusable PNG reader per partition
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
-      rows.map { case (id, bytes) =>
+      var disposed = false
+      def decode(id: Long, bytes: Array[Byte]): DecodedImage = {
+        val undecodable = DecodedImage(id, "application/octet-stream", -1, -1,
+          bytes.length, Array.empty)
         if (bytes.length < 4 || !bytes.take(4).sameElements(pngMagic))
-          DecodedImage(id, "application/octet-stream", -1, -1, bytes.length,
-            Array.empty)
+          undecodable
         else {
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
@@ -163,7 +169,108 @@ object Multimodal {
             val n = (w.toLong * h * 255).toDouble
             DecodedImage(id, "image/png", w, h, bytes.length,
               Array(r / n, g / n, b / n))
+          } catch {
+            // corrupt body behind valid magic (IIOException etc.): keep
+            // the row, flag it by mime — setInput on the next payload
+            // re-targets the reader cleanly
+            case scala.util.control.NonFatal(_) => undecodable
           } finally iis.close()
+        }
+      }
+      new Iterator[DecodedImage] {
+        override def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && !disposed) { reader.dispose(); disposed = true }
+          h
+        }
+        override def next(): DecodedImage = {
+          val (id, bytes) = rows.next()
+          decode(id, bytes)
+        }
+      }
+    }
+  }
+
+  /** One REAL-resized image record: original and thumbnail dimensions,
+    * the thumbnail's channel means, and the re-encoded PNG bytes —
+    * the full decode → transform → re-encode shape of a thumbnailing
+    * pipeline. Undecodable payloads keep their row (octet-stream mime,
+    * -1 dims, empty thumb), same contract as [[decodeImages]].
+    */
+  case class ResizedImage(doc_id: Long, mime: String, width: Int, height: Int,
+      thumb_width: Int, thumb_height: Int, thumb_bytes: Int,
+      features: Array[Double], thumb_png: Array[Byte])
+
+  /** REAL image resize through the same per-partition codec boundary:
+    * javax.imageio decode → java.awt Graphics2D bilinear downscale to
+    * fit `maxDim` (aspect preserved, never upscaled) → javax.imageio
+    * PNG re-encode. All three codec stages run inside one
+    * `mapPartitions` pass — one reader per partition, per-row scratch
+    * buffers only — so the operator is a narrow projection at any
+    * corpus size. Corrupt payloads cost one fallback row, not the task.
+    */
+  def resizeImages(payloads: Dataset[(Long, Array[Byte])],
+      maxDim: Int): Dataset[ResizedImage] = {
+    import payloads.sparkSession.implicits._
+    val pngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    payloads.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      var disposed = false
+      def resize(id: Long, bytes: Array[Byte]): ResizedImage = {
+        val undecodable = ResizedImage(id, "application/octet-stream", -1, -1,
+          -1, -1, 0, Array.empty, Array.empty)
+        if (bytes.length < 4 || !bytes.take(4).sameElements(pngMagic))
+          undecodable
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis)
+            val img = reader.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+            val (tw, th) = (math.max(1, math.round(w * scale).toInt),
+              math.max(1, math.round(h * scale).toInt))
+            val thumb = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = thumb.createGraphics()
+            try {
+              g2.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g2.drawImage(img, 0, 0, tw, th, null)
+            } finally g2.dispose()
+            var (r, g, b) = (0L, 0L, 0L)
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) {
+                val px = thumb.getRGB(x, y)
+                r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (tw.toLong * th * 255).toDouble
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(thumb, "png", bos)
+            val out = bos.toByteArray
+            ResizedImage(id, "image/png", w, h, tw, th, out.length,
+              Array(r / n, g / n, b / n), out)
+          } catch {
+            case scala.util.control.NonFatal(_) => undecodable
+          } finally iis.close()
+        }
+      }
+      new Iterator[ResizedImage] {
+        override def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && !disposed) { reader.dispose(); disposed = true }
+          h
+        }
+        override def next(): ResizedImage = {
+          val (id, bytes) = rows.next()
+          resize(id, bytes)
         }
       }
     }
@@ -226,9 +333,11 @@ object Multimodal {
 
   /** Resize — the thumbnail shape: a deterministic downsample keeping
     * every 4th 8-byte block of the payload, reassembled into a smaller
-    * binary (the stub for an image resize; a real codec slots into the
-    * same projection). Pure narrow per-row work — array comprehension
-    * over block indices, no generator, no shuffle.
+    * binary (the ORACLE-CHECKABLE stub for an image resize over the
+    * text-payload corpus; [[resizeImages]] is the REAL
+    * decode → downscale → re-encode codec through the partition
+    * boundary, spec'd on planted PNGs). Pure narrow per-row work —
+    * array comprehension over block indices, no generator, no shuffle.
     */
   def multimodalResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

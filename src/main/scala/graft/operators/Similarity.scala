@@ -503,19 +503,23 @@ object Similarity {
     */
   val TauLshFloor = 0.7
 
-  /** ROUTED exact-threshold cosine dedup — the documented entry point a
+  /** ROUTED threshold-cosine dedup — the documented entry point a
     * pipeline calls instead of picking a pair plan by hand:
     *
-    *  - `tau ≥` [[TauLshFloor]]: banded sign-LSH candidates + exact
-    *    cosine verification ([[lshVerified]]). Sub-quadratic — per-pair
-    *    candidate recall ≥ 1 − (1 − p⁴)¹⁶ with p = 1 − θ/π (≥ 0.997 at
-    *    the floor, ~1 − 5·10⁻⁸ at τ = 0.95); the exact verify step means
-    *    NO false positives ever. This is the 100 TB route.
-    *  - `tau <` [[TauLshFloor]]: the exact semantics are inherently
-    *    O(n²) compares (SURVEY §5), so the router REFUSES unless the
-    *    caller passes `allowQuadratic = true`, which dispatches to the
-    *    bounded-task blocked sweep ([[blockedPairs]]) — correct at any τ,
-    *    affordable only below corpus scale.
+    *  - `allowQuadratic = true`: the bounded-task blocked sweep
+    *    ([[blockedPairs]]) at ANY τ — the only truly EXACT plan (every
+    *    qualifying pair, no candidate filter). O(n²) compares, so
+    *    affordable only below corpus scale; an explicit opt-in always
+    *    dispatches here, including above the LSH floor.
+    *  - otherwise, `tau ≥` [[TauLshFloor]]: banded sign-LSH candidates +
+    *    exact cosine verification ([[lshVerified]]). Sub-quadratic; NO
+    *    false positives (the verify step recomputes true cosine), and
+    *    per-pair candidate recall ≥ 1 − (1 − p⁴)¹⁶ with p = 1 − θ/π
+    *    (≥ 0.997 at the floor, ~1 − 5·10⁻⁸ at τ = 0.95) — near-exact
+    *    but NOT exhaustive. This is the 100 TB route.
+    *  - otherwise (`tau <` floor, no opt-in): exact low-τ semantics are
+    *    inherently O(n²) compares (SURVEY §5) and band recall collapses,
+    *    so the router REFUSES rather than silently going quadratic.
     *
     * The registered q_embed_cosine_dedup stays the τ=0.4 blocked sweep
     * (the driver's embeddings have no high-cos pairs to route); this
@@ -528,8 +532,8 @@ object Similarity {
 
   private[graft] def routedPairs(s: SparkSession, v: DataFrame, tau: Double,
       allowQuadratic: Boolean): DataFrame =
-    if (tau >= TauLshFloor) lshVerified(s, v, tau)
-    else if (allowQuadratic) blockedPairs(s, v, tau)
+    if (allowQuadratic) blockedPairs(s, v, tau)
+    else if (tau >= TauLshFloor) lshVerified(s, v, tau)
     else throw new IllegalArgumentException(
       s"exact cosine pairs at tau=$tau < $TauLshFloor require O(n^2) compares " +
         "(no sub-quadratic exact filter exists for dense vectors at low tau); " +

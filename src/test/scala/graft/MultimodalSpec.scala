@@ -52,6 +52,73 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       other.width == -1 && other.features.isEmpty)
   }
 
+  test("corrupt body behind valid PNG magic keeps the row, not the task") {
+    import spark.implicits._
+    val good = Multimodal.plantedPng(9, 5)
+    // valid 4-byte magic, truncated/garbage body — the corpus-scale norm
+    val truncated = good.take(20)
+    val garbageBody = good.take(4) ++ Array.fill[Byte](64)(0x5a)
+    val payloads = Seq(1L -> good, 2L -> truncated, 3L -> garbageBody).toDS()
+    val out = Multimodal.decodeImages(payloads).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(out.size == 3, "a corrupt payload must not kill the task")
+    assert(out(1L).mime == "image/png" && out(1L).width == 9)
+    Seq(2L, 3L).foreach { id =>
+      val d = out(id)
+      assert(d.mime == "application/octet-stream" && d.width == -1 &&
+        d.height == -1 && d.features.isEmpty, s"doc $id should fall back")
+    }
+  }
+
+  test("real resize: decode, bilinear downscale, PNG re-encode") {
+    import spark.implicits._
+    val png = Multimodal.plantedPng(64, 48)
+    val payloads = Seq(
+      1L -> png,
+      2L -> "not an image".getBytes("UTF-8"),
+      3L -> png.take(16)).toDS() // corrupt body behind valid magic
+    val out = Multimodal.resizeImages(payloads, maxDim = 16).collect()
+      .map(d => d.doc_id -> d).toMap
+    val t = out(1L)
+    // aspect-preserving fit: 64x48 -> 16x12
+    assert(t.mime == "image/png" && t.width == 64 && t.height == 48)
+    assert(t.thumb_width == 16 && t.thumb_height == 12)
+    assert(t.thumb_bytes > 0 && t.thumb_png.length == t.thumb_bytes)
+    // the re-encoded thumbnail is itself a valid PNG with those dims,
+    // and its channel means match what the operator reported
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(t.thumb_png))
+    assert(round.getWidth == 16 && round.getHeight == 12)
+    var (r, g, b) = (0L, 0L, 0L)
+    for (y <- 0 until 12; x <- 0 until 16) {
+      val px = round.getRGB(x, y)
+      r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
+    }
+    val n = (16L * 12 * 255).toDouble
+    assert(math.abs(t.features(0) - r / n) < 1e-12)
+    assert(math.abs(t.features(1) - g / n) < 1e-12)
+    assert(math.abs(t.features(2) - b / n) < 1e-12)
+    // bilinear downscale of the planted gradient preserves channel means
+    // to first order: compare against the full-size gradient means
+    val exR = (0 until 64).map(x => x * 255 / 63).sum / 64.0 / 255.0
+    val exG = (0 until 48).map(y => y * 255 / 47).sum / 48.0 / 255.0
+    assert(math.abs(t.features(0) - exR) < 0.05, s"r=${t.features(0)} vs $exR")
+    assert(math.abs(t.features(1) - exG) < 0.05, s"g=${t.features(1)} vs $exG")
+    assert(math.abs(t.features(2) - 0x40 / 255.0) < 0.02)
+    // never upscaled: a small image passes through at its own size
+    assert(out(2L).mime == "application/octet-stream")
+    assert(out(3L).mime == "application/octet-stream" &&
+      out(3L).thumb_png.isEmpty)
+  }
+
+  test("resize never upscales below maxDim") {
+    import spark.implicits._
+    val small = Multimodal.plantedPng(5, 3)
+    val out = Multimodal.resizeImages(Seq(1L -> small).toDS(), maxDim = 16)
+      .collect().head
+    assert(out.thumb_width == 5 && out.thumb_height == 3)
+  }
+
   test("PNG decode round-trips through a many-partition frame") {
     import spark.implicits._
     // one payload per partition: the per-partition reader init path runs

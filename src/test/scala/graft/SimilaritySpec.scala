@@ -110,6 +110,16 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"LSH-verified route must generate candidates by bucket equi-join only:\n$root")
   }
 
+  test("router honors allowQuadratic at ANY tau: explicit opt-in gets the exact sweep") {
+    // above the LSH floor the opt-in must dispatch to the exhaustive
+    // blocked sweep (the only plan with no candidate-filter false
+    // negatives), not the LSH route
+    val optIn = Similarity.routedPairs(spark, plantedVecs, 0.8, allowQuadratic = true)
+      .collect().toSeq
+    val exact = Similarity.blockedPairs(spark, plantedVecs, 0.8).collect().toSeq
+    assert(optIn == exact && optIn.nonEmpty)
+  }
+
   test("router low-tau refuses without allowQuadratic, routes to blocked with it") {
     val e = intercept[IllegalArgumentException] {
       Similarity.routedPairs(spark, plantedVecs, 0.4, allowQuadratic = false)
