@@ -494,6 +494,199 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** TRAINED per-subspace PQ codebooks — the swap-in the deterministic
+    * [[pqTopK]] codebook documents: Lloyd's k-means over each subspace's
+    * subvectors, run as a DRIVER-BOUNDED DataFrame loop that trains all
+    * [[PqM]] subspaces SIMULTANEOUSLY (one assign + one re-mean job per
+    * iteration covers every subspace — at 100 TB that is `iters` bounded
+    * shuffle rounds total, vs. M independent single-subspace fits each
+    * paying its own passes). Determinism without a seed: init is the
+    * subvectors of the [[PqK]] lowest vec_ids (the fixed-codebook
+    * precedent), and every Lloyd step is argmin/avg algebra with
+    * explicit tiebreaks. Per-iteration driver state is the codebook
+    * itself (M·K·D doubles — KBs at any corpus size); empty clusters
+    * keep their previous codeword.
+    *
+    * Input `subs`: (vec_id, m, sv) subvector rows. Returns the codebook
+    * as (m, j, c) rows ready to broadcast, plus the final total
+    * quantization error (sum of per-row argmin L2²) so callers/specs can
+    * verify training actually tightened the fit.
+    */
+  private[graft] def trainPqCodebooks(s: SparkSession, subs: DataFrame,
+      iters: Int): (DataFrame, Double) = {
+    import s.implicits._
+    val d2 = (sv: Column, c: Column) => {
+      val diff = zip_with(sv, c, (x, y) => x - y)
+      round(dot(diff, diff), 9)
+    }
+    // deterministic init: subvectors of the PqK lowest vec_ids per subspace
+    val initIds = subs.select($"vec_id").distinct()
+      .orderBy($"vec_id").limit(PqK)
+      .collect().map(_.getLong(0)).zipWithIndex.toMap
+    var codebook: Seq[(Int, Int, Seq[Double])] = subs
+      .where($"vec_id".isin(initIds.keys.toSeq: _*))
+      .select($"vec_id", $"m", $"sv").as[(Long, Int, Seq[Double])]
+      .collect().map { case (id, m, sv) => (m, initIds(id), sv) }.toSeq
+    var err = Double.NaN
+    for (_ <- 0 until iters) {
+      val cb = broadcast(codebook.toDF("m", "j", "c"))
+      // assign: argmin-L2 codeword per (vector, subspace) — struct-min
+      // agg (partial aggregation applies; never a window)
+      val assign = subs.join(cb, "m")
+        .select($"vec_id", $"m", $"sv", $"j", d2($"sv", $"c").as("d2"))
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"d2", $"j", $"sv")).as("best"))
+        .select($"m", $"best.j".as("j"), $"best.d2".as("d2"),
+          $"best.sv".as("sv"))
+      // re-mean: per-dimension avg per (subspace, codeword) + the total
+      // quantization error, in ONE pass (PqD fixed avg columns — no
+      // per-element explode)
+      val aggCols = sum($"d2").as("qerr") +:
+        (0 until PqD).map(i => avg($"sv"(i)).as(s"a$i"))
+      val stats = assign.groupBy($"m", $"j")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      err = stats.map(_.getDouble(2)).sum
+      val moved = stats.map { r =>
+        (r.getInt(0), r.getInt(1),
+          (0 until PqD).map(i => r.getDouble(3 + i)): Seq[Double])
+      }.map { case (m, j, c) => (m, j) -> c }.toMap
+      // empty clusters keep their previous codeword
+      codebook = codebook.map { case (m, j, c) => (m, j, moved.getOrElse((m, j), c)) }
+    }
+    (broadcast(codebook.toDF("m", "j", "c")), err)
+  }
+
+  /** IVF-PQ — the composed 100 TB ANN architecture the PQ scaladoc
+    * declares: the seeded k-means coarse quantizer ([[annIvfKmeans]]
+    * precedent) PRUNES the scan to nprobe inverted lists, and TRAINED
+    * residual product quantization COMPRESSES every stored vector to
+    * [[PqM]] code bytes. Vectors store (list, code₁..code_M) where codes
+    * quantize the RESIDUAL vn − centroid (shared codebooks across
+    * lists); a query scores a candidate as q·c + Σₘ LUT[m, codeₘ] — the
+    * q·c term comes with the probe, the LUT is the query's dot with
+    * each residual codeword (nq·M·K entries, broadcast). The ADC scores
+    * rank a SHORTLIST of [[IvfPqShortlist]] candidates per query, which
+    * a refine stage then scores EXACTLY (the standard IVF-PQ + refine
+    * composition): per query the compressed scan touches
+    * ~nprobe/nlist of the corpus reading bytes, and full floats are
+    * fetched only for shortlist rows (an nq·shortlist-sized broadcast
+    * equi-join). Everything corpus-sized moves through broadcast
+    * equi-joins and struct-min aggs only.
+    */
+  val IvfPqNList = 16
+  val IvfPqNProbe = 2
+  val IvfPqIters = 5
+  val IvfPqShortlist = 20
+
+  /** The IVF-PQ search on any unit-normalized (vec_id, vn) frame —
+    * factored like [[pqTopK]] so the spec can drive planted vectors.
+    */
+  private[graft] def ivfPqTopK(s: SparkSession, vnIn: DataFrame,
+      qPred: Column): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val vn = vnIn.select($"vec_id", $"vn")
+    // coarse quantizer: seeded k-means on the unit sphere (min-L2 on
+    // unit vectors ⇔ max cosine)
+    val model = new KMeans().setK(IvfPqNList).setSeed(26062019L).setMaxIter(10)
+      .setFeaturesCol("fv")
+      .fit(vn.select(array_to_vector($"vn").as("fv")))
+    val cents = broadcast(s.createDataFrame(
+        model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("cent_id", "cv"))
+    // assign each vector to its nearest list; carry the RESIDUAL
+    // localCheckpoint (eager) truncates the lineage: the Lloyd loop,
+    // the encode pass, and the init collect all re-read the assignment
+    // instead of re-deriving the k-means DAG per job; the materialized
+    // partitions are reclaimed by the ContextCleaner when this frame
+    // goes out of scope
+    val assign = vn.crossJoin(cents)
+      .select($"vec_id", $"vn", $"cent_id",
+        round(dot(zip_with($"vn", $"cv", (x, y) => x - y),
+          zip_with($"vn", $"cv", (x, y) => x - y)), 9).as("d2"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cent_id", $"vn")).as("best"))
+      .select($"vec_id", $"best.cent_id".as("cent_id"), $"best.vn".as("vn"))
+      .join(cents, "cent_id")
+      .select($"vec_id", $"cent_id",
+        zip_with($"vn", $"cv", (x, y) => x - y).as("r"))
+      .localCheckpoint()
+    def subspaces(vecCol: Column): Column = explode(array((0 until PqM).map { m =>
+      struct(lit(m).as("m"), slice(vecCol, m * PqD + 1, PqD).as("sv"))
+    }: _*))
+    // train shared residual codebooks on a DETERMINISTIC ¼ sample
+    // (codebook quality needs a bounded training set, not the corpus —
+    // the standard points-per-centroid cap practice; at 100 TB the
+    // sampling predicate is what keeps index-build cost flat), then
+    // encode EVERY vector's residual to M one-byte codes (struct-min
+    // agg, pqTopK precedent)
+    val rsubs = assign.select($"vec_id", subspaces($"r").as("ms"))
+      .select($"vec_id", $"ms.m".as("m"), $"ms.sv".as("sv"))
+    val (cb, _) = trainPqCodebooks(s,
+      rsubs.where(pmod($"vec_id", lit(4)) === 0), IvfPqIters)
+    val enc = rsubs.join(cb, "m")
+      .withColumn("diff", zip_with($"sv", $"c", (x, y) => x - y))
+      .withColumn("d2", round(dot($"diff", $"diff"), 9))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d2", $"j")).as("best"))
+      .select($"vec_id", $"m", $"best.j".as("code"))
+      .join(assign.select($"vec_id", $"cent_id"), "vec_id")
+    // probes: each query's nprobe nearest lists, with the q·c base term
+    val wProbe = Window.partitionBy($"q_id").orderBy($"qc".desc, $"cent_id".asc)
+    val q = vn.where(qPred).select($"vec_id".as("q_id"), $"vn".as("qv"))
+    val probes = q.crossJoin(cents)
+      .select($"q_id", $"qv", $"cent_id", round(dot($"qv", $"cv"), 6).as("qc"))
+      .withColumn("prk", row_number().over(wProbe))
+      .where($"prk" <= IvfPqNProbe)
+      .select($"q_id", $"cent_id", $"qc")
+    // ADC lookup table: query subvector × residual codeword dots
+    val lut = q.select($"q_id".as("lq"), subspaces($"qv").as("ms"))
+      .select($"lq", $"ms.m".as("lm"), $"ms.sv".as("qs"))
+      .join(cb, $"lm" === $"m")
+      .select($"lq", $"lm", $"j".as("lj"), dot($"qs", $"c").as("pdot"))
+    // pruned + compressed scan: probed lists only, scored via LUT
+    val adc = enc.join(broadcast(probes), "cent_id")
+      .where($"vec_id" =!= $"q_id")
+      .join(broadcast(lut), $"q_id" === $"lq" && $"m" === $"lm" &&
+        $"code" === $"lj")
+      .groupBy($"q_id", $"vec_id")
+      .agg(round(max($"qc") +
+        graft.functions.FloatFold.orderedSum($"m", $"pdot"), 6).as("approx_cos"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val wShort = Window.partitionBy($"q_id")
+      .orderBy($"approx_cos".desc, $"neighbor_id".asc)
+    val shortlist = adc.withColumn("srk", row_number().over(wShort))
+      .where($"srk" <= IvfPqShortlist)
+      .select($"q_id", $"neighbor_id", $"approx_cos")
+    // refine: exact scores for shortlist rows only — full floats are
+    // read for nq·shortlist vectors, not the probed lists
+    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    broadcast(shortlist)
+      .join(vn.select($"vec_id".as("neighbor_id"), $"vn".as("nv")), "neighbor_id")
+      .join(broadcast(q.withColumnRenamed("q_id", "jq")), $"q_id" === $"jq")
+      .select($"q_id", $"neighbor_id", $"approx_cos",
+        round(dot($"qv", $"nv"), 6).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .where($"rank" <= 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Registered IVF-PQ query: unit-normalized embeddings, first 10
+    * vectors as queries, top-5 by pruned ADC score. Rows-only for the
+    * gate (k-means fits are not SQL-expressible); SimilaritySpec pins
+    * the recall floor vs. brute-force top-5 and that codebook training
+    * tightened quantization error.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vn = vecs(s, dir)
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("vn"))
+    ivfPqTopK(s, vn, col("vec_id") < 10)
+  }
+
   /** τ floor of the LSH route: at τ ≥ 0.7 (θ ≤ 45.6°) a 16-band × 4-bit
     * sign-LSH candidate filter has ≥ 0.997 per-pair recall, so
     * candidates + exact verify is the scale path; below it band recall
@@ -602,5 +795,6 @@ object Similarity {
     GraftQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GraftQuery("q_ann_ivf_kmeans", annIvfKmeans, None),
     GraftQuery("q_ann_pq", annPq, Some(annPqSql)),
+    GraftQuery("q_ann_ivf_pq", annIvfPq, None),
     GraftQuery("q_embed_label_knn", labelKnn, Some(labelKnnSql)))
 }

@@ -42,6 +42,60 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
   }
 
+  test("IVF-PQ recalls the brute-force top-5 at least as well as the IVF floor") {
+    val truth = neighborSets(Similarity.annCosineTopK(spark, dir))
+    val ivfpq = neighborSets(Similarity.annIvfPq(spark, dir))
+    val recalls = truth.map { case (q, ts) =>
+      ivfpq.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
+    }
+    val mean = recalls.sum / recalls.size
+    // pruned (2/16 lists) AND compressed (8 code bytes per vector):
+    // trained residual codebooks must still clear the 2/16-probe IVF
+    // floor — compression may not cost recall below the pruning floor
+    assert(truth.size == 10 && mean >= 0.3, s"mean recall $mean")
+  }
+
+  test("IVF-PQ is run-to-run deterministic") {
+    val a = Similarity.annIvfPq(spark, dir).collect().toSeq
+    val b = Similarity.annIvfPq(spark, dir).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("Lloyd training tightens the PQ codebook against the deterministic init") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{transform => atransform, _}
+    val vn = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", atransform($"embedding", _.cast("double")).as("v"))
+      .select($"vec_id", atransform($"v",
+        x => x / sqrt(aggregate(atransform($"v", y => y * y), lit(0.0),
+          (a, b) => a + b))).as("vn"))
+    val subs = vn.select($"vec_id", explode(array((0 until Similarity.PqM).map { m =>
+        struct(lit(m).as("m"),
+          slice($"vn", m * Similarity.PqD + 1, Similarity.PqD).as("sv"))
+      }: _*)).as("ms"))
+      .select($"vec_id", $"ms.m".as("m"), $"ms.sv".as("sv"))
+    // 1 iteration = assignment error of the raw init codebook (the
+    // re-mean happens after measuring); more Lloyd rounds must not
+    // loosen the fit, and on real data they strictly tighten it
+    val (_, errInit) = Similarity.trainPqCodebooks(spark, subs, 1)
+    val (_, errTrained) = Similarity.trainPqCodebooks(spark, subs, Similarity.IvfPqIters)
+    assert(errTrained < errInit,
+      s"training should tighten quantization: init $errInit vs trained $errTrained")
+  }
+
+  test("IVF-PQ plan has no BNLJ/cartesian outside broadcast shapes") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Similarity.annIvfPq(spark, dir)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val bad = root.collect { case j: CartesianProductExec => j }
+    assert(bad.isEmpty,
+      s"corpus-side work must move through broadcast equi-joins only:\n$root")
+  }
+
   test("blocked pair enumeration equals the brute-force cosine dedup exactly") {
     val blocked = Similarity.cosineDedupBlocked(spark, dir).collect().toSeq
     val brute = Similarity.cosineDedup(spark, dir).collect().toSeq
