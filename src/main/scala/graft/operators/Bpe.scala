@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.{GraftQuery, SessionCache, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenizer (SURVEY §2.F) — the REAL
+  * trained tokenizer behind the token-budget operators, replacing the
+  * "BPE-ish regex" placeholder counts with merges learned from the
+  * corpus (the published BPE algorithm: Sennrich, Haddow & Birch 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units").
+  *
+  * Scale shape, per stage:
+  *  - TRAIN: one corpus-wide word-count hash agg (bounded by the
+  *    distinct-word vocabulary), truncated to the top [[MaxTrainWords]]
+  *    words by frequency — a few MB at ANY corpus size (the
+  *    CountVectorizer-vocab precedent, NamedFeatures) — then the
+  *    sequential merge loop runs driver-side in O(vocab × merges):
+  *    merges are inherently sequential (round n+1 counts pairs of the
+  *    symbols round n produced), so no distributed plan exists; what
+  *    keeps the driver work corpus-size-independent is the frequency
+  *    truncation.
+  *  - ENCODE: each DISTINCT word is encoded once (mapPartitions over
+  *    the bounded word frame — the declared per-partition codec
+  *    boundary, PNG/Deflater precedent, with the merge table arriving
+  *    by broadcast), then a broadcast join stamps token sequences onto
+  *    corpus word occurrences. Corpus-sized work is one explode + one
+  *    hash agg; the O(word-length²) merge scan never touches a corpus
+  *    row twice.
+  *
+  * The trained merge table is session-cached per (session, dir) — the
+  * three registered queries share one fit, so they are `singleShot`
+  * registry entries (the Bench one-cold-rep contract).
+  */
+object Bpe {
+
+  /** Frequency-truncation bound of the training dictionary. */
+  val MaxTrainWords = 1 << 16
+
+  /** Merge-table size (= learned vocabulary budget beyond characters) —
+    * a user-chosen budget in any BPE deployment. Sized so the closed
+    * word-soup test vocabularies (which a large-enough budget would
+    * absorb whole, collapsing every word to one token) keep genuine
+    * multi-subword encodings; production corpora are open-vocabulary
+    * and take budgets in the tens of thousands.
+    */
+  val NumMerges = 48
+
+  /** End-of-word sentinel symbol (Sennrich §3.2's `</w>`): merges can
+    * learn word-final subwords distinct from word-internal ones.
+    */
+  val EndOfWord = "</w>"
+
+  /** One learned merge: rank (application order), the symbol pair, and
+    * the weighted pair count that won the rank.
+    */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** Merge every (l, r) adjacency in a symbol sequence (all
+    * occurrences, left to right — the published apply rule).
+    */
+  private def mergePair(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The driver-side training loop on a bounded word-frequency
+    * dictionary: each round counts adjacent symbol pairs weighted by
+    * word frequency, takes the max (ties broken by (left, right)
+    * lexicographic order — determinism without a seed), merges it
+    * everywhere, and records the rank. Stops early when no pair occurs
+    * at least twice (nothing left worth a vocabulary slot).
+    */
+  private[graft] def trainMerges(wordCounts: Seq[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ EndOfWord, c)
+    }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      val best = counts.filter(_._2 >= 2L)
+      if (best.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = best.minBy { case ((bl, br), bc) => (-bc, bl, br) }
+        merges += Merge(rank, l, r, c)
+        vocab = vocab.map { case (syms, wc) => (mergePair(syms, l, r), wc) }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Greedy BPE encode of one word under a merge-rank table: repeatedly
+    * apply the lowest-rank merge present until none applies (the
+    * published inference rule — rank order, not corpus pair counts).
+    */
+  private[graft] def encodeWord(word: String,
+      rank: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray :+ EndOfWord
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bl = ""; var br = ""
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))).foreach { rk =>
+          if (rk < bestRank) { bestRank = rk; bl = syms(i); br = syms(i + 1) }
+        }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else syms = mergePair(syms, bl, br)
+    }
+    syms
+  }
+
+  /** The trained merge table for a corpus, fit once per (session, dir):
+    * corpus word counts (hash agg), frequency-truncate, train
+    * driver-side.
+    */
+  private[graft] def merges(s: SparkSession, dir: String): Seq[Merge] =
+    SessionCache.getOrCompute(s, s"bpe.merges:$dir") {
+      import s.implicits._
+      import graft.functions.{TextFunctions => TF}
+      val wc = Tables.documents(s, dir)
+        .select(explode(TF.tokens($"text")).as("w"))
+        .where(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"w".asc)
+        .limit(MaxTrainWords)
+        .as[(String, Long)].collect().toSeq
+      trainMerges(wc, NumMerges)
+    }
+
+  /** Registered merge table: the learned subword vocabulary in rank
+    * order. Rows-only for the gate (sequential merge training is not
+    * SQL-expressible); BpeSpec pins the published reference example's
+    * merge sequence exactly.
+    */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    merges(s, dir)
+      .map(m => (m.rank, m.left, m.right, m.left + m.right, m.count))
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .orderBy($"merge_rank")
+  }
+
+  /** Every distinct corpus word encoded once — the bounded frame the
+    * corpus join broadcasts. The encoder crosses into mapPartitions
+    * with the merge table from a broadcast variable (per-partition
+    * init, the codec-boundary shape).
+    */
+  private[graft] def encodedWords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val rankBc = s.sparkContext.broadcast(
+      merges(s, dir).map(m => (m.left, m.right) -> m.rank).toMap)
+    val words = Tables.documents(s, dir)
+      .select(explode(TF.tokens($"text")).as("w"))
+      .where(length($"w") > 0)
+      .distinct()
+      .as[String]
+    words.mapPartitions { it =>
+      val rank = rankBc.value // one broadcast read per partition
+      it.map(w => (w, encodeWord(w, rank).toSeq))
+    }.toDF("w", "toks")
+  }
+
+  /** Registered per-document encoding summary: word count, REAL subword
+    * token count, and an order-sensitive md5 of the full token stream
+    * (so the gate hash-checks the exact encoding, not just counts).
+    * Corpus-side work is one posexplode + broadcast join + hash agg;
+    * token order is pinned by sorting each doc's (pos, toks) structs
+    * before hashing — collect_list order is not deterministic.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val occurrences = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "w")))
+      .where(length($"w") > 0)
+    occurrences.join(broadcast(encodedWords(s, dir)), "w")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size($"toks")).as("bpe_tokens"),
+        md5(concat_ws(" ",
+          flatten(transform(array_sort(collect_list(struct($"pos", $"toks"))),
+            x => x.getField("toks"))))).as("tokens_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Sequence packing re-based on TRAINED subword counts — what an LLM
+    * pipeline actually budgets (a 512-subword pack is a model's real
+    * context slice; whitespace counts under-fill it). Same
+    * range-partitioned prefix-sum algebra as q_pack_sequences
+    * ([[Corpus.packTokens]]); only the token source changes. Documents
+    * with no words keep their row at 0 tokens (left join), matching the
+    * whitespace twin's coalesce.
+    */
+  def packSequencesBpe(s: SparkSession, dir: String, budget: Long = 512L): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val occurrences = Tables.documents(s, dir)
+      .select($"doc_id", explode(TF.tokens($"text")).as("w"))
+      .where(length($"w") > 0)
+    val counts = occurrences.join(broadcast(encodedWords(s, dir)), "w")
+      .groupBy($"doc_id")
+      .agg(sum(size($"toks")).cast("long").as("bpe"))
+    val toks = Tables.documents(s, dir).select($"doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"bpe", lit(0L)).as("n_tokens"))
+    Corpus.packTokens(s, toks, budget)
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_bpe_vocab", bpeVocab, None, singleShot = true),
+    GraftQuery("q_bpe_encode", bpeEncode, None, singleShot = true),
+    GraftQuery("q_pack_sequences_bpe", packSequencesBpe(_, _), None,
+      singleShot = true))
+}

@@ -217,10 +217,20 @@ object Corpus {
   def packSequences(s: SparkSession, dir: String, budget: Long = 512L): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, dir)
       .select($"doc_id",
         coalesce(size(TF.tokens($"text")), lit(0)).cast("long").as("n_tokens"))
+    packTokens(s, toks, budget)
+  }
+
+  /** The packing algebra on any (doc_id, n_tokens) frame — factored so
+    * token-count sources can swap (whitespace counts for the oracle
+    * twin; trained-BPE subword counts via [[Bpe.packSequencesBpe]]).
+    */
+  private[graft] def packTokens(s: SparkSession, toks: DataFrame,
+      budget: Long): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val mx = toks.agg(max($"doc_id").as("mx"))
     // width-based ranges (integer division by W = ceil((mx+1)/32)): range
     // order agrees with doc_id order and no doc_id multiplication can
