@@ -15,7 +15,7 @@ object SparkEntry {
       Corpus.queries ++ Bpe.queries ++
       graft.ml.Classifiers.queries ++ graft.ml.CrossVal.queries ++
       graft.ml.MeanRoc.queries ++ graft.ml.ModelEval.queries ++
-      graft.ml.NamedFeatures.queries
+      graft.ml.NamedFeatures.queries ++ graft.ml.GridSearch.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -196,4 +196,28 @@ class MlEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"auprc").as[Double].head()
     assert(math.abs(got - expected) < 2e-6, s"got=$got expected=$expected")
   }
+
+  test("grid search covers the full parameter grid with deterministic best params") {
+    import graft.ml.GridSearch
+    val rows = GridSearch.mlGridSearch(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // exact grid shape: every (regParam × elasticNet) combination, once
+    val grid = for {
+      rp <- GridSearch.RegParams; en <- GridSearch.ElasticNets
+    } yield (rp, en)
+    assert(rows.map(t => (t._2, t._3)).toSet == grid.toSet)
+    assert(rows.length == grid.size)
+    // ranks are a permutation ordered by (auc desc, reg asc, mix asc)
+    assert(rows.map(_._1).toSeq == (1 to grid.size))
+    val resorted = rows.sortBy(t => (-t._4, t._2, t._3)).map(_._1)
+    assert(resorted.toSeq == (1 to grid.size), "rank must follow the tiebreak")
+    rows.foreach(t => assert(t._4 >= 0.0 && t._4 <= 1.0, s"auc ${t._4}"))
+    // best-params determinism across runs
+    val again = GridSearch.mlGridSearch(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(again.toSeq == rows.toSeq)
+    // the sweep must measure something: grid points may tie, but not
+    // all collapse to one degenerate score
+    assert(rows.map(_._4).distinct.length >= 2, "all grid AUCs identical")
+  }
 }
