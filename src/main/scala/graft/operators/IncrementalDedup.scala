@@ -56,6 +56,90 @@ object IncrementalDedup {
     * [[Dedup.signatureBands]] rows to the store table afterwards to
     * absorb the batch ([[absorbDelta]]).
     */
+  /** LSH near-dup pairs WITHIN one docs frame (the delta's internal
+    * pairs — [[deltaAgainstStore]] covers delta-vs-store): band-bucket
+    * self-join on the frame's own signature rows, minhash agreement
+    * from the sig arrays the matched rows already carry. Same estimate
+    * algebra as the batch [[Dedup.minhashLsh]].
+    */
+  private[graft] def pairsWithin(delta: DataFrame): DataFrame = {
+    import delta.sparkSession.implicits._
+    val b = Dedup.signatureBands(delta)
+    val a = b.select($"band", $"band_key", $"doc_id".as("id_a"), $"sig".as("siga"))
+    val c = b.select($"band", $"band_key", $"doc_id".as("id_b"), $"sig".as("sigb"))
+    a.join(c, Seq("band", "band_key"))
+      .where($"id_a" < $"id_b")
+      .dropDuplicates("id_a", "id_b")
+      .select($"id_a", $"id_b",
+        (aggregate(zip_with($"siga", $"sigb", (x, y) => (x === y).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / Dedup.NumHashes)
+          .as("est_jaccard"))
+  }
+
+  /** Materialize (or replace) the cluster-label store — (doc_id,
+    * cluster_id) rows bucketed AND sorted on cluster_id, so the
+    * incremental relabel joins of [[updateClusters]] read the
+    * corpus-sized label table bucket-aligned with no Exchange (the
+    * signature-store property applied to labels).
+    */
+  def writeLabels(labels: DataFrame, table: String): Unit =
+    labels.write.bucketBy(StoreBuckets, "cluster_id")
+      .sortBy("cluster_id")
+      .mode("overwrite").saveAsTable(table)
+
+  /** INCREMENTAL cluster maintenance — new delta pairs update stored
+    * labels without re-running the global contraction:
+    *
+    *  1. the delta's edges are gathered (delta-internal pairs + the
+    *     delta-vs-store matches from the bucketed signature store), and
+    *     every store endpoint is REPLACED BY ITS STORED CLUSTER LABEL —
+    *     existing clusters enter the graph as single supernodes;
+    *  2. star contraction runs over THIS quotient subgraph only —
+    *     delta-sized plus one node per touched cluster, never the
+    *     corpus;
+    *  3. stored rows relabel by a cluster_id equi-join against the
+    *     contraction output (bucket-aligned on the label store, no
+    *     corpus shuffle); untouched clusters pass through byte-identical.
+    *
+    * Labels stay the component-minimum doc_id: a stored cluster's label
+    * IS its component minimum, so contracting supernodes yields exactly
+    * the merged component's global minimum — IncrementalDedupSpec
+    * proves label equality with the from-scratch contraction on the
+    * merged corpus.
+    */
+  def updateClusters(s: SparkSession, delta: DataFrame, sigTable: String,
+      storedLabels: DataFrame, tau: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val ds = deltaAgainstStore(s, delta, sigTable)
+      .where($"est_jaccard" >= tau).select($"delta_id", $"store_id")
+    val dd = pairsWithin(delta)
+      .where($"est_jaccard" >= tau).select($"id_a", $"id_b")
+    // store endpoints → their cluster supernode (unclustered store docs
+    // stand for themselves)
+    val st = storedLabels.select($"doc_id".as("store_id"),
+      $"cluster_id".as("store_rep"))
+    val edges = dd.unionByName(
+      ds.join(st, Seq("store_id"), "left")
+        .select($"delta_id".as("id_a"),
+          coalesce($"store_rep", $"store_id").as("id_b")))
+    // contraction over the delta-touched quotient graph only
+    val sub = Corpus.starContract(s, edges)
+    val subReps = sub.select($"doc_id".as("cluster_id"),
+      $"cluster_id".as("new_cluster"))
+    val relabeled = storedLabels.join(subReps, "cluster_id")
+      .select($"doc_id", $"new_cluster".as("cluster_id"))
+    val untouched = storedLabels
+      .join(subReps.select($"cluster_id"), Seq("cluster_id"), "left_anti")
+      .select($"doc_id", $"cluster_id")
+    // subgraph nodes that are not stored cluster reps: delta docs and
+    // previously-unclustered store docs get fresh rows
+    val subNew = sub.join(
+        storedLabels.select($"cluster_id".as("rid")).distinct(),
+        $"doc_id" === $"rid", "left_anti")
+      .select($"doc_id", $"cluster_id")
+    untouched.unionByName(relabeled).unionByName(subNew)
+  }
+
   def deltaAgainstStore(s: SparkSession, delta: DataFrame, table: String): DataFrame = {
     import s.implicits._
     val d = Dedup.signatureBands(delta)

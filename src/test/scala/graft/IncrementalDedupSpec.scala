@@ -100,6 +100,78 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("within-frame pairs equal the batch LSH pairs inside the frame") {
+    import spark.implicits._
+    val (_, delta) = splitDocs
+    val got = IncrementalDedup.pairsWithin(delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 50 && b < 50 }
+      .toSet
+    assert(expected.nonEmpty && got == expected,
+      s"got ${got.size} pairs, expected ${expected.size}")
+  }
+
+  test("incremental cluster update equals the from-scratch contraction on the merged corpus") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val (store, delta) = splitDocs
+    IncrementalDedup.writeStore(store, table)
+    // yesterday's labels: contraction over the store half only
+    val storedLabels = Corpus.starContract(spark,
+      IncrementalDedup.pairsWithin(store)
+        .where($"est_jaccard" >= 0.5).select($"id_a", $"id_b"))
+    val merged = IncrementalDedup
+      .updateClusters(spark, delta, table, storedLabels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // from-scratch reference: the registered star contraction over the
+    // full merged corpus
+    val expected = SparkEntry.queries("q_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty && merged == expected,
+      s"merged ${merged.size} rows vs from-scratch ${expected.size}; " +
+        s"diff ${(merged diff expected).take(5)} / ${(expected diff merged).take(5)}")
+    // the update genuinely crossed the split: at least one merged
+    // cluster contains docs from both halves
+    val spanning = merged.groupBy(_._2).values
+      .exists(c => c.exists(_._1 < 50) && c.exists(_._1 >= 50))
+    assert(spanning, "no cluster spans the store/delta split — weak split")
+  }
+
+  test("the relabel join reads the label store bucket-aligned") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val labelTable = "label_store_spec"
+    val (store, _) = splitDocs
+    val storedLabels = Corpus.starContract(spark,
+      IncrementalDedup.pairsWithin(store)
+        .where($"est_jaccard" >= 0.5).select($"id_a", $"id_b"))
+    IncrementalDedup.writeLabels(storedLabels, labelTable)
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        val subReps = storedLabels.limit(3)
+          .select($"cluster_id", $"doc_id".as("new_cluster"))
+        val joined = spark.table(labelTable).join(subReps, "cluster_id")
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        val root = joined.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p => p
+        }
+        val smj = root.collect { case j: SortMergeJoinExec => j }
+        assert(smj.size == 1, s"expected one sort-merge join:\n$root")
+        assert(smj.head.left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"label-store side re-shuffles:\n${smj.head.left}")
+        assert(smj.head.left.toString.contains("Bucketed: true"),
+          s"label scan is not bucket-aligned:\n${smj.head.left}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $labelTable")
+  }
+
   test("the signature-store side of the delta join plans without an exchange") {
     import spark.implicits._
     val (store, delta) = splitDocs
