@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GraftQuery, Tables}
+import graft.{GraftQuery, SessionCache, Tables}
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -54,6 +54,94 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-doc curation features — the three standalone signal operators
+    * joined on doc_id (quality metrics, token-repetition ratio,
+    * unigram-LM likelihood) plus the language column. Reusing the
+    * registered operators IS the point: the model gate scores exactly
+    * the signals the heuristic gates read, and the spec pins the fused
+    * columns against the standalone outputs. All three are doc_id
+    * equi-joins (co-partitionable at any corpus size); token-less docs
+    * have no signal rows and drop here, as every heuristic gate already
+    * drops them.
+    */
+  private[graft] def gateFeatures(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"curation.gateFeatures:$dir") {
+      import s.implicits._
+      // persisted once per session: the model fit AND the scoring pass
+      // both read this frame (the ml.featurized precedent — 8 scalar
+      // columns per doc, far smaller than the token explosions that
+      // produce it)
+      TextAnalysis.qualityScore(s, dir)
+        .join(Corpus.repetitionFilter(s, dir)
+          .select($"doc_id", $"dup_token_ratio"), "doc_id")
+        .join(TextAnalysis.unigramLogprob(s, dir)
+          .select($"doc_id", $"avg_logprob"), "doc_id")
+        .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+        .persist()
+    }
+
+  private def featureVec = {
+    import org.apache.spark.ml.functions.array_to_vector
+    array_to_vector(array(
+      col("n_tokens").cast("double"), col("stop_ratio"), col("punct_ratio"),
+      col("dup_token_ratio"), col("avg_logprob")))
+  }
+
+  /** The fitted gate model plus its decision threshold, once per
+    * (session, dir): a deterministic L-BFGS logistic regression over
+    * the 5 curation signals with the corpus language flag as the
+    * supervision target — the model-based filter real curation runs
+    * NEXT TO the heuristics (quality classifiers trained on weak
+    * labels). The gate keeps docs scoring ABOVE THE BASE RATE (train
+    * prevalence): "more likely kept than the prior" is
+    * calibration-robust where a fixed 0.5 silently empties the gate
+    * whenever scores hug a sub-0.5 prevalence. 5 dims × corpus rows:
+    * fit and prevalence are a few cheap passes at any scale.
+    */
+  private def gateModel(s: SparkSession, dir: String)
+      : (org.apache.spark.ml.classification.LogisticRegressionModel, Double) =
+    SessionCache.getOrCompute(s, s"curation.gateModel:$dir") {
+      import s.implicits._
+      import org.apache.spark.ml.classification.LogisticRegression
+      val train = gateFeatures(s, dir).select(
+        ($"lang" === "en").cast("double").as("label"),
+        featureVec.as("features"))
+      val model = new LogisticRegression().setMaxIter(25).fit(train)
+      val prevalence = train.agg(avg($"label")).head().getDouble(0)
+      (model, BigDecimal(prevalence).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+
+  /** The curation pipeline with the MODEL-BASED fourth stage: exact
+    * dedup → heuristic quality gate → language gate → fitted-model
+    * score gate, composed as one declarative plan (the model transform
+    * is a projection, so Catalyst still fuses the gate stack onto the
+    * feature joins). Rows-only for the gate (the model fit is not
+    * SQL-expressible); CurationSpec pins each fused column against its
+    * standalone operator and the kept set against a by-hand
+    * recomposition.
+    */
+  def curationModelGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.vector_to_array
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", md5($"text".cast("binary")).as("h"))
+    val keep = docs.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+    val deduped = docs.join(keep, Seq("h", "doc_id"), "left_semi")
+      .select($"doc_id")
+    val (model, tau) = gateModel(s, dir)
+    val scored = model.transform(
+        gateFeatures(s, dir).join(deduped, "doc_id")
+          .withColumn("features", featureVec))
+      .withColumn("model_score",
+        round(element_at(vector_to_array($"probability"), 2), 6))
+    scored
+      .where($"quality" >= 0.35 && $"lang" === "en" && $"model_score" >= tau)
+      .select($"doc_id", $"n_tokens", $"quality", $"dup_token_ratio",
+        $"avg_logprob", $"model_score")
+      .orderBy($"doc_id")
+  }
+
   /** Distinct-count rollup — exact count(distinct) per event type (the
     * approx_count_distinct/HLL swap-in point at 100 TB).
     */
@@ -74,5 +162,7 @@ object Curation {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
+    GraftQuery("q_curation_model_gate", curationModelGate, None,
+      singleShot = true),
     GraftQuery("q_distinct_counts", distinctCounts, Some(distinctCountsSql)))
 }
