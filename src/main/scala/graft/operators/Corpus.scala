@@ -482,6 +482,64 @@ object Corpus {
       |FROM per CROSS JOIN tot
       |ORDER BY source""".stripMargin
 
+  /** Temperature exponent of the mixture-sampling weights (the
+    * multilingual/multi-source sampling standard, e.g. mT5): alpha < 1
+    * upsamples low-resource sources toward uniform.
+    */
+  val MixtureAlpha = 0.3
+
+  /** Temperature-scaled mixture sampling weights — the data-mixing
+    * policy step next to [[sourceMixture]]'s uniform-target accounting:
+    * per-source token share p_i, sampling weight w_i = p_i^alpha /
+    * sum_j p_j^alpha (alpha = [[MixtureAlpha]]), and the resulting
+    * up/down-sampling boost w_i / p_i. The p^alpha terms are rounded
+    * and scaled to exact integers BEFORE normalizing so the
+    * denominator is an order-independent integer sum (the decimal
+    * rank-sum precedent); pow rounds to 6 dp like every ln/cos oracle.
+    * Two tiny broadcast scalars over one per-source hash agg — the
+    * corpus is read once regardless of scale.
+    */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val per = Tables.documents(s, dir)
+      .select($"source", size(TF.tokens($"text")).as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("total"))
+    val pa = per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"n_tokens".cast("double") / $"total", 6).as("share"),
+        round(pow($"n_tokens".cast("double") / $"total", MixtureAlpha) * 1e6)
+          .cast("bigint").as("pa"))
+    val z = pa.agg(sum($"pa").as("z"))
+    pa.crossJoin(broadcast(z))
+      .select($"source", $"n_docs", $"n_tokens", $"share",
+        round($"pa".cast("double") / $"z", 6).as("weight"))
+      .withColumn("boost", round($"weight" / $"share", 6))
+      .orderBy($"source")
+  }
+
+  val mixtureTemperatureSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+       |pa AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    round(CAST(n_tokens AS DOUBLE) / total, 6) AS share,
+       |    CAST(round(pow(CAST(n_tokens AS DOUBLE) / total, $MixtureAlpha) * 1e6)
+       |      AS BIGINT) AS pa
+       |  FROM per CROSS JOIN tot),
+       |z AS (SELECT CAST(sum(pa) AS BIGINT) AS z FROM pa)
+       |SELECT source, n_docs, n_tokens, share,
+       |  round(CAST(pa AS DOUBLE) / z, 6) AS weight,
+       |  round(round(CAST(pa AS DOUBLE) / z, 6) / share, 6) AS boost
+       |FROM pa CROSS JOIN z
+       |ORDER BY source""".stripMargin
+
   /** BM25 keyword retrieval — the corpus-engine search surface: top-10
     * documents per query term (the word-match targets double as queries)
     * under Okapi BM25 (k1=1.2, b=0.75). One inverted-index join: the
@@ -570,5 +628,7 @@ object Corpus {
     GraftQuery("q_distinct_approx", distinctApprox, None),
     GraftQuery("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     GraftQuery("q_span_dedup", spanDedup, Some(spanDedupSql)),
-    GraftQuery("q_source_mixture", sourceMixture, Some(sourceMixtureSql)))
+    GraftQuery("q_source_mixture", sourceMixture, Some(sourceMixtureSql)),
+    GraftQuery("q_mixture_temperature", mixtureTemperature,
+      Some(mixtureTemperatureSql)))
 }

@@ -788,6 +788,81 @@ object Similarity {
   private[graft] def withNorms(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
 
+  /** SemDeDup cosine threshold (the paper sweeps 0.93-0.999 on real
+    * near-dup data; 0.4 reaches this corpus's qualifying tail — the
+    * q_embed_cosine_dedup precedent).
+    */
+  val SemDedupTau = 0.4
+
+  /** The SemDeDup cluster-then-prune sweep on any (vec_id, v, nrm)
+    * frame with given centroids — factored so the spec can drive
+    * planted vectors and prove pair equality with the exact sweep
+    * restricted to clusters. Returns one row per vector:
+    * (vec_id, cluster_id, kept).
+    */
+  private[graft] def semDedupOn(s: SparkSession, v: DataFrame,
+      cents: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // argmax-cosine cluster assignment (the ivfSearch shape: centroid
+    // side broadcast, rounded cosine + cent_id tiebreak)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)
+    val assign = v.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", $"nrm", $"cent_id",
+        round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cent_id")
+    // within-cluster pairs only: ONE shuffle equi-join on cluster_id —
+    // the published pruning. Cluster count grows with the corpus
+    // (SemDeDup fits k=50k on LAION), so per-cluster blocks stay
+    // bounded and the quadratic never spans the corpus.
+    val a = assign.select($"cent_id", $"vec_id".as("id_x"), $"v".as("vx"), $"nrm".as("nx"))
+    val b = assign.select($"cent_id", $"vec_id".as("id_y"), $"v".as("vy"), $"nrm".as("ny"))
+    val dups = a.join(b, "cent_id")
+      .where($"id_x" < $"id_y")
+      .where(round(dot($"vx", $"vy") / ($"nx" * $"ny"), 6) >= tau)
+      .select($"id_y").distinct()
+    // keep-min-id exemplar (the q_dedup_exact convention): any vector
+    // with a smaller-id near-duplicate in its cluster is pruned;
+    // transitive exemplar selection composes with q_dedup_clusters
+    assign.join(dups.withColumnRenamed("id_y", "vec_id"), Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cent_id".as("cluster_id"), lit(true).as("kept"))
+      .unionByName(
+        dups.select($"id_y".as("vec_id")).join(assign, "vec_id")
+          .select($"vec_id", $"cent_id".as("cluster_id"), lit(false).as("kept")))
+      .orderBy($"vec_id")
+  }
+
+  /** SemDeDup (Abbas et al. 2023) — SEMANTIC dedup by cluster-then-
+    * prune, the embedding-space analogue of MinHash near-dup: a seeded
+    * k-means partitions the space, candidate pairs are enumerated only
+    * WITHIN a cluster, and exact cosine >= [[SemDedupTau]] prunes all
+    * but the smallest-id member of each duplicate pair. Unlike the
+    * guarded O(n²) q_embed_cosine_dedup sweep this is the corpus-scale
+    * semantic-dedup shape: the k-means fit is linear, the pair join is
+    * an equi-join on cluster_id, and k scales with the corpus so
+    * per-cluster work is constant. Rows-only (k-means fit);
+    * SimilaritySpec proves pair equality with the exact sweep
+    * restricted to co-clustered pairs and that a planted duplicate is
+    * pruned.
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = vecs(s, dir)
+    val model = new KMeans().setK(16).setSeed(26062019L).setMaxIter(10)
+      .setFeaturesCol("fv")
+      .fit(v.select(array_to_vector($"v").as("fv")))
+    val cents = s.createDataFrame(
+        model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cent_id", "cv")
+      .select($"cent_id", transform($"cv", _.cast("double")).as("cv"))
+      .withColumn("cnrm", sqrt(arrayDot($"cv", $"cv")))
+    semDedupOn(s, v, cents, SemDedupTau)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_embed_cosine_dedup", cosineDedupBlocked, Some(cosineDedupSql)),
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
@@ -796,5 +871,6 @@ object Similarity {
     GraftQuery("q_ann_ivf_kmeans", annIvfKmeans, None),
     GraftQuery("q_ann_pq", annPq, Some(annPqSql)),
     GraftQuery("q_ann_ivf_pq", annIvfPq, None),
-    GraftQuery("q_embed_label_knn", labelKnn, Some(labelKnnSql)))
+    GraftQuery("q_embed_label_knn", labelKnn, Some(labelKnnSql)),
+    GraftQuery("q_semdedup", semDedup, None))
 }

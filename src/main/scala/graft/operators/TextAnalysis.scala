@@ -372,6 +372,71 @@ object TextAnalysis {
        |  count(*) AS n_tokens
        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The Gopher required-stopword list (Rae et al. 2021, App. A). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher heuristic quality rules (Rae et al. 2021, Appendix A) — the
+    * published rule suite real pretraining curation applies before any
+    * model-based filter, one rule per column plus the composite gate:
+    * word count in [50, 100000], mean word length in [3, 10], symbol
+    * ("#"/"...")-to-word ratio <= 0.1, >= 80% of words containing an
+    * alphabetic character, and >= 2 of the 8 required stopwords present.
+    * (The paper's line-level bullet/ellipsis rules need line structure
+    * the corpus does not carry; the five word-level rules are the
+    * applicable suite.) One codegen projection over a materialized
+    * tokens column — integer counts and single divisions rounded to
+    * 6 dp, no shuffle: the same per-row scan shape as q_pii_redact, so
+    * the gate runs at any corpus size for the cost of reading the text.
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", TF.tokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").as("n_words"),
+        round(aggregate(transform($"toks", t => length(t)), lit(0),
+            (a, x) => a + x).cast("double") / size($"toks"), 6)
+          .as("mean_word_len"),
+        round(size(regexp_extract_all($"text", lit("#|\\.\\.\\."), lit(0)))
+            .cast("double") / size($"toks"), 6).as("symbol_ratio"),
+        round(size(filter($"toks", t => t.rlike("[a-z]"))).cast("double") /
+          size($"toks"), 6).as("alpha_frac"),
+        size(filter(array(gopherStops.map(lit): _*),
+          w => array_contains($"toks", w))).as("n_req_stops"))
+      .withColumn("pass",
+        $"n_words".between(50, 100000) &&
+          $"mean_word_len".between(3.0, 10.0) &&
+          $"symbol_ratio" <= 0.1 && $"alpha_frac" >= 0.8 &&
+          $"n_req_stops" >= 2)
+      .orderBy($"doc_id")
+  }
+
+  val gopherRulesSql: String = {
+    val stops = gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n_words,
+       |    round(CAST(list_reduce(list_prepend(0, [len(x) for x in toks]),
+       |      (a, b) -> a + b) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+       |    round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+       |      / len(toks), 6) AS symbol_ratio,
+       |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+       |      AS DOUBLE) / len(toks), 6) AS alpha_frac,
+       |    len(list_filter($stops, w -> list_contains(toks, w))) AS n_req_stops
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |  n_req_stops,
+       |  (n_words BETWEEN 50 AND 100000)
+       |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+       |    AND n_req_stops >= 2 AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_lang_id", langId, Some(langIdSql)),
     GraftQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -380,5 +445,6 @@ object TextAnalysis {
     GraftQuery("q_pii_redact", piiRedact, Some(piiRedactSql)),
     GraftQuery("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
-    GraftQuery("q_compression_ratio", compressionRatio, None))
+    GraftQuery("q_compression_ratio", compressionRatio, None),
+    GraftQuery("q_gopher_rules", gopherRules, Some(gopherRulesSql)))
 }

@@ -184,4 +184,49 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val registered = Similarity.cosineDedupBlocked(spark, dir).collect().toSeq
     assert(routed == registered && routed.nonEmpty)
   }
+
+  test("semDedup prunes each planted twin, keeps its exemplar") {
+    import spark.implicits._
+    // deterministic centroids = the first 8 base vectors (the annIvf
+    // fixed-centroid precedent): base i<5 sits exactly on centroid i,
+    // its twin lands in the same cluster (cos > 0.95), so the pair is
+    // co-clustered by construction and the twin must be pruned
+    val cents = plantedVecs.where($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val res = Similarity.semDedupOn(spark, plantedVecs, cents, 0.8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(res.size == 65)
+    (0 until 5).foreach { i =>
+      assert(res(i.toLong), s"exemplar $i must be kept")
+      assert(!res(100L + i), s"twin ${100 + i} must be pruned")
+    }
+  }
+
+  test("semDedup agrees with an independent driver-side reimplementation") {
+    import spark.implicits._
+    val cents = plantedVecs.where($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val got = Similarity.semDedupOn(spark, plantedVecs, cents, 0.8)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getBoolean(2)))).toMap
+    // driver-side re-derivation on the 65 planted vectors: argmax
+    // rounded cosine with cent_id tiebreak, then within-cluster
+    // smaller-id-partner pruning
+    val vs = plantedVecs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val centArr = vs.filter(_._1 < 8).sortBy(_._1)
+    val assign = vs.map { case (id, v, n) =>
+      val best = centArr.map { case (cid, cv, cn) => (-cos(v, n, cv, cn), cid) }.min
+      id -> best._2.toInt
+    }.toMap
+    val pruned = (for {
+      (ia, va, na) <- vs; (ib, vb, nb) <- vs
+      if ia < ib && assign(ia) == assign(ib) && cos(va, na, vb, nb) >= 0.8
+    } yield ib).toSet
+    val want = vs.map { case (id, _, _) => id -> (assign(id), !pruned(id)) }.toMap
+    assert(got == want)
+  }
 }
