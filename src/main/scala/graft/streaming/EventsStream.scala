@@ -135,6 +135,38 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("doc_id", "store_id")
   }
 
+  /** CONTINUOUS cluster maintenance — the streaming form of the full
+    * incremental-dedup daily loop: each arriving micro-batch of docs
+    * updates the persisted cluster labels through
+    * IncrementalDedup.updateClusters (contraction over the delta-touched
+    * label quotient graph only — never the corpus), rewrites the
+    * bucketed label store, and absorbs the batch's signatures so the
+    * NEXT batch joins against them. foreachBatch rather than a stateful
+    * operator by design: the maintenance step is a multi-table
+    * transaction (label overwrite + signature append) reusing the batch
+    * algebra unchanged — exactly the sink-hook use case. The label
+    * frame materializes (localCheckpoint) before the overwrite because
+    * its lineage reads the table being replaced; a production
+    * deployment makes the same cut with snapshot-versioned label tables.
+    */
+  def clusterMaintainStream(s: SparkSession, docs: DataFrame, sigTable: String,
+      labelTable: String, tau: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val labels = graft.operators.IncrementalDedup
+          .updateClusters(s, batch, sigTable, s.table(labelTable), tau)
+          .localCheckpoint()
+        graft.operators.IncrementalDedup.writeLabels(labels, labelTable)
+        graft.operators.IncrementalDedup.absorbDelta(s, batch, sigTable)
+        // the absorb ran under the micro-batch's CLONED session, so the
+        // outer session's cached file listing for the store is stale —
+        // refresh both tables or the next batch joins yesterday's files
+        s.catalog.refreshTable(sigTable)
+        s.catalog.refreshTable(labelTable)
+        ()
+      }
+      .start()
+
   /** Stream-stream attribution join — the streaming twin of the batch
     * as-of join (Temporal.asofJoin): each click joined to purchases by
     * the same user within 30 minutes after it. Both sides carry

@@ -139,6 +139,65 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spanning, "no cluster spans the store/delta split — weak split")
   }
 
+  test("streaming cluster maintenance equals the batch loop over two micro-batches") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    import graft.streaming.EventsStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sigT = "sig_store_stream_spec"
+    val labT = "label_store_stream_spec"
+    try {
+      val (store, delta) = splitDocs
+      IncrementalDedup.writeStore(store, sigT)
+      val storedLabels = Corpus.starContract(spark,
+        IncrementalDedup.pairsWithin(store)
+          .where($"est_jaccard" >= 0.5).select($"id_a", $"id_b"))
+      IncrementalDedup.writeLabels(storedLabels, labT)
+      // batch reference on the same inputs, materialized BEFORE the
+      // stream mutates either store: TWO sequential daily loops (the
+      // second batch must see the first batch's absorbed signatures —
+      // the stale-file-listing failure mode the operator's refresh
+      // guards against)
+      val rows = delta.select($"doc_id", $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val (half1, half2) = rows.splitAt(rows.length / 2)
+      val expected = {
+        val d1 = spark.createDataFrame(half1.toSeq).toDF("doc_id", "text")
+        val l1 = IncrementalDedup
+          .updateClusters(spark, d1, sigT, spark.table(labT)).localCheckpoint()
+        IncrementalDedup.writeLabels(l1, labT)
+        IncrementalDedup.absorbDelta(spark, d1, sigT)
+        val d2 = spark.createDataFrame(half2.toSeq).toDF("doc_id", "text")
+        IncrementalDedup.updateClusters(spark, d2, sigT, spark.table(labT))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      // reset both stores to the day-0 state for the streaming run
+      IncrementalDedup.writeStore(store, sigT)
+      IncrementalDedup.writeLabels(storedLabels, labT)
+      val sigBefore = spark.table(sigT).count()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val q = EventsStream.clusterMaintainStream(spark,
+        mem.toDF.toDF("doc_id", "text"), sigT, labT)
+      try {
+        mem.addData(half1.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(half2.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(labT).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.nonEmpty && got == expected,
+        s"streamed labels ${got.size} vs batch ${expected.size}; " +
+          s"diff ${(got diff expected).take(5)} / ${(expected diff got).take(5)}")
+      assert(spark.table(sigT).count() > sigBefore,
+        "micro-batch signatures were not absorbed into the store")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $sigT")
+      spark.sql(s"DROP TABLE IF EXISTS $labT")
+    }
+  }
+
   test("the relabel join reads the label store bucket-aligned") {
     import spark.implicits._
     import graft.operators.Corpus
