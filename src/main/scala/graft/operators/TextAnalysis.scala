@@ -389,51 +389,164 @@ object TextAnalysis {
     * 6 dp, no shuffle: the same per-row scan shape as q_pii_redact, so
     * the gate runs at any corpus size for the cost of reading the text.
     */
+  /** The five Gopher word-level metrics from a MATERIALIZED tokens
+    * column + raw text — the single Scala source for the standalone
+    * rule query and the fused signal bundle (the qualityMetricCols
+    * precedent).
+    */
+  def gopherMetricCols(toks: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    size(toks).as("n_words"),
+    round(aggregate(transform(toks, t => length(t)), lit(0),
+        (a, x) => a + x).cast("double") / size(toks), 6).as("mean_word_len"),
+    round(size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / size(toks), 6).as("symbol_ratio"),
+    round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      size(toks), 6).as("alpha_frac"),
+    size(filter(array(gopherStops.map(lit): _*),
+      w => array_contains(toks, w))).as("n_req_stops"))
+
+  /** The composite Gopher gate over the five named metric columns. */
+  def gopherPassCol: org.apache.spark.sql.Column =
+    col("n_words").between(50, 100000) &&
+      col("mean_word_len").between(3.0, 10.0) &&
+      col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
+      col("n_req_stops") >= 2
+
   def gopherRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", $"text", TF.tokens($"text").as("toks"))
-      .select($"doc_id",
-        size($"toks").as("n_words"),
-        round(aggregate(transform($"toks", t => length(t)), lit(0),
-            (a, x) => a + x).cast("double") / size($"toks"), 6)
-          .as("mean_word_len"),
-        round(size(regexp_extract_all($"text", lit("#|\\.\\.\\."), lit(0)))
-            .cast("double") / size($"toks"), 6).as("symbol_ratio"),
-        round(size(filter($"toks", t => t.rlike("[a-z]"))).cast("double") /
-          size($"toks"), 6).as("alpha_frac"),
-        size(filter(array(gopherStops.map(lit): _*),
-          w => array_contains($"toks", w))).as("n_req_stops"))
-      .withColumn("pass",
-        $"n_words".between(50, 100000) &&
-          $"mean_word_len".between(3.0, 10.0) &&
-          $"symbol_ratio" <= 0.1 && $"alpha_frac" >= 0.8 &&
-          $"n_req_stops" >= 2)
+      .select($"doc_id" +: gopherMetricCols($"toks", $"text"): _*)
+      .withColumn("pass", gopherPassCol)
       .orderBy($"doc_id")
   }
 
-  val gopherRulesSql: String = {
+  /** The five Gopher metric SQL expressions (from a `toks`/`text`
+    * relation) and the composite gate — shared by the standalone rule
+    * oracle and the fused signal-bundle oracle.
+    */
+  val gopherMetricsSql: String = {
     val stops = gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH t AS (
-       |  SELECT doc_id, text,
-       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-       |  FROM documents),
-       |m AS (
-       |  SELECT doc_id, len(toks) AS n_words,
+    s"""len(toks) AS n_words,
        |    round(CAST(list_reduce(list_prepend(0, [len(x) for x in toks]),
        |      (a, b) -> a + b) AS DOUBLE) / len(toks), 6) AS mean_word_len,
        |    round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
        |      / len(toks), 6) AS symbol_ratio,
        |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
        |      AS DOUBLE) / len(toks), 6) AS alpha_frac,
-       |    len(list_filter($stops, w -> list_contains(toks, w))) AS n_req_stops
+       |    len(list_filter($stops, w -> list_contains(toks, w))) AS n_req_stops""".stripMargin
+  }
+
+  val gopherPassSql: String =
+    """(n_words BETWEEN 50 AND 100000)
+      |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+      |    AND n_req_stops >= 2""".stripMargin
+
+  val gopherRulesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, $gopherMetricsSql
        |  FROM t)
        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
        |  n_req_stops,
-       |  (n_words BETWEEN 50 AND 100000)
-       |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
-       |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
-       |    AND n_req_stops >= 2 AS pass
+       |  $gopherPassSql AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Fused per-document signal bundle — every ROW-LOCAL curation signal
+    * from ONE corpus scan: the quality composite, the Gopher gate, the
+    * dup-token repetition ratio, language ID, and the progressive PII
+    * match count (planted-PII convention of q_pii_redact). At 100 TB the
+    * text scan IS the cost, so signals that each read the corpus must
+    * fuse into a single projection — this is the plan a real curation
+    * run executes, with the standalone queries as its per-signal
+    * oracles. Language ID re-expresses q_lang_id's 5-way union + window
+    * argmax as a per-row sort of the profile-score struct array (same
+    * rounded score, same alphabetical tiebreak — the sort key is
+    * 1 − score, never a negative zero) — the shuffle and the 5× scan
+    * disappear. Zero exchanges except the output sort; every expression
+    * is a projection over one materialized tokens column.
+    */
+  def docSignals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val piiStages = piiPatterns.scanLeft(col("t")) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    val nPii = piiPatterns.zip(piiStages)
+      .map { case ((_, pat, _), stageIn) => regexp_count(stageIn, lit(pat)) }
+      .reduce(_ + _)
+    val langScoreCols = langProfiles.map { case (lang, words) =>
+      round(size(filter($"toks", t => t.isin(words: _*))).cast("double") /
+        size($"toks"), 6).as(s"s_$lang")
+    }
+    val langBest = element_at(array_sort(array(langProfiles.map { case (lang, _) =>
+      struct((lit(1.0) - col(s"s_$lang")).as("ns"), lit(lang).as("lang"),
+        col(s"s_$lang").as("score"))
+    }: _*)), 1)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text",
+        concat($"text",
+          when($"doc_id" < 5, lit(plantedPii)).otherwise(lit(""))).as("t"),
+        TF.tokens($"text").as("toks"))
+      .select(Seq($"doc_id", $"text", $"t", $"toks") ++ langScoreCols: _*)
+      .select(Seq($"doc_id", $"t",
+        qualityFromToks($"toks", $"text").as("quality"),
+        round(lit(1.0) -
+          size(array_distinct($"toks")).cast("double") / size($"toks"), 6)
+          .as("dup_token_ratio"),
+        langBest.as("lb")) ++ gopherMetricCols($"toks", $"text"): _*)
+      .select($"doc_id", $"n_words".as("n_tokens"), $"quality",
+        gopherPassCol.as("gopher_pass"), $"dup_token_ratio",
+        $"lb.lang".as("lang_pred"), $"lb.score".as("lang_score"),
+        nPii.as("n_pii"))
+      .orderBy($"doc_id")
+  }
+
+  val docSignalsSql: String = {
+    val scoreExprs = langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""round(CAST(len(list_filter(toks, x -> list_contains($lst, x)))
+         |      AS DOUBLE) / len(toks), 6) AS s_$lang""".stripMargin
+    }.mkString(",\n    ")
+    val structs = langProfiles.map { case (lang, _) =>
+      s"{ns: 1.0 - s_$lang, lang: '$lang', score: s_$lang}"
+    }.mkString("[", ",\n      ", "]")
+    val piiStages = piiPatterns.scanLeft("t") { case (e, (_, pat, rep)) =>
+      s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
+    val piiCount = piiPatterns.zip(piiStages)
+      .map { case ((_, pat, _), stageIn) =>
+        s"CAST(len(regexp_extract_all($stageIn, '$pat')) AS INT)"
+      }.mkString(" + ")
+    val stopLst = TF.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    text || (CASE WHEN doc_id < 5 THEN '$plantedPii' ELSE '' END) AS t,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, text, t, toks,
+       |    $scoreExprs
+       |  FROM t),
+       |m AS (
+       |  SELECT doc_id, t,
+       |    ${qualitySqlExpr(
+             "len(toks)",
+             s"CAST(len(list_filter(toks, x -> list_contains($stopLst, x))) AS DOUBLE) / len(toks)",
+             "CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE) / len(text)")} AS quality,
+       |    round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+       |      AS dup_token_ratio,
+       |    list_sort($structs)[1] AS lb,
+       |    $gopherMetricsSql
+       |  FROM sc)
+       |SELECT doc_id, n_words AS n_tokens, quality,
+       |  $gopherPassSql AS gopher_pass,
+       |  dup_token_ratio, lb.lang AS lang_pred, lb.score AS lang_score,
+       |  $piiCount AS n_pii
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
@@ -446,5 +559,6 @@ object TextAnalysis {
     GraftQuery("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
     GraftQuery("q_compression_ratio", compressionRatio, None),
-    GraftQuery("q_gopher_rules", gopherRules, Some(gopherRulesSql)))
+    GraftQuery("q_gopher_rules", gopherRules, Some(gopherRulesSql)),
+    GraftQuery("q_doc_signals", docSignals, Some(docSignalsSql)))
 }

@@ -80,6 +80,61 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${bad.size} non-equi pair-sweep join(s) — corpus-sized broadcast at scale")
   }
 
+  test("fused doc-signals plan is one corpus scan with no hash exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val plan = SparkEntry.queries("q_doc_signals")(spark, dir)
+      .queryExecution.sparkPlan
+    val scans = plan.collectLeaves()
+    assert(scans.size == 1,
+      s"${scans.size} input scans — the signal bundle exists to read the corpus ONCE")
+    // the only exchange allowed is the output sort's range partitioning:
+    // a hash exchange would mean some signal reintroduced a join/groupBy
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty,
+      s"${hashEx.size} hash exchange(s) in the fused signal projection")
+  }
+
+  test("semdedup candidate pairs come from a cluster equi-join — no BNLJ, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.functions._
+    // drive the factored sweep with fixed centroids: the k-means fit is
+    // irrelevant to the plan shape under guard
+    import spark.implicits._
+    val v = operators.Similarity.withNorms(
+      (0 until 40).map(i => (i.toLong, Seq.tabulate(8)(d => (i * 8 + d).toDouble)))
+        .toDF("vec_id", "v"))
+    val cents = v.where($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val plan = operators.Similarity.semDedupOn(spark, v, cents, 0.9)
+      .queryExecution.sparkPlan
+    val cartesian = plan.collect { case c: CartesianProductExec => c }
+    assert(cartesian.isEmpty, s"${cartesian.size} cartesian product(s)")
+    // BNLJ is legal ONLY against the broadcast centroid frame (the
+    // ivfSearch assignment pattern, corpus × k) — a BNLJ whose build
+    // side lacks the centroid columns is a corpus-pair sweep
+    val badBnlj = plan.collect {
+      case b: BroadcastNestedLoopJoinExec if !{
+        import org.apache.spark.sql.catalyst.optimizer.BuildRight
+        val build = if (b.buildSide == BuildRight) b.right else b.left
+        build.output.exists(_.name == "cv")
+      } => b
+    }
+    assert(badBnlj.isEmpty,
+      s"${badBnlj.size} BNLJ(s) not against the centroid broadcast — corpus-wide sweep at scale")
+    // and the pair enumeration itself must be a cluster equi-join
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val equiOnCluster = plan.collect {
+      case j: SortMergeJoinExec if j.leftKeys.exists(_.references.exists(_.name == "cent_id")) => j
+      case j: ShuffledHashJoinExec if j.leftKeys.exists(_.references.exists(_.name == "cent_id")) => j
+      case j: BroadcastHashJoinExec if j.leftKeys.exists(_.references.exists(_.name == "cent_id")) => j
+    }
+    assert(equiOnCluster.nonEmpty,
+      "no equi-join on cent_id found — the within-cluster pair join changed shape")
+  }
+
   test("jaccard plan computes the shingle expression at most once per branch") {
     val plan = operators.Dedup.ngramJaccard(spark, dir)
       .queryExecution.executedPlan.toString
