@@ -354,6 +354,75 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, data selection via
+    * importance resampling) — the published operator for selecting
+    * pretraining data that MATCHES A TARGET distribution: a unigram LM
+    * fits the target slice (lang = 'en', the corpus's classification
+    * convention) and another the full corpus, and each document scores
+    * the log importance ratio Σ_t [ln p_tgt(t) − ln p_raw(t)] of its
+    * tokens (add-one smoothing over the shared vocabulary, so
+    * target-absent tokens contribute a finite penalty). High-ratio docs
+    * resemble the target and get sampled up. Scale shape =
+    * q_unigram_logprob's: two corpus hash aggs (token counts), one
+    * token-level join against broadcast-scalar totals, and a per-doc
+    * position-ordered fold (order-deterministic float sum) rounded to
+    * 6 dp. ORACLE=sql — both LMs are exact integer-count algebra.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tok = docs
+      .select($"doc_id", $"lang", posexplode(TF.tokens($"text")).as(Seq("pos", "token")))
+    val raw = tok.groupBy($"token").agg(count(lit(1)).as("c_raw"))
+    val tgt = tok.where($"lang" === "en")
+      .groupBy($"token").agg(count(lit(1)).as("c_tgt"))
+    val freq = raw.join(tgt, Seq("token"), "left")
+      .select($"token", $"c_raw", coalesce($"c_tgt", lit(0L)).as("c_tgt"))
+    val tot = freq.agg(sum($"c_raw").cast("double").as("n_raw"),
+      sum($"c_tgt").cast("double").as("n_tgt"),
+      count(lit(1)).cast("double").as("v"))
+    tok.join(freq, "token").crossJoin(broadcast(tot))
+      .select($"doc_id", $"pos",
+        (log(($"c_tgt" + 1).cast("double") / ($"n_tgt" + $"v")) -
+          log(($"c_raw" + 1).cast("double") / ($"n_raw" + $"v"))).as("lr"))
+      .groupBy($"doc_id")
+      .agg(round(
+        aggregate(
+          transform(array_sort(collect_list(struct($"pos", $"lr"))),
+            x => x("lr")),
+          lit(0.0), (acc, x) => acc + x), 6).as("log_ratio"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, lang, i AS pos, l[i] AS token
+       |  FROM (SELECT doc_id, lang, unnest(generate_series(1, len(l))) AS i, l
+       |        FROM toks) z),
+       |raw AS (SELECT token, count(*) AS c_raw FROM tok GROUP BY token),
+       |tgt AS (SELECT token, count(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY token),
+       |freq AS (
+       |  SELECT raw.token, c_raw, coalesce(c_tgt, 0) AS c_tgt
+       |  FROM raw LEFT JOIN tgt ON raw.token = tgt.token),
+       |tot AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw,
+       |               CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+       |               CAST(count(*) AS DOUBLE) AS v FROM freq),
+       |lr AS (
+       |  SELECT doc_id, pos,
+       |    ln(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + v)) -
+       |      ln(CAST(c_raw + 1 AS DOUBLE) / (n_raw + v)) AS lr
+       |  FROM tok JOIN freq USING (token) CROSS JOIN tot)
+       |SELECT doc_id,
+       |  round(list_reduce(list_prepend(0.0, list(lr ORDER BY pos)),
+       |    (x, y) -> x + y), 6) AS log_ratio,
+       |  count(*) AS n_tokens
+       |FROM lr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val unigramLogprobSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
@@ -560,5 +629,6 @@ object TextAnalysis {
     GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
     GraftQuery("q_compression_ratio", compressionRatio, None),
     GraftQuery("q_gopher_rules", gopherRules, Some(gopherRulesSql)),
-    GraftQuery("q_doc_signals", docSignals, Some(docSignalsSql)))
+    GraftQuery("q_doc_signals", docSignals, Some(docSignalsSql)),
+    GraftQuery("q_dsir_weights", dsirWeights, Some(dsirWeightsSql)))
 }
