@@ -437,10 +437,90 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Shingle-CONTAINMENT near-dup pairs (asymmetric: |A∩B|/|A| ≥ τ,
+    * τ = 0.8) — catches doc-inside-doc duplication that symmetric
+    * Jaccard misses: a short doc embedded verbatim in a long one has
+    * J ≈ na/nb (arbitrarily small) but containment ≈ 1. Output rows are
+    * ORDERED pairs (id_a = the contained doc, id_b = its container);
+    * near-identical docs appear in both directions, which is the
+    * operator's semantics, not a dedup bug.
+    *
+    * The PPJoin prefix lemma holds ONE-SIDED for containment: a pair
+    * with inter ≥ τ·na must match inside A's first ⌊(1−τ)·na⌋+1
+    * rare-first shingles, so only the contained side prunes to its
+    * prefix; the containing side joins with full posting rows (the only
+    * size bound is nb ≥ τ·na, since inter ≤ nb — there is no upper
+    * bound, a container may be any size). Hot-shingle skew still
+    * cancels: rare-first prefix ranking drops frequent shingles from
+    * the prefix side, so a hot posting list on the full side meets few
+    * prefix rows. Exact verify re-scores surviving candidates against
+    * the per-doc shingle arrays (the jaccard array_intersect shape).
+    */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentOn(s, Tables.documents(s, dir), 0.8)
+
+  private[graft] def containmentOn(
+      s: SparkSession, docs: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // exact rational τ = num/den — the ngramJaccardPrefix precedent
+    val frac = BigDecimal(tau.toString)
+    val den = BigDecimal(10).pow(frac.scale).toLongExact
+    val num = (frac * den).toLongExact
+    val sh = shinglesOf(docs)
+    val freq = sh.groupBy($"shingle")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("freq"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val wRank = Window.partitionBy($"doc_id").orderBy($"freq".asc, $"shingle".asc)
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+    // contained-side prefix: rnk <= floor((1-τ)·na)+1
+    val prefix = ranked.where(($"rnk" - 1) * den <= lit(den - num) * $"n")
+      .select($"doc_id", $"shingle", $"n", $"rnk")
+    val full = ranked.select($"doc_id", $"shingle", $"n", $"rnk")
+    // size bound nb ≥ τ·na, plus the one-sided positional filter: a
+    // match at prefix position i bounds the overlap by
+    // 1 + min(na−i, nb−j), and containment needs inter ≥ τ·na. Safe
+    // per-row: a qualifying pair's FIRST prefix match always passes.
+    val cand = prefix.as("a").join(full.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" =!= $"b.doc_id" &&
+          lit(num) * $"a.n" <= lit(den) * $"b.n" &&
+          (lit(1L) + least($"a.n" - $"a.rnk", $"b.n" - $"b.rnk")) * den >=
+            lit(num) * $"a.n")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"a.n".as("na"))
+      .distinct()
+    val arrs = shingleArrsOf(docs)
+    cand
+      .join(arrs.select($"doc_id".as("id_a"), $"arr".as("arr_a")), "id_a")
+      .join(arrs.select($"doc_id".as("id_b"), $"arr".as("arr_b")), "id_b")
+      .select($"id_a", $"id_b", $"na",
+        coalesce(size(array_intersect($"arr_a", $"arr_b")), lit(0))
+          .cast("long").as("inter"))
+      // containment ≥ τ  ⟺  inter·den ≥ num·na
+      .where($"inter" * den >= lit(num) * $"na")
+      .select($"id_a", $"id_b",
+        ($"inter".cast("double") / $"na").as("containment"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val containmentSql: String =
+    s"""WITH sh AS (SELECT * FROM $shinglesSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(inter AS DOUBLE) / na.n AS containment
+       |FROM inter JOIN sizes na ON id_a = na.doc_id
+       |WHERE inter * 10 >= 8 * na.n
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_dedup_exact", exact, Some(exactSql)),
     GraftQuery("q_dedup_ngram_jaccard", ngramJaccardPrefix(_, _),
       Some(ngramJaccardSql)),
     GraftQuery("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
-    GraftQuery("q_dedup_simhash", simhash, Some(simhashSql)))
+    GraftQuery("q_dedup_simhash", simhash, Some(simhashSql)),
+    GraftQuery("q_dedup_containment", containment, Some(containmentSql)))
 }

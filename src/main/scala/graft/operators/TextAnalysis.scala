@@ -337,6 +337,15 @@ object TextAnalysis {
     */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    avgLogprobFrame(s, dir).orderBy($"doc_id")
+  }
+
+  /** The per-doc (doc_id, avg_logprob, n_tokens) frame WITHOUT the
+    * presentation sort — one source for q_unigram_logprob and the
+    * perplexity-bucket operator composing over it.
+    */
+  private def avgLogprobFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val tok = Tables.documents(s, dir)
       .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "token")))
     val freq = tok.groupBy($"token").agg(count(lit(1)).as("freq"))
@@ -351,6 +360,45 @@ object TextAnalysis {
             x => x("logp")),
           lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6).as("avg_logprob"),
         count(lit(1)).as("n_tokens"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): documents
+    * ranked by unigram-LM mean log-probability (the q_unigram_logprob
+    * signal standing in for KenLM, highest = most fluent) and split
+    * into head / middle / tail thirds — the published pre-filtering
+    * that keeps the head, LM-trains on the middle, and drops the tail.
+    * Scale shape: the LM is the two-hash-agg q_unigram_logprob plan;
+    * ranking collapses the corpus to ONE ROW PER DISTINCT 6-dp mean
+    * and runs Evaluation.cumTallies — the range-partitioned two-pass
+    * prefix sum, no partition-less window — over min-max-normalized
+    * scores (normalization only feeds the prefix-sum's fixed range
+    * buckets; bucket CUTOFFS are exact integer ceil-divisions of the
+    * doc count, so no float boundary can disagree with the oracle).
+    * Docs sharing a 6-dp mean share a bucket (the rank of a score
+    * group is its inclusive cumulative count — deterministic under
+    * ties, where per-doc ntile would be arbitrary).
+    */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lp = avgLogprobFrame(s, dir).select($"doc_id", $"avg_logprob")
+    val sc0 = lp.groupBy($"avg_logprob").agg(count(lit(1)).as("c"))
+    // bounds come from the DISTINCT-SCORE frame, not a second pass over
+    // the corpus-scale LM frame — lp is referenced twice (tallies +
+    // join-back), not three times
+    val bounds = sc0.agg(min($"avg_logprob").as("mn"), max($"avg_logprob").as("mx"),
+      sum($"c").as("n"))
+    val sc = sc0
+      .crossJoin(broadcast(bounds))
+      .withColumn("score", when($"mx" === $"mn", lit(0.5))
+        .otherwise(($"avg_logprob" - $"mn") / ($"mx" - $"mn")))
+      .withColumn("cp", lit(0L))
+    val ranked = Evaluation.cumTallies(sc, Seq.empty)
+      .select($"avg_logprob",
+        when($"rk" <= expr("(n + 2) div 3"), "head")
+          .when($"rk" <= expr("(n * 2 + 2) div 3"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+    lp.join(ranked, "avg_logprob")
+      .select($"doc_id", $"avg_logprob", $"ppl_bucket")
       .orderBy($"doc_id")
   }
 
@@ -423,8 +471,12 @@ object TextAnalysis {
        |  count(*) AS n_tokens
        |FROM lr GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  val unigramLogprobSql: String =
-    s"""WITH toks AS (
+  /** Shared oracle CTE chain defining `lpdoc(doc_id, avg_logprob,
+    * n_tokens)` — one source for the q_unigram_logprob oracle and the
+    * perplexity-bucket oracle composing over it.
+    */
+  private val lpDocCtesSql: String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
        |  FROM documents),
        |tok AS (
@@ -434,12 +486,35 @@ object TextAnalysis {
        |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS n_total FROM freq),
        |lp AS (
        |  SELECT doc_id, pos, ln(CAST(freq AS DOUBLE) / n_total) AS logp
-       |  FROM tok JOIN freq USING (token) CROSS JOIN tot)
-       |SELECT doc_id,
-       |  round(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
-       |    (x, y) -> x + y) / count(*), 6) AS avg_logprob,
-       |  count(*) AS n_tokens
-       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM tok JOIN freq USING (token) CROSS JOIN tot),
+       |lpdoc AS (
+       |  SELECT doc_id,
+       |    round(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+       |      (x, y) -> x + y) / count(*), 6) AS avg_logprob,
+       |    count(*) AS n_tokens
+       |  FROM lp GROUP BY doc_id)""".stripMargin
+
+  val unigramLogprobSql: String =
+    s"""WITH $lpDocCtesSql
+       |SELECT doc_id, avg_logprob, n_tokens FROM lpdoc ORDER BY doc_id""".stripMargin
+
+  /** Rank of a 6-dp score group = its inclusive cumulative count in
+    * score-DESC order (each `sc` row is a distinct score, so the
+    * default RANGE frame equals the Spark side's inclusive prefix sum);
+    * cutoffs are exact integer ceil-divisions of the doc count.
+    */
+  val perplexityBucketsSql: String =
+    s"""WITH $lpDocCtesSql,
+       |sc AS (SELECT avg_logprob, count(*) AS c FROM lpdoc GROUP BY avg_logprob),
+       |r AS (SELECT avg_logprob,
+       |        sum(c) OVER (ORDER BY avg_logprob DESC) AS rk FROM sc),
+       |nn AS (SELECT count(*) AS n FROM lpdoc)
+       |SELECT doc_id, avg_logprob,
+       |  CASE WHEN rk <= (n + 2) // 3 THEN 'head'
+       |       WHEN rk <= (n * 2 + 2) // 3 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM lpdoc JOIN r USING (avg_logprob) CROSS JOIN nn
+       |ORDER BY doc_id""".stripMargin
 
   /** The Gopher required-stopword list (Rae et al. 2021, App. A). */
   val gopherStops: Seq[String] =
@@ -627,6 +702,7 @@ object TextAnalysis {
     GraftQuery("q_pii_redact", piiRedact, Some(piiRedactSql)),
     GraftQuery("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
+    GraftQuery("q_perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql)),
     GraftQuery("q_compression_ratio", compressionRatio, None),
     GraftQuery("q_gopher_rules", gopherRules, Some(gopherRulesSql)),
     GraftQuery("q_doc_signals", docSignals, Some(docSignalsSql)),

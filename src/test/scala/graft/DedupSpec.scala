@@ -64,4 +64,32 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val total = Tables.embeddings(spark, dir).count()
     assert(buckets.agg(sum($"n_vecs")).as[Long].collect().head == total)
   }
+
+  test("containment finds the embedded doc one-directionally where jaccard misses it") {
+    import spark.implicits._
+    // doc 2 is a verbatim sub-span of doc 1: containment(2 in 1) = 1.0,
+    // but symmetric jaccard is ~14/38 — below any dedup threshold
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (10 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, "totally unrelated text here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentOn(spark, docs, 0.8)
+      .select($"id_a", $"id_b", $"containment")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((2L, 1L, 1.0)))
+  }
+
+  test("containment prefix filter equals the unpruned inverted join") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // tau=0 disables prefix/size/positional pruning -> every
+    // shared-shingle ordered pair with its exact containment
+    val brute = Dedup.containmentOn(spark, docs, 0.0)
+      .where($"containment" >= 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.containmentOn(spark, docs, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
 }

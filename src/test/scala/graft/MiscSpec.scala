@@ -65,6 +65,31 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("perplexity buckets are ordered tertiles covering every doc") {
+    import spark.implicits._
+    val b = TextAnalysis.perplexityBuckets(spark, dir).cache()
+    val n = Tables.documents(spark, dir).count()
+    assert(b.count() == n)
+    val byBucket = b.groupBy($"ppl_bucket")
+      .agg(count(lit(1)).as("c"), min($"avg_logprob").as("mn"),
+        max($"avg_logprob").as("mx"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // head = most fluent (highest logprob); buckets must not interleave
+    assert(byBucket("head")._3 >= byBucket("middle")._4)
+    assert(byBucket("middle")._3 >= byBucket("tail")._4)
+    // with all-distinct 6-dp means the split is exact ceil-tertiles
+    if (b.select($"avg_logprob").distinct().count() == n) {
+      val h = (n + 2) / 3
+      val m = (n * 2 + 2) / 3
+      assert(byBucket("head")._2 == h)
+      assert(byBucket("middle")._2 == m - h)
+      assert(byBucket("tail")._2 == n - m)
+    }
+    b.unpersist()
+  }
+
   test("quality scores stay within [0, 1]") {
     import spark.implicits._
     val q = TextAnalysis.qualityScore(spark, dir)
