@@ -340,6 +340,76 @@ object Corpus {
       .orderBy($"event_type")
   }
 
+  /** Count-min sketch parameters: 4 independent hash rows × 1024
+    * buckets — 4096 counters total, a fixed-size mergeable summary at
+    * any corpus size (Cormode & Muthukrishnan 2005). Hashes derive from
+    * the engine-portable md5 scheme ([[Dedup.hash60]]) salted per row,
+    * so the DuckDB oracle computes the identical sketch.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024L
+
+  /** Heavy hitters: exact top-20 corpus tokens next to their count-min
+    * sketch estimates. The sketch is DECLARATIVE — each token emits
+    * [[CmsDepth]] (row, bucket) keys and ONE hash aggregation builds the
+    * ≤ depth×width-row sketch table (partial aggregation collapses
+    * map-side, so shuffle volume is bounded by 4096 counters per task
+    * regardless of corpus size — the groupBy IS the sketch merge).
+    * Estimates read min over the token's row counters from the
+    * BROADCAST sketch. The exact branch (corpus-wide token groupBy +
+    * top-k) is the verification twin this query exists to demonstrate
+    * against — at 100 TB only the sketch side and a candidate stream
+    * survive; the CMS guarantee (est ≥ exact, overestimate ≤ εN w.h.p.)
+    * is what the spec pins.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val tok = Tables.documents(s, dir)
+      .select(explode(TF.tokens($"text")).as("token"))
+    val keyed = tok.select($"token", explode(array((0 until CmsDepth).map { d =>
+      struct(lit(d).as("d"),
+        (Dedup.hash60(concat($"token", lit(s"#$d"))) % CmsWidth).as("idx"))
+    }: _*)).as("k"))
+      .select($"token", $"k.d", $"k.idx")
+    val cms = keyed.groupBy($"d", $"idx").agg(count(lit(1)).as("cnt"))
+    val top = tok.groupBy($"token").agg(count(lit(1)).as("exact_count"))
+      .orderBy($"exact_count".desc, $"token".asc).limit(20)
+    val topKeys = top.select($"token", $"exact_count",
+        explode(array((0 until CmsDepth).map { d =>
+          struct(lit(d).as("d"),
+            (Dedup.hash60(concat($"token", lit(s"#$d"))) % CmsWidth).as("idx"))
+        }: _*)).as("k"))
+      .select($"token", $"exact_count", $"k.d", $"k.idx")
+    topKeys.join(broadcast(cms), Seq("d", "idx"))
+      .groupBy($"token", $"exact_count")
+      .agg(min($"cnt").as("cms_estimate"))
+      .orderBy($"exact_count".desc, $"token".asc)
+  }
+
+  val heavyHittersSql: String = {
+    val keys = (0 until CmsDepth).map { d =>
+      s"SELECT token, $d AS d, ${Dedup.hash60Sql(s"token || '#$d'")} % $CmsWidth AS idx FROM tok"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+       |  FROM documents),
+       |keyed AS ($keys),
+       |cms AS (SELECT d, idx, count(*) AS cnt FROM keyed GROUP BY d, idx),
+       |top AS (
+       |  SELECT token, count(*) AS exact_count FROM tok GROUP BY token
+       |  ORDER BY exact_count DESC, token ASC LIMIT 20),
+       |topkeys AS (
+       |  SELECT token, exact_count, d,
+       |    ${Dedup.hash60Sql(s"token || '#' || CAST(d AS VARCHAR)")} % $CmsWidth AS idx
+       |  FROM top, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d))
+       |SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+       |  CAST(min(cnt) AS BIGINT) AS cms_estimate
+       |FROM topkeys JOIN cms USING (d, idx)
+       |GROUP BY token, exact_count
+       |ORDER BY exact_count DESC, token ASC""".stripMargin
+  }
+
   /** Repetition-based quality signals (the Gopher-rule shape): duplicate
     * -token ratio and top-bigram concentration per document. All ratios
     * are single divisions of exact integer counts.
@@ -630,5 +700,6 @@ object Corpus {
     GraftQuery("q_span_dedup", spanDedup, Some(spanDedupSql)),
     GraftQuery("q_source_mixture", sourceMixture, Some(sourceMixtureSql)),
     GraftQuery("q_mixture_temperature", mixtureTemperature,
-      Some(mixtureTemperatureSql)))
+      Some(mixtureTemperatureSql)),
+    GraftQuery("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
 }

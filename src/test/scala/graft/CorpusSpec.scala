@@ -95,6 +95,23 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("count-min estimates dominate exact counts within the sketch bound") {
+    import spark.implicits._
+    val hh = Corpus.heavyHitters(spark, dir)
+      .select($"exact_count", $"cms_estimate").as[(Long, Long)].collect()
+    assert(hh.length == 20)
+    val nTokens = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")))
+      .count()
+    hh.foreach { case (exact, est) =>
+      // the CMS hard guarantee: never an underestimate; overestimate
+      // bounded by colliding mass — N/64 is 16x the per-row expectation
+      // for width 1024, far above any plausible 4-row min
+      assert(est >= exact, s"CMS underestimated: $est < $exact")
+      assert(est - exact <= nTokens / 64, s"overestimate $est vs $exact")
+    }
+  }
+
   test("IVF ANN returns valid per-query rankings with true cosines") {
     import spark.implicits._
     val ivf = Similarity.annIvf(spark, dir)
