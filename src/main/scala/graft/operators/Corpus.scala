@@ -362,24 +362,36 @@ object Corpus {
     * survive; the CMS guarantee (est ≥ exact, overestimate ≤ εN w.h.p.)
     * is what the spec pins.
     */
+  /** The CMS (row, bucket) key generator of a `token` column — ROW-LOCAL
+    * (explode of a 4-element literal array), so it composes with
+    * Structured Streaming's stateless stages; the sketch groupBy is the
+    * only stateful step in the streaming twin.
+    */
+  private[graft] def cmsKeyCol(token: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    explode(array((0 until CmsDepth).map { d =>
+      struct(lit(d).as("d"),
+        (Dedup.hash60(concat(token, lit(s"#$d"))) % CmsWidth).as("idx"))
+    }: _*))
+
+  /** The sketch of any (token) frame: ≤ depth×width rows. One source for
+    * the batch operator and the streaming maintenance twin.
+    */
+  private[graft] def cmsSketchOf(tok: DataFrame): DataFrame = {
+    import tok.sparkSession.implicits._
+    tok.select(cmsKeyCol($"token").as("k"))
+      .select($"k.d", $"k.idx")
+      .groupBy($"d", $"idx").agg(count(lit(1)).as("cnt"))
+  }
+
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
     val tok = Tables.documents(s, dir)
       .select(explode(TF.tokens($"text")).as("token"))
-    val keyed = tok.select($"token", explode(array((0 until CmsDepth).map { d =>
-      struct(lit(d).as("d"),
-        (Dedup.hash60(concat($"token", lit(s"#$d"))) % CmsWidth).as("idx"))
-    }: _*)).as("k"))
-      .select($"token", $"k.d", $"k.idx")
-    val cms = keyed.groupBy($"d", $"idx").agg(count(lit(1)).as("cnt"))
+    val cms = cmsSketchOf(tok)
     val top = tok.groupBy($"token").agg(count(lit(1)).as("exact_count"))
       .orderBy($"exact_count".desc, $"token".asc).limit(20)
-    val topKeys = top.select($"token", $"exact_count",
-        explode(array((0 until CmsDepth).map { d =>
-          struct(lit(d).as("d"),
-            (Dedup.hash60(concat($"token", lit(s"#$d"))) % CmsWidth).as("idx"))
-        }: _*)).as("k"))
+    val topKeys = top.select($"token", $"exact_count", cmsKeyCol($"token").as("k"))
       .select($"token", $"exact_count", $"k.d", $"k.idx")
     topKeys.join(broadcast(cms), Seq("d", "idx"))
       .groupBy($"token", $"exact_count")

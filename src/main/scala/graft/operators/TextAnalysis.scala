@@ -516,6 +516,56 @@ object TextAnalysis {
        |FROM lpdoc JOIN r USING (avg_logprob) CROSS JOIN nn
        |ORDER BY doc_id""".stripMargin
 
+  /** N-gram diversity (the distinct-n metric, Li et al. 2016): per
+    * source and n ∈ {1,2,3}, the ratio of distinct n-grams to total
+    * n-grams — the standard repetitiveness/diversity statistic of a
+    * dataset card (low distinct-n = templated or duplicated text).
+    * One corpus scan emits (n, gram) rows for all three orders; one
+    * grouped aggregation computes total + distinct per (source, n)
+    * (countDistinct's two-phase partial aggregation keys on
+    * (source, n, gram) — no per-group set is ever buffered on a task,
+    * so the shape survives any corpus size).
+    */
+  def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"source", TF.tokens($"text").as("toks"))
+    val grams = toks.select($"source",
+      explode(flatten(array((1 to 3).map { n =>
+        filter(
+          transform($"toks", (_, i) =>
+            when(i + n <= size($"toks"),
+              struct(lit(n).as("n"),
+                array_join(slice($"toks", i + 1, lit(n)), " ").as("gram")))),
+          g => g.isNotNull)
+      }: _*))).as("g"))
+      .select($"source", $"g.n", $"g.gram")
+    grams.groupBy($"source", $"n")
+      .agg(count(lit(1)).as("n_total"), countDistinct($"gram").as("n_distinct"))
+      .select($"source", $"n", $"n_total", $"n_distinct",
+        round($"n_distinct".cast("double") / $"n_total", 6).as("diversity"))
+      .orderBy($"source", $"n")
+  }
+
+  val ngramDiversitySql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT source, 1 AS n, unnest(toks) AS gram FROM toks
+      |  UNION ALL
+      |  SELECT source, 2 AS n,
+      |    unnest([array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)])
+      |  FROM toks
+      |  UNION ALL
+      |  SELECT source, 3 AS n,
+      |    unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)])
+      |  FROM toks)
+      |SELECT source, n, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+      |  round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS diversity
+      |FROM grams GROUP BY source, n ORDER BY source, n""".stripMargin
+
   /** The Gopher required-stopword list (Rae et al. 2021, App. A). */
   val gopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -703,6 +753,7 @@ object TextAnalysis {
     GraftQuery("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
     GraftQuery("q_perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql)),
+    GraftQuery("q_ngram_diversity", ngramDiversity, Some(ngramDiversitySql)),
     GraftQuery("q_compression_ratio", compressionRatio, None),
     GraftQuery("q_gopher_rules", gopherRules, Some(gopherRulesSql)),
     GraftQuery("q_doc_signals", docSignals, Some(docSignalsSql)),

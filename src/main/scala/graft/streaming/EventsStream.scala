@@ -38,6 +38,22 @@ object EventsStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming count-min sketch maintenance — the twin of
+    * q_heavy_hitters' batch sketch on an ingest stream: tokens and
+    * their 4 salted (row, bucket) keys are emitted ROW-LOCALLY
+    * (stateless generators, graft.operators.Corpus.cmsKeyCol), and the
+    * only stateful operator is the sketch groupBy itself, whose state
+    * IS the sketch — bounded at 4×1024 counters forever, no watermark
+    * needed (the canonical streaming-summary shape: the aggregation
+    * state never grows with the stream). Run in Complete/Update mode;
+    * the spec proves the final streamed sketch cell-equal to the batch
+    * sketch over the same documents.
+    */
+  def cmsSketchStream(docs: DataFrame): DataFrame =
+    graft.operators.Corpus.cmsSketchOf(
+      docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token")))
+
   /** Streaming exact dedup: watermarked dropDuplicates on the event key —
     * the streaming twin of Dedup.exact (state is bounded by the
     * watermark horizon instead of growing with the stream).

@@ -4,6 +4,7 @@ import graft.streaming.EventsStream
 import graft.streaming.EventsStream.{Event, SessionAgg}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -68,6 +69,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     q.stop()
     assert(spark.table("neardup_out").count() == 2)
+  }
+
+  test("streaming count-min sketch equals the batch sketch cell-for-cell") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val texts = Seq(
+      (1L, ts(1), "spark joins data fast data"),
+      (2L, ts(2), "the data and the spark"),
+      (3L, ts(3), "entirely different tokens here"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(texts.take(2): _*)
+    val q = EventsStream.cmsSketchStream(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Complete).start()
+    // second micro-batch: the stateful groupBy must merge, not replace
+    mem.addData(texts.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_out")
+      .as[(Int, Long, Long)].collect().toSet
+    val tok = texts.toDF("doc_id", "ts", "text")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+    val batch = graft.operators.Corpus.cmsSketchOf(tok)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 
   test("streaming curation gates quality before deduplicating") {
