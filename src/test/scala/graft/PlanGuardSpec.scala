@@ -29,7 +29,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the MLlib-score composition family routes through the same
     // cumTallies prefix-sum — guard it the same way
     "q_ml_roc_auc", "q_ml_roc_curve", "q_ml_pr_curve", "q_ml_cv_auc",
-    "q_ml_ttest_5x2", "q_ml_mean_roc", "q_ml_learning_curve")
+    "q_ml_ttest_5x2", "q_ml_mean_roc", "q_ml_learning_curve",
+    // perplexity bucketing ranks via the same cumTallies prefix sum
+    "q_perplexity_buckets")
 
   test("no partition-less window in any sweep-family plan") {
     val byName = SparkEntry.all.map(q => q.name -> q.fn).toMap
@@ -66,6 +68,36 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(byShingle.isEmpty,
       s"${byShingle.size} window(s) partitioned by shingle — hot-key buffering at scale")
+  }
+
+  test("containment plan: prefix-rank windows partitioned, no shingle window, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = SparkEntry.queries("q_dedup_containment")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    val wins = opt.collect { case w: Window => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "containment prefix-rank window missing or partition-less")
+    val byShingle = opt.collect {
+      case w: Window if w.partitionSpec.exists(_.references.exists(_.name == "shingle")) => w
+    }
+    assert(byShingle.isEmpty,
+      s"${byShingle.size} window(s) partitioned by shingle — hot-key buffering at scale")
+    val bad = df.queryExecution.sparkPlan.collect {
+      case b: BroadcastNestedLoopJoinExec => b: org.apache.spark.sql.execution.SparkPlan
+      case c: CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"${bad.size} non-equi pair-sweep join(s) in containment")
+  }
+
+  test("heavy-hitters plan joins the sketch by equi-key — no BNLJ, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+      .queryExecution.sparkPlan
+    val bad = plan.collect {
+      case b: BroadcastNestedLoopJoinExec => b: org.apache.spark.sql.execution.SparkPlan
+      case c: CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"${bad.size} non-equi join(s) in the sketch lookup")
   }
 
   test("registered embed-cosine dedup is the blocked plan (no BNLJ, no cartesian)") {
