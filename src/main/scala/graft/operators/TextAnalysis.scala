@@ -418,7 +418,23 @@ object TextAnalysis {
     */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    dsirFrame(s, dir).orderBy($"doc_id")
+  }
+
+  /** The per-doc (doc_id, log_ratio, n_tokens) DSIR frame WITHOUT the
+    * presentation sort — one source for q_dsir_weights and the
+    * resampling operator selecting on it.
+    */
+  private def dsirFrame(s: SparkSession, dir: String): DataFrame =
+    dsirFrameOf(Tables.documents(s, dir))
+
+  /** The DSIR frame on ANY (doc_id, lang, text) corpus — factored so
+    * specs can plant a strong target signal (the shared-vocabulary
+    * test corpus separates languages by only fractions of a nat, too
+    * weak to assert enrichment against the Gumbel noise).
+    */
+  private[graft] def dsirFrameOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val tok = docs
       .select($"doc_id", $"lang", posexplode(TF.tokens($"text")).as(Seq("pos", "token")))
     val raw = tok.groupBy($"token").agg(count(lit(1)).as("c_raw"))
@@ -440,11 +456,43 @@ object TextAnalysis {
             x => x("lr")),
           lit(0.0), (acc, x) => acc + x), 6).as("log_ratio"),
         count(lit(1)).as("n_tokens"))
-      .orderBy($"doc_id")
   }
 
-  val dsirWeightsSql: String =
-    s"""WITH toks AS (
+  /** DSIR importance RESAMPLING — the actual selection step of Xie et
+    * al. 2023: draw a without-replacement sample of documents with
+    * probability proportional to exp(log importance ratio), via the
+    * Gumbel-top-k identity (Vieira 2014; Kool et al. 2019):
+    * key_i = log w_i + Gumbel(0,1) and the top-k keys ARE such a
+    * sample. The Gumbel noise is −ln(−ln u) over the engine-portable
+    * 15-bit LCG uniform of doc_id (the stratified-sample precedent), so
+    * selection is deterministic on any cluster and the oracle draws the
+    * identical sample. Scale shape: the weights are the q_dsir_weights
+    * plan; selection is orderBy+limit — Spark's TakeOrdered keeps k
+    * rows per partition and merges, no global sort shuffle. Keys round
+    * to 6 dp with a doc_id tiebreak so the k-boundary cannot diverge
+    * between engines.
+    */
+  def dsirResample(s: SparkSession, dir: String): DataFrame =
+    dsirResampleOn(Tables.documents(s, dir), 100)
+
+  private[graft] def dsirResampleOn(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = dsirFrameOf(docs).select($"doc_id", $"log_ratio")
+    val v = (((($"doc_id" % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
+      .divide(65536).cast("long"))
+    val u = (v + 1).cast("double") / 32769.0
+    w.select($"doc_id", $"log_ratio",
+        round($"log_ratio" - log(-log(u)), 6).as("sample_key"))
+      .orderBy($"sample_key".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  /** Shared oracle CTE chain defining `dsirdoc(doc_id, log_ratio,
+    * n_tokens)` — one source for the q_dsir_weights oracle and the
+    * resampling oracle drawing from it.
+    */
+  private val dsirCtesSql: String =
+    s"""toks AS (
        |  SELECT doc_id, lang,
        |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
        |  FROM documents),
@@ -464,12 +512,26 @@ object TextAnalysis {
        |  SELECT doc_id, pos,
        |    ln(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + v)) -
        |      ln(CAST(c_raw + 1 AS DOUBLE) / (n_raw + v)) AS lr
-       |  FROM tok JOIN freq USING (token) CROSS JOIN tot)
-       |SELECT doc_id,
-       |  round(list_reduce(list_prepend(0.0, list(lr ORDER BY pos)),
-       |    (x, y) -> x + y), 6) AS log_ratio,
-       |  count(*) AS n_tokens
-       |FROM lr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM tok JOIN freq USING (token) CROSS JOIN tot),
+       |dsirdoc AS (
+       |  SELECT doc_id,
+       |    round(list_reduce(list_prepend(0.0, list(lr ORDER BY pos)),
+       |      (x, y) -> x + y), 6) AS log_ratio,
+       |    count(*) AS n_tokens
+       |  FROM lr GROUP BY doc_id)""".stripMargin
+
+  val dsirWeightsSql: String =
+    s"""WITH $dsirCtesSql
+       |SELECT doc_id, log_ratio, n_tokens FROM dsirdoc ORDER BY doc_id""".stripMargin
+
+  val dsirResampleSql: String =
+    s"""WITH $dsirCtesSql
+       |SELECT doc_id, log_ratio,
+       |  round(log_ratio - ln(-ln(
+       |    ((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536 + 1)
+       |      / 32769.0)), 6) AS sample_key
+       |FROM dsirdoc
+       |ORDER BY sample_key DESC, doc_id ASC LIMIT 100""".stripMargin
 
   /** Shared oracle CTE chain defining `lpdoc(doc_id, avg_logprob,
     * n_tokens)` — one source for the q_unigram_logprob oracle and the
@@ -757,5 +819,6 @@ object TextAnalysis {
     GraftQuery("q_compression_ratio", compressionRatio, None),
     GraftQuery("q_gopher_rules", gopherRules, Some(gopherRulesSql)),
     GraftQuery("q_doc_signals", docSignals, Some(docSignalsSql)),
-    GraftQuery("q_dsir_weights", dsirWeights, Some(dsirWeightsSql)))
+    GraftQuery("q_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    GraftQuery("q_dsir_resample", dsirResample, Some(dsirResampleSql)))
 }

@@ -39,6 +39,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dsir resample oversamples the target slice and is deterministic") {
+    import spark.implicits._
+    // planted strong signal: target (en) docs draw from vocab A, the
+    // rest from vocab B -> en log-ratios sit ~10 nats above the rest,
+    // far beyond the Gumbel noise (stddev 1.28)
+    val docs = (0 until 100).map { i =>
+      val text = if (i < 30) "alpha beta gamma alpha delta beta gamma alpha beta delta"
+      else "omega sigma kappa omega theta sigma kappa omega sigma theta"
+      (i.toLong, if (i < 30) "en" else "xx", text)
+    }.toDF("doc_id", "lang", "text")
+    val sample = TextAnalysis.dsirResampleOn(docs, 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sample.size == 10)
+    val enRate = sample.count(_ < 30).toDouble / 10
+    assert(enRate >= 0.8, s"sample en rate $enRate — importance weights not driving selection")
+    // deterministic: a second evaluation draws the identical sample
+    val again = TextAnalysis.dsirResampleOn(docs, 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sample == again)
+  }
+
   test("every kept row passes all four gates; the kept set is exact and deterministic") {
     import spark.implicits._
     val out = Curation.curationModelGate(spark, dir)
