@@ -516,11 +516,81 @@ object Dedup {
        |WHERE inter * 10 >= 8 * na.n
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** MinHash-LSH parameter planner — the S-curve analysis (Leskovec,
+    * Rajaraman & Ullman, MMDS ch. 3) of every (bands b, rows r)
+    * factoring of the 16-hash signature, GROUNDED on the actual corpus:
+    * alongside the theory columns (collision probability
+    * p(s) = 1 − (1 − s^r)^b and curve threshold s* = (1/b)^{1/r}) it
+    * counts the candidate pairs each banding would actually generate
+    * (Σ_buckets n·(n−1)/2, pre-distinct — the verify-join work metric).
+    * The registered 4×4 banding has s* ≈ 0.707 — the τ ≥ 0.7 floor
+    * where Similarity.cosineDedupRouted switches from quadratic sweeps
+    * to candidate joins is this curve's knee, not folklore. ONE corpus
+    * pass: every factoring's band keys are emitted from one signature
+    * scan (31 structs per doc) and one groupBy counts all buckets.
+    */
+  def lshPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val factorings = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    val sigs = minhashWide(shingles(s, dir))
+    val allBands = sigs.select(explode(array(factorings.flatMap { case (b, r) =>
+        (0 until b).map { k =>
+          struct(lit(b).as("bands"), lit(k).as("band"),
+            concat_ws("-", (0 until r).map(j => col(s"mh${k * r + j}")): _*)
+              .as("band_key"))
+        }
+      }: _*)).as("bk"))
+      .select($"bk.bands", $"bk.band", $"bk.band_key")
+    val cand = allBands.groupBy($"bands", $"band", $"band_key")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"bands")
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("cand_pairs"))
+    val fac = factorings.toDF("bands", "rows_per_band")
+    def pAt(sim: Double) = round(
+      lit(1.0) - pow(lit(1.0) - pow(lit(sim), $"rows_per_band"), $"bands"), 6)
+    cand.join(broadcast(fac), "bands")
+      .select($"bands", $"rows_per_band",
+        round(pow(lit(1.0) / $"bands", lit(1.0) / $"rows_per_band"), 6).as("s_star"),
+        pAt(0.5).as("p_at_50"), pAt(0.7).as("p_at_70"), pAt(0.9).as("p_at_90"),
+        $"cand_pairs")
+      .orderBy($"bands")
+  }
+
+  val lshPlanSql: String = {
+    val paramRows = hashParams.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH params(i, a, b) AS (VALUES $paramRows),
+       |sh AS (SELECT doc_id, ${hash60Sql("shingle")} % ${P} AS x FROM $shinglesSql),
+       |sigs AS (
+       |  SELECT doc_id, i, min((a * x + b) % ${P}) AS mh
+       |  FROM sh, params GROUP BY doc_id, i),
+       |fac(bands, rows_per_band) AS (VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1)),
+       |allbands AS (
+       |  SELECT s.doc_id, f.bands, f.rows_per_band,
+       |    CAST(i // f.rows_per_band AS INT) AS band,
+       |    string_agg(mh, '-' ORDER BY i) AS band_key
+       |  FROM sigs s CROSS JOIN fac f
+       |  GROUP BY s.doc_id, f.bands, f.rows_per_band, CAST(i // f.rows_per_band AS INT)),
+       |counts AS (
+       |  SELECT bands, band, band_key, count(*) AS n
+       |  FROM allbands GROUP BY bands, band, band_key),
+       |cand AS (
+       |  SELECT bands, CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+       |  FROM counts GROUP BY bands)
+       |SELECT f.bands, f.rows_per_band,
+       |  round(power(1.0 / f.bands, 1.0 / f.rows_per_band), 6) AS s_star,
+       |  round(1 - power(1 - power(0.5, f.rows_per_band), f.bands), 6) AS p_at_50,
+       |  round(1 - power(1 - power(0.7, f.rows_per_band), f.bands), 6) AS p_at_70,
+       |  round(1 - power(1 - power(0.9, f.rows_per_band), f.bands), 6) AS p_at_90,
+       |  cand_pairs
+       |FROM fac f JOIN cand USING (bands) ORDER BY f.bands""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_dedup_exact", exact, Some(exactSql)),
     GraftQuery("q_dedup_ngram_jaccard", ngramJaccardPrefix(_, _),
       Some(ngramJaccardSql)),
     GraftQuery("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     GraftQuery("q_dedup_simhash", simhash, Some(simhashSql)),
-    GraftQuery("q_dedup_containment", containment, Some(containmentSql)))
+    GraftQuery("q_dedup_containment", containment, Some(containmentSql)),
+    GraftQuery("q_lsh_plan", lshPlan, Some(lshPlanSql)))
 }

@@ -65,6 +65,21 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.agg(sum($"n_vecs")).as[Long].collect().head == total)
   }
 
+  test("lsh planner: threshold falls and candidate volume grows with band count") {
+    import spark.implicits._
+    val plan = Dedup.lshPlan(spark, dir)
+      .select($"bands", $"s_star", $"cand_pairs")
+      .as[(Int, Double, Long)].collect().sortBy(_._1)
+    assert(plan.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    // more, coarser bands = lower curve threshold and more generated
+    // candidates — the recall/work tradeoff the planner exists to show
+    assert(plan.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._3 <= b._3 })
+    // the registered 4x4 banding sits at the router's tau=0.7 floor
+    val s4 = plan.find(_._1 == 4).get._2
+    assert(math.abs(s4 - 0.707107) < 1e-6)
+  }
+
   test("containment finds the embedded doc one-directionally where jaccard misses it") {
     import spark.implicits._
     // doc 2 is a verbatim sub-span of doc 1: containment(2 in 1) = 1.0,
