@@ -207,6 +207,37 @@ object Bpe {
       .orderBy($"doc_id")
   }
 
+  /** Tokenizer fertility statistics per source — the standard
+    * tokenizer-quality metrics of the multilingual-LM literature
+    * (subwords per word = fertility, chars per subword, and the rate
+    * of words split into >1 piece): how well the TRAINED vocabulary
+    * fits each corpus slice. High fertility on a source means its
+    * token budgets (q_pack_sequences_bpe, q_chunk_windows) stretch —
+    * the signal that decides whether a vocabulary is retrained before
+    * a 100 TB encode. Same scale shape as q_bpe_encode: distinct words
+    * encode once, broadcast-join onto occurrences, one hash agg of
+    * exact integer counts.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val occurrences = Tables.documents(s, dir)
+      .select($"source", explode(TF.tokens($"text")).as("w"))
+      .where(length($"w") > 0)
+    occurrences.join(broadcast(encodedWords(s, dir)), "w")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size($"toks")).cast("long").as("n_subwords"),
+        sum(length($"w")).cast("long").as("n_chars"),
+        sum(when(size($"toks") > 1, 1L).otherwise(0L)).as("n_split_words"))
+      .select($"source", $"n_words", $"n_subwords",
+        round($"n_subwords".cast("double") / $"n_words", 6).as("fertility"),
+        round($"n_chars".cast("double") / $"n_subwords", 6).as("chars_per_subword"),
+        round($"n_split_words".cast("double") / $"n_words", 6).as("split_rate"))
+      .orderBy($"source")
+  }
+
   /** Sequence packing re-based on TRAINED subword counts — what an LLM
     * pipeline actually budgets (a 512-subword pack is a model's real
     * context slice; whitespace counts under-fill it). Same
@@ -234,5 +265,6 @@ object Bpe {
     GraftQuery("q_bpe_vocab", bpeVocab, None, singleShot = true),
     GraftQuery("q_bpe_encode", bpeEncode, None, singleShot = true),
     GraftQuery("q_pack_sequences_bpe", packSequencesBpe(_, _), None,
-      singleShot = true))
+      singleShot = true),
+    GraftQuery("q_bpe_fertility", bpeFertility, None, singleShot = true))
 }

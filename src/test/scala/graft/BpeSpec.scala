@@ -88,6 +88,24 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff > 0, "BPE counts should not collapse to whitespace counts")
   }
 
+  test("fertility stats are in range and sum-consistent with the per-doc encoding") {
+    import spark.implicits._
+    val f = Bpe.bpeFertility(spark, dir).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val (nWords, nSub) = (r.getLong(1), r.getLong(2))
+      val (fert, cps, split) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nSub >= nWords, s"source ${r.getString(0)}")
+      assert(fert >= 1.0 && cps >= 1.0 && split >= 0.0 && split <= 1.0)
+    }
+    // per-source subword mass re-aggregates to the per-doc encoding total
+    val bySource = f.map(_.getLong(2)).sum
+    val byDoc = Bpe.bpeEncode(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"bpe_tokens"))
+      .as[Long].collect().head
+    assert(bySource == byDoc)
+  }
+
   test("BPE-based packing keeps the packing invariants on real subword counts") {
     val rows = Bpe.packSequencesBpe(spark, dir).collect()
     assert(rows.nonEmpty)
