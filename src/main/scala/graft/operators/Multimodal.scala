@@ -276,6 +276,133 @@ object Multimodal {
     }
   }
 
+  /** One perceptual image hash: the 64-bit dHash (difference hash — the
+    * standard perceptual-dedup fingerprint): decode → 9×8 bilinear
+    * grayscale thumbnail → 64 adjacent-pixel comparisons. Byte-level
+    * hashing (md5) misses re-encodes and brightness shifts; dHash is
+    * invariant to both (uniform luminance shifts preserve every
+    * left<right comparison), so near-identical IMAGES — not payloads —
+    * land at hamming distance ≈ 0. Undecodable payloads keep their row
+    * (octet-stream mime), the [[decodeImages]] contract.
+    */
+  case class ImageHash(doc_id: Long, mime: String, dhash: Long)
+
+  /** dHash through the same per-partition codec boundary as
+    * [[decodeImages]] — one reader per partition, per-row scratch
+    * buffers, corrupt payloads cost one fallback row.
+    */
+  def hashImages(payloads: Dataset[(Long, Array[Byte])]): Dataset[ImageHash] = {
+    import payloads.sparkSession.implicits._
+    val pngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    payloads.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      var disposed = false
+      def hash(id: Long, bytes: Array[Byte]): ImageHash = {
+        val undecodable = ImageHash(id, "application/octet-stream", 0L)
+        if (bytes.length < 4 || !bytes.take(4).sameElements(pngMagic))
+          undecodable
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis)
+            val img = reader.read(0)
+            // 9x8 thumbnail: 8 horizontal comparisons x 8 rows = 64 bits
+            val thumb = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = thumb.createGraphics()
+            try {
+              g2.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g2.drawImage(img, 0, 0, 9, 8, null)
+            } finally g2.dispose()
+            def gray(x: Int, y: Int): Int = {
+              val px = thumb.getRGB(x, y)
+              (((px >> 16) & 0xff) * 299 + ((px >> 8) & 0xff) * 587 +
+                (px & 0xff) * 114) / 1000
+            }
+            var bits = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (gray(x, y) < gray(x + 1, y)) bits |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            ImageHash(id, "image/png", bits)
+          } catch {
+            case scala.util.control.NonFatal(_) => undecodable
+          } finally iis.close()
+        }
+      }
+      new Iterator[ImageHash] {
+        override def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && !disposed) { reader.dispose(); disposed = true }
+          h
+        }
+        override def next(): ImageHash = {
+          val (id, bytes) = rows.next()
+          hash(id, bytes)
+        }
+      }
+    }
+  }
+
+  /** Near-dup IMAGE pairs at hamming ≤ `maxHamming` over the dHash —
+    * the [[Dedup.simhashPairs]] pigeonhole machinery on the 64-bit
+    * perceptual hash: 4 chunks of 16 bits, ≤ 3 differing bits cannot
+    * touch all 4 chunks, so candidates come from chunk-key equality
+    * (a bucket equi-join, never all-pairs) and the exact hamming
+    * filter verifies. Undecodable rows never pair (mime filter).
+    */
+  def imageDedupPairs(hashes: Dataset[ImageHash],
+      maxHamming: Int = 3): DataFrame = {
+    import hashes.sparkSession.implicits._
+    require(maxHamming < 4, "4 chunks pigeonhole only hamming <= 3")
+    val chunks = hashes.toDF()
+      .where($"mime" === "image/png")
+      .select($"doc_id", $"dhash", explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          call_function("shiftrightunsigned", $"dhash", lit(c * 16))
+            .bitwiseAND(lit(65535L)).as("ckey"))
+      }: _*)).as("ck"))
+      .select($"doc_id", $"dhash", $"ck.chunk", $"ck.ckey")
+    val hamming = call_function("bit_count",
+      $"a.dhash".bitwiseXOR($"b.dhash"))
+    chunks.as("a").join(chunks.as("b"),
+        $"a.chunk" === $"b.chunk" && $"a.ckey" === $"b.ckey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        hamming.as("hamming")).distinct()
+      .where($"hamming" <= maxHamming)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Deterministic pseudo-random real PNG: LCG-seeded pixels in
+    * [0, 200] (headroom so a small uniform brightness shift never
+    * clamps — the dHash-invariance test depends on exact preservation
+    * of every pixel-pair ordering). Same seed → identical image;
+    * different seeds → unrelated dHashes.
+    */
+  def plantedNoisePng(seed: Long, w: Int, h: Int, brightness: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var state = seed
+    def next(): Int = {
+      state = (state * 6364136223846793005L + 1442695040888963407L)
+      (((state >>> 33) % 201).toInt + brightness) & 0xff
+    }
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (next() << 16) | (next() << 8) | next())
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic tiny real PNG (the plantedPii precedent for media):
     * a w×h RGB gradient encoded by the JDK's own PNG writer — a VALID
     * image payload for planting in tests and demos.

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Multimodal
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -117,6 +118,51 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Multimodal.resizeImages(Seq(1L -> small).toDS(), maxDim = 16)
       .collect().head
     assert(out.thumb_width == 5 && out.thumb_height == 3)
+  }
+
+  test("dHash pairs re-encodes and brightness shifts that md5 cannot") {
+    import spark.implicits._
+    // 1+2: same noise image, one brightness-shifted (+8, clamp-free) —
+    // different BYTES, same perceptual content. 3: unrelated noise.
+    // 4: corrupt payload.
+    val p1 = Multimodal.plantedNoisePng(42L, 64, 48)
+    val p2 = Multimodal.plantedNoisePng(42L, 64, 48, brightness = 8)
+    val p3 = Multimodal.plantedNoisePng(7L, 64, 48)
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    assert(!java.util.Arrays.equals(p1, p2), "payload bytes must differ")
+    val payloads = Seq((1L, p1), (2L, p2), (3L, p3), (4L, corrupt))
+      .toDS().repartition(2)
+    val hashes = Multimodal.hashImages(payloads).cache()
+    val byId = hashes.collect().map(h => h.doc_id -> h).toMap
+    // uniform luminance shift preserves every left<right comparison
+    assert(byId(1L).dhash == byId(2L).dhash)
+    assert(byId(1L).dhash != byId(3L).dhash)
+    assert(byId(4L).mime == "application/octet-stream")
+    val pairs = Multimodal.imageDedupPairs(hashes)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+    hashes.unpersist()
+  }
+
+  test("chunk-bucketed image pairs equal brute-force hamming filtering") {
+    import spark.implicits._
+    // 20 noise images, 5 duplicated seeds -> planted identical pairs
+    val payloads = (0 until 20).map { i =>
+      (i.toLong, Multimodal.plantedNoisePng((i % 15).toLong, 32, 32))
+    }.toDS().repartition(3)
+    val hashes = Multimodal.hashImages(payloads).cache()
+    val brute = hashes.as("a").join(hashes.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        call_function("bit_count",
+          $"a.dhash".bitwiseXOR($"b.dhash")).as("hamming"))
+      .where($"hamming" <= 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val chunked = Multimodal.imageDedupPairs(hashes)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(chunked == brute)
+    assert(chunked.nonEmpty)
+    hashes.unpersist()
   }
 
   test("PNG decode round-trips through a many-partition frame") {
