@@ -101,6 +101,39 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("one-sided containment prefix join equals brute force on 12 random corpora") {
+    import spark.implicits._
+    // same adversarial regime as the jaccard property: hot shingles,
+    // shared 3-grams, boundary sizes — where a wrong one-sided prefix
+    // length, size bound, or positional bound drops a qualifying pair
+    (1 to 12).foreach { seed =>
+      val rnd = new scala.util.Random(2000 + seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      val docs = (0L until (10 + rnd.nextInt(30)).toLong).map { id =>
+        val len = 3 + rnd.nextInt(18)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val (tau, num, den) =
+        Seq((0.3, 3L, 10L), (0.5, 5L, 10L), (0.8, 8L, 10L))(rnd.nextInt(3))
+      def shingleSet(text: String): Set[String] = {
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        t.indices.collect {
+          case i if i + 3 <= t.length => t.slice(i, i + 3).mkString(" ")
+        }.toSet
+      }
+      // ORDERED pairs: containment is asymmetric
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = sa.intersect(sb).size.toLong
+        if sa.nonEmpty && sb.nonEmpty && inter * den >= num * sa.size
+      } yield (ia, ib)).toSet
+      val got = Dedup.containmentOn(spark, docs.toDF("doc_id", "text"), tau)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed tau=$tau docs=${docs.size}")
+    }
+  }
+
   test("cumTallies with a partition column keeps groups independent") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
