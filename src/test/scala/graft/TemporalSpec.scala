@@ -33,6 +33,26 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wrongUser == 0)
   }
 
+  test("gap sessionize agrees with Spark's native session_window operator") {
+    import spark.implicits._
+    // same 30-minute gap semantics (boundary caveat: the custom plan
+    // keeps an exactly-gap-apart event in the session, session_window
+    // starts a new one — the corpus has no exact-gap pairs, asserted
+    // in the count below, so the two definitions coincide here)
+    val events = EventOps.events(spark, dir)
+    val native = events
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("start_ts"), max($"ts").as("end_ts"))
+      .select($"user_id", $"n_events", $"start_ts", $"end_ts")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    val custom = EventOps.sessionize(spark, dir)
+      .select($"user_id", $"n_events", $"start_ts", $"end_ts")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(custom == native)
+    assert(custom.nonEmpty)
+  }
+
   test("range-window count equals the naive range self-join") {
     import spark.implicits._
     val e = EventOps.events(spark, dir)
