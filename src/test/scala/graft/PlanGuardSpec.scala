@@ -100,6 +100,20 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"${bad.size} non-equi join(s) in the sketch lookup")
   }
 
+  test("perplexity-bucket LM subtree is exchange-reused at runtime, not recomputed") {
+    // the plan references the corpus-scale LM frame from multiple
+    // branches (tallies, bounds, join-back) — statically that prints as
+    // repeated scans, but AQE must collapse the identical exchanges at
+    // runtime or the LM would be recomputed per branch
+    val df = SparkEntry.queries("q_perplexity_buckets")(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(fin).length
+    assert(reused >= 4,
+      s"only $reused ReusedExchange in the final adaptive plan — " +
+        "the multi-referenced LM subtree is being recomputed per branch")
+  }
+
   test("registered embed-cosine dedup is the blocked plan (no BNLJ, no cartesian)") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val plan = SparkEntry.queries("q_embed_cosine_dedup")(spark, dir)
