@@ -602,8 +602,12 @@ object Corpus {
       .orderBy($"source")
   }
 
-  val mixtureTemperatureSql: String =
-    s"""WITH per AS (
+  /** Shared oracle CTE chain defining `mix(source, n_docs, n_tokens,
+    * share, weight, boost)` — one source for the q_mixture_temperature
+    * oracle and the materialization oracle applying it.
+    */
+  private val mixtureCtesSql: String =
+    s"""per AS (
        |  SELECT source, count(*) AS n_docs,
        |    CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
        |      AS BIGINT) AS n_tokens
@@ -615,12 +619,57 @@ object Corpus {
        |    CAST(round(pow(CAST(n_tokens AS DOUBLE) / total, $MixtureAlpha) * 1e6)
        |      AS BIGINT) AS pa
        |  FROM per CROSS JOIN tot),
-       |z AS (SELECT CAST(sum(pa) AS BIGINT) AS z FROM pa)
-       |SELECT source, n_docs, n_tokens, share,
-       |  round(CAST(pa AS DOUBLE) / z, 6) AS weight,
-       |  round(round(CAST(pa AS DOUBLE) / z, 6) / share, 6) AS boost
-       |FROM pa CROSS JOIN z
-       |ORDER BY source""".stripMargin
+       |z AS (SELECT CAST(sum(pa) AS BIGINT) AS z FROM pa),
+       |mix AS (
+       |  SELECT source, n_docs, n_tokens, share,
+       |    round(CAST(pa AS DOUBLE) / z, 6) AS weight,
+       |    round(round(CAST(pa AS DOUBLE) / z, 6) / share, 6) AS boost
+       |  FROM pa CROSS JOIN z)""".stripMargin
+
+  val mixtureTemperatureSql: String =
+    s"""WITH $mixtureCtesSql
+       |SELECT source, n_docs, n_tokens, share, weight, boost
+       |FROM mix ORDER BY source""".stripMargin
+
+  /** MATERIALIZE the temperature mixture — the resampling step that
+    * turns q_mixture_temperature's per-source boost into an actual
+    * corpus: each document replicates `⌊boost⌋ + Bernoulli(frac)` times
+    * (boost < 1 sources down-sample to {0,1} copies; boost > 1 sources
+    * oversample — the balance_oversample shape applied corpus-wide).
+    * The Bernoulli draw is the engine-portable 15-bit LCG of doc_id
+    * compared against the boost's 6-dp fractional part in EXACT integer
+    * arithmetic (u·10⁶ < frac6·2¹⁵) — deterministic on any cluster,
+    * oracle-checkable row by row. Zero-copy rows are kept so the drop
+    * decision is auditable. Per-doc replication realizes the target
+    * token share in expectation (doc length independent of the draw);
+    * the token-exact variant composes with q_pack_sequences.
+    */
+  def mixtureApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = mixtureTemperature(s, dir).select($"source", $"boost")
+    val u15 = (((($"doc_id" % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
+      .divide(65536).cast("long"))
+    Tables.documents(s, dir).select($"doc_id", $"source")
+      .join(broadcast(w), "source")
+      .withColumn("frac6",
+        round(($"boost" - floor($"boost")) * 1e6).cast("long"))
+      .withColumn("n_copies",
+        floor($"boost").cast("long") +
+          when(u15 * 1000000L < $"frac6" * 32768L, 1L).otherwise(0L))
+      .select($"doc_id", $"source", $"boost", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  val mixtureApplySql: String =
+    s"""WITH $mixtureCtesSql
+       |SELECT d.doc_id, d.source, m.boost,
+       |  CAST(floor(m.boost) AS BIGINT) + CASE WHEN
+       |    ((((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536)
+       |      * 1000000
+       |      < CAST(round((m.boost - floor(m.boost)) * 1e6) AS BIGINT) * 32768
+       |    THEN 1 ELSE 0 END AS n_copies
+       |FROM documents d JOIN mix m USING (source)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** BM25 keyword retrieval — the corpus-engine search surface: top-10
     * documents per query term (the word-match targets double as queries)
@@ -713,5 +762,6 @@ object Corpus {
     GraftQuery("q_source_mixture", sourceMixture, Some(sourceMixtureSql)),
     GraftQuery("q_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),
+    GraftQuery("q_mixture_apply", mixtureApply, Some(mixtureApplySql)),
     GraftQuery("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
 }

@@ -95,6 +95,33 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("mixture materialization realizes each source's boost in expectation") {
+    import spark.implicits._
+    val applied = Corpus.mixtureApply(spark, dir).cache()
+    val w = Corpus.mixtureTemperature(spark, dir)
+      .select($"source", $"boost").as[(String, Double)].collect().toMap
+    // copy counts are floor(boost) or floor(boost)+1, nothing else
+    val bad = applied.where($"n_copies" < floor($"boost") ||
+      $"n_copies" > floor($"boost") + 1).count()
+    assert(bad == 0)
+    // per-source mean copies tracks the boost (Bernoulli fraction draw;
+    // 3-sigma binomial tolerance on the per-source doc count)
+    applied.groupBy($"source")
+      .agg(avg($"n_copies".cast("double")).as("m"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+      .foreach { case (src, m, n) =>
+        val tol = 3 * math.sqrt(0.25 / n) + 1e-6
+        assert(math.abs(m - w(src)) <= tol,
+          s"$src mean $m vs boost ${w(src)} (n=$n)")
+      }
+    // deterministic: the same corpus draws the same copies
+    val a = applied.select($"doc_id", $"n_copies").as[(Long, Long)].collect().toSet
+    val b = Corpus.mixtureApply(spark, dir)
+      .select($"doc_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    applied.unpersist()
+  }
+
   test("count-min estimates dominate exact counts within the sketch bound") {
     import spark.implicits._
     val hh = Corpus.heavyHitters(spark, dir)
