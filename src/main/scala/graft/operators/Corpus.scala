@@ -647,17 +647,25 @@ object Corpus {
   def mixtureApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = mixtureTemperature(s, dir).select($"source", $"boost")
-    val u15 = (((($"doc_id" % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
-      .divide(65536).cast("long"))
     Tables.documents(s, dir).select($"doc_id", $"source")
       .join(broadcast(w), "source")
-      .withColumn("frac6",
-        round(($"boost" - floor($"boost")) * 1e6).cast("long"))
-      .withColumn("n_copies",
-        floor($"boost").cast("long") +
-          when(u15 * 1000000L < $"frac6" * 32768L, 1L).otherwise(0L))
+      .withColumn("n_copies", nCopiesCol($"doc_id", $"boost"))
       .select($"doc_id", $"source", $"boost", $"n_copies")
       .orderBy($"doc_id")
+  }
+
+  /** The ROW-LOCAL copy-count draw — ⌊boost⌋ + Bernoulli(frac) via the
+    * 15-bit LCG of doc_id in exact integer arithmetic. Factored so the
+    * streaming ingest twin (stateless stream-static join) computes the
+    * identical decision per arriving doc.
+    */
+  private[graft] def nCopiesCol(docId: org.apache.spark.sql.Column,
+      boost: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u15 = (((docId % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
+      .divide(65536).cast("long")
+    val frac6 = round((boost - floor(boost)) * 1e6).cast("long")
+    floor(boost).cast("long") +
+      when(u15 * 1000000L < frac6 * 32768L, 1L).otherwise(0L)
   }
 
   val mixtureApplySql: String =

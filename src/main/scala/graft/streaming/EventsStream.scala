@@ -54,6 +54,22 @@ object EventsStream {
       docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))
         .as("token")))
 
+  /** Stream-static mixture materialization — the ingest form of
+    * q_mixture_apply: arriving docs join the PRECOMPUTED per-source
+    * weight table (a stream-static broadcast join — no join state) and
+    * draw their copy count ROW-LOCALLY via the shared
+    * graft.operators.Corpus.nCopiesCol, so every decision is identical
+    * to the batch operator's for the same doc_id and weights. The
+    * weight table refreshes from the daily batch loop (the
+    * IncrementalDedup signature-store precedent): mixture shares move
+    * slowly, the draw must not wait on them.
+    */
+  def mixtureApplyStream(docs: DataFrame, weights: DataFrame): DataFrame =
+    docs.join(broadcast(weights.select(col("source"), col("boost"))), "source")
+      .withColumn("n_copies",
+        graft.operators.Corpus.nCopiesCol(col("doc_id"), col("boost")))
+      .select(col("doc_id"), col("source"), col("boost"), col("n_copies"))
+
   /** Streaming exact dedup: watermarked dropDuplicates on the event key —
     * the streaming twin of Dedup.exact (state is bounded by the
     * watermark horizon instead of growing with the stream).

@@ -97,6 +97,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static mixture apply draws the same copies as the batch formula") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val weights = Seq(("web", 1.4), ("books", 0.6)).toDF("source", "boost")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData((1L, ts(1), "web"), (2L, ts(2), "books"), (3L, ts(3), "web"))
+    val q = EventsStream.mixtureApplyStream(
+        mem.toDF().toDF("doc_id", "ts", "source"), weights)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((4L, ts(4), "books"), (5L, ts(5), "web"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mix_out")
+      .select($"doc_id", $"n_copies").as[(Long, Long)].collect().toSet
+    // batch reference: the same shared column expression on a static frame
+    val batch = Seq((1L, "web"), (2L, "books"), (3L, "web"), (4L, "books"),
+        (5L, "web")).toDF("doc_id", "source")
+      .join(weights, "source")
+      .select($"doc_id",
+        graft.operators.Corpus.nCopiesCol($"doc_id", $"boost").as("n_copies"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 5)
+    // both regimes present: some doc must replicate, some must drop
+    val copies = streamed.toMap
+    assert(copies.values.exists(_ >= 1) && copies.values.exists(_ <= 1))
+  }
+
   test("streaming curation gates quality before deduplicating") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
