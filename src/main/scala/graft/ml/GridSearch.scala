@@ -2,86 +2,129 @@ package graft.ml
 
 import graft.{GraftQuery, SessionCache}
 import graft.operators.Evaluation
-import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.tuning.ParamGridBuilder
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hyperparameter sweep surface — the reference's caller-supplied
   * model-configuration knobs (createDictionary kwargs,
   * /root/reference/src/TextClassification.py:257; the notebook's
-  * per-model parameter choices in cell 38) as a ParamGridBuilder sweep:
-  * the MLlib tuning grid supplies the parameter space, the engine's own
-  * threshold-tally algebra scores every grid point (the reuse the
-  * CrossValidator evaluator would hide).
+  * per-model parameter choices in cell 38) as a multi-estimator grid:
+  * the reference configures EVERY model in the bank through the same
+  * kwargs dict, so the sweep here covers both families that dominate
+  * its tuning surface — the linear model (regularization × mixing) and
+  * a tree ensemble (depth × trees) — scored by the engine's own
+  * threshold-tally algebra (the reuse a per-point evaluator would hide).
   *
-  * Scale shape: fits are the cost (|grid| estimator fits over the
+  * Scale shape: fits are the cost (Σ|grid| estimator fits over the
   * persisted featurized train half — resource-bound, exactly like the
   * bank); evaluation is ONE corpus-sized hash agg for ALL grid points
-  * (scores union with the grid coordinates as group keys, then the
-  * shared cumTallies/AUC algebra runs per grid point). The final
-  * ranking window is grid-bounded by construction (|grid| rows after
-  * aggregation), not corpus-sized.
+  * of ALL estimators (scores union with (estimator, p1, p2) as group
+  * keys, then the shared cumTallies/AUC algebra runs per grid point).
+  * The final ranking window is grid-bounded by construction (Σ|grid|
+  * rows after aggregation, partitioned per estimator), not corpus-sized.
   */
 object GridSearch {
 
-  /** The swept axes — regularization strength × elastic-net mixing of
-    * the bank's linear model (2×3 = 6 fits).
+  /** Linear-model axes — regularization strength × elastic-net mixing
+    * (3×2 = 6 fits).
     */
   val RegParams: Seq[Double] = Seq(1e-4, 1e-2, 1.0)
   val ElasticNets: Seq[Double] = Seq(0.0, 0.5)
 
-  /** One AUC row per grid point, memoized per (session, dir) — the
-    * sweep's |grid| fits are paid once per session like every bank fit.
+  /** Tree-family axes — maxDepth × numTrees (2×2 = 4 fits): the two RF
+    * hyperparameters the reference's kwargs surface tunes in practice.
+    */
+  val RfMaxDepths: Seq[Int] = Seq(3, 5)
+  val RfNumTrees: Seq[Int] = Seq(10, 20)
+
+  /** One swept estimator: its two named axes, the concrete grid points,
+    * and the per-point fit. Scores flow through Classifiers.scoreExpr so
+    * the sweep ranks on exactly the statistic the bank reports.
+    */
+  private final case class Sweep(
+      estimator: String,
+      p1Name: String,
+      p2Name: String,
+      points: Seq[(Double, Double)],
+      fit: (DataFrame, Double, Double) => Transformer)
+
+  private def sweeps: Seq[Sweep] = Seq(
+    Sweep("logreg", "reg_param", "elastic_net",
+      for (rp <- RegParams; en <- ElasticNets) yield (rp, en),
+      // maxIter 10: the cvPair precedent (ModelEval) — sweep refits are
+      // deliberately lighter than the bank's maxIter-50 production fit
+      (train, rp, en) => new LogisticRegression().setMaxIter(10)
+        .setRegParam(rp).setElasticNetParam(en).fit(train)),
+    Sweep("rf", "max_depth", "num_trees",
+      for (d <- RfMaxDepths; t <- RfNumTrees) yield (d.toDouble, t.toDouble),
+      (train, d, t) => new RandomForestClassifier().setSeed(Classifiers.Seed)
+        .setMaxDepth(d.toInt).setNumTrees(t.toInt).fit(train)))
+
+  /** Every estimator's grid points as (estimator, p1Name, p2Name, p1, p2)
+    * — the spec pins the registered output against exactly this shape.
+    */
+  private[graft] def gridShape: Seq[(String, String, String, Double, Double)] =
+    sweeps.flatMap(s => s.points.map { case (p1, p2) =>
+      (s.estimator, s.p1Name, s.p2Name, p1, p2)
+    })
+
+  /** One AUC row per (estimator, grid point), memoized per
+    * (session, dir) — the sweep's Σ|grid| fits are paid once per session
+    * like every bank fit.
     */
   private[ml] def gridAucs(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"ml.gridSearch:$dir") {
       import s.implicits._
       val (train, test) = Classifiers.featurized(s, dir)
-      // maxIter 10: the cvPair precedent (ModelEval) — sweep refits are
-      // deliberately lighter than the bank's maxIter-50 production fit
-      val lr = new LogisticRegression().setMaxIter(10)
-      val grid = new ParamGridBuilder()
-        .addGrid(lr.regParam, RegParams.toArray)
-        .addGrid(lr.elasticNetParam, ElasticNets.toArray)
-        .build()
-      // fit each grid point; tag its hold-out scores with the grid
-      // coordinates so one downstream aggregation serves the whole sweep
-      val scored = grid.toSeq.map { pm =>
-        val m = lr.fit(train, pm)
-        m.transform(test).select(
-          lit(m.getRegParam).as("reg_param"),
-          lit(m.getElasticNetParam).as("elastic_net"),
-          $"label".cast("int").as("y"),
-          Classifiers.scoreExpr("logreg").as("score"))
+      // fit each grid point of each estimator; tag its hold-out scores
+      // with the sweep coordinates so ONE downstream aggregation serves
+      // the whole multi-estimator surface
+      val scored = sweeps.flatMap { sw =>
+        sw.points.map { case (p1, p2) =>
+          val m = sw.fit(train, p1, p2)
+          m.transform(test).select(
+            lit(sw.estimator).as("estimator"),
+            lit(sw.p1Name).as("p1_name"), lit(sw.p2Name).as("p2_name"),
+            lit(p1).as("p1"), lit(p2).as("p2"),
+            $"label".cast("int").as("y"),
+            Classifiers.scoreExpr(sw.estimator).as("score"))
+        }
       }.reduce(_.unionByName(_))
-      val tallies = scored.groupBy($"reg_param", $"elastic_net", $"score")
+      val keys = Seq("estimator", "p1_name", "p2_name", "p1", "p2")
+      val kc = keys.map(col)
+      val tallies = scored.groupBy(kc :+ $"score": _*)
         .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
-      val totals = tallies.groupBy($"reg_param", $"elastic_net")
+      val totals = tallies.groupBy(kc: _*)
         .agg(sum($"cp").as("p"), (sum($"c") - sum($"cp")).as("n"))
-      Evaluation.cumTallies(tallies, Seq("reg_param", "elastic_net"))
-        .join(broadcast(totals), Seq("reg_param", "elastic_net"))
-        .groupBy($"reg_param", $"elastic_net")
+      Evaluation.cumTallies(tallies, keys)
+        .join(broadcast(totals), keys)
+        .groupBy(kc: _*)
         .agg(round(Evaluation.aucNumerator /
           Evaluation.aucDenominator(first($"p"), first($"n")), 6).as("auc_roc"))
-        .persist() // |grid| rows
+        .persist() // Σ|grid| rows
     }
 
-  /** Registered sweep: every grid point with its hold-out AUC and rank
-    * (1 = the selected hyperparameters; ties break on the smaller
-    * regularization, then mixing — fully deterministic). Rows-only for
-    * the gate (model fitting is not SQL-expressible); MlEvalSpec pins
-    * the grid shape and best-params determinism.
+  /** Registered sweep: every (estimator, grid point) with its hold-out
+    * AUC and per-estimator rank (rank 1 = that estimator's selected
+    * hyperparameters; ties break on the smaller p1, then p2 — fully
+    * deterministic). Rows-only for the gate (model fitting is not
+    * SQL-expressible); MlEvalSpec pins the multi-estimator grid shape
+    * and best-params determinism.
     */
   def mlGridSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // grid-bounded frame: this window ranks |grid| rows, not the corpus
-    val w = Window.orderBy($"auc_roc".desc, $"reg_param".asc, $"elastic_net".asc)
+    // grid-bounded frame: this window ranks Σ|grid| rows per estimator,
+    // not the corpus
+    val w = Window.partitionBy($"estimator")
+      .orderBy($"auc_roc".desc, $"p1".asc, $"p2".asc)
     gridAucs(s, dir)
       .withColumn("rank", row_number().over(w))
-      .select($"rank", $"reg_param", $"elastic_net", $"auc_roc")
-      .orderBy($"rank")
+      .select($"estimator", $"rank", $"p1_name", $"p1", $"p2_name", $"p2",
+        $"auc_roc")
+      .orderBy($"estimator", $"rank")
   }
 
   val queries: Seq[GraftQuery] = Seq(

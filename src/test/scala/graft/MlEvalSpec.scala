@@ -197,27 +197,34 @@ class MlEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got - expected) < 2e-6, s"got=$got expected=$expected")
   }
 
-  test("grid search covers the full parameter grid with deterministic best params") {
+  test("grid search covers the full multi-estimator grid with deterministic best params") {
     import graft.ml.GridSearch
+    // (estimator, rank, p1_name, p1, p2_name, p2, auc_roc)
     val rows = GridSearch.mlGridSearch(spark, dir).collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-    // exact grid shape: every (regParam × elasticNet) combination, once
-    val grid = for {
-      rp <- GridSearch.RegParams; en <- GridSearch.ElasticNets
-    } yield (rp, en)
-    assert(rows.map(t => (t._2, t._3)).toSet == grid.toSet)
-    assert(rows.length == grid.size)
-    // ranks are a permutation ordered by (auc desc, reg asc, mix asc)
-    assert(rows.map(_._1).toSeq == (1 to grid.size))
-    val resorted = rows.sortBy(t => (-t._4, t._2, t._3)).map(_._1)
-    assert(resorted.toSeq == (1 to grid.size), "rank must follow the tiebreak")
-    rows.foreach(t => assert(t._4 >= 0.0 && t._4 <= 1.0, s"auc ${t._4}"))
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3),
+        r.getString(4), r.getDouble(5), r.getDouble(6)))
+    // exact grid shape: every (estimator, named point), once, across ≥2
+    // estimator families
+    val shape = GridSearch.gridShape
+    assert(rows.map(t => (t._1, t._3, t._5, t._4, t._6)).toSet ==
+      shape.map(t => (t._1, t._2, t._3, t._4, t._5)).toSet)
+    assert(rows.length == shape.size)
+    assert(rows.map(_._1).distinct.length >= 2, "sweep must cover >=2 estimators")
+    // per estimator: ranks are a permutation ordered by
+    // (auc desc, p1 asc, p2 asc)
+    rows.groupBy(_._1).foreach { case (est, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"$est ranks")
+      val resorted = rs.sortBy(t => (-t._7, t._4, t._6)).map(_._2)
+      assert(resorted.toSeq == (1 to rs.length), s"$est rank must follow tiebreak")
+    }
+    rows.foreach(t => assert(t._7 >= 0.0 && t._7 <= 1.0, s"auc ${t._7}"))
     // best-params determinism across runs
     val again = GridSearch.mlGridSearch(spark, dir).collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3),
+        r.getString(4), r.getDouble(5), r.getDouble(6)))
     assert(again.toSeq == rows.toSeq)
     // the sweep must measure something: grid points may tie, but not
     // all collapse to one degenerate score
-    assert(rows.map(_._4).distinct.length >= 2, "all grid AUCs identical")
+    assert(rows.map(_._7).distinct.length >= 2, "all grid AUCs identical")
   }
 }
