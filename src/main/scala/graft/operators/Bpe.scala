@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   *  - TRAIN: one corpus-wide word-count hash agg (bounded by the
   *    distinct-word vocabulary), truncated to the top [[MaxTrainWords]]
   *    words by frequency — a few MB at ANY corpus size (the
-  *    CountVectorizer-vocab precedent, NamedFeatures) — then the
-  *    sequential merge loop runs driver-side in O(vocab × merges):
-  *    merges are inherently sequential (round n+1 counts pairs of the
-  *    symbols round n produced), so no distributed plan exists; what
-  *    keeps the driver work corpus-size-independent is the frequency
-  *    truncation.
+  *    CountVectorizer-vocab precedent, NamedFeatures) — then the merge
+  *    loop runs driver-side: merges are inherently sequential (round
+  *    n+1 counts pairs of the symbols round n produced), so no
+  *    distributed plan exists; what keeps the driver work
+  *    corpus-size-independent is the frequency truncation, and what
+  *    keeps an 8k+ merge budget affordable is the indexed incremental
+  *    trainer ([[trainMergesIndexed]] — each round pays only for the
+  *    adjacencies the winning pair touches).
   *  - ENCODE: each DISTINCT word is encoded once (mapPartitions over
   *    the bounded word frame — the declared per-partition codec
   *    boundary, PNG/Deflater precedent, with the merge table arriving
@@ -38,13 +40,18 @@ object Bpe {
   val MaxTrainWords = 1 << 16
 
   /** Merge-table size (= learned vocabulary budget beyond characters) —
-    * a user-chosen budget in any BPE deployment. Sized so the closed
-    * word-soup test vocabularies (which a large-enough budget would
-    * absorb whole, collapsing every word to one token) keep genuine
-    * multi-subword encodings; production corpora are open-vocabulary
-    * and take budgets in the tens of thousands.
+    * a user-chosen budget in any BPE deployment, set to the
+    * production-scale regime (subword vocabularies run 8k–64k merges).
+    * Training is budget-OR-exhaustion bounded: an open-vocabulary
+    * corpus spends the full budget; a closed vocabulary (the synthetic
+    * word-soup test corpora) exhausts at its merge closure first, fully
+    * absorbing every repeated word into one token — the truthful signal
+    * that the vocabulary saturates the corpus. The indexed trainer
+    * ([[trainMergesIndexed]]) keeps an 8k-merge fit cheap: cost is
+    * proportional to adjacencies touched by each merge, not
+    * O(merges × dictionary).
     */
-  val NumMerges = 48
+  val NumMerges = 8192
 
   /** End-of-word sentinel symbol (Sennrich §3.2's `</w>`): merges can
     * learn word-final subwords distinct from word-internal ones.
@@ -131,22 +138,105 @@ object Bpe {
     syms
   }
 
+  /** The production trainer: identical merge sequence to [[trainMerges]]
+    * (BpeSpec proves exact equivalence), but incremental — pair counts
+    * and a pair→words occurrence index are maintained under an ordered
+    * set keyed by (−count, left, right), so each round pays only for
+    * the words the winning pair touches instead of rescanning the whole
+    * dictionary. That turns the O(merges × dictionary) naive loop into
+    * O(adjacencies touched), which is what makes an 8k–64k merge budget
+    * affordable on the frequency-truncated dictionary regardless of
+    * corpus size.
+    */
+  private[graft] def trainMergesIndexed(wordCounts: Seq[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = wordCounts.map { case (w, _) =>
+      w.map(_.toString).toArray :+ EndOfWord
+    }.toArray
+    val weight: Array[Long] = wordCounts.map(_._2).toArray
+    val pairCounts = mutable.HashMap[(String, String), Long]()
+    val pairWords = mutable.HashMap[(String, String), mutable.HashSet[Int]]()
+    // min element = the naive loop's minBy((-count, left, right)) winner;
+    // only pairs at the >=2 frequency floor live in the tree
+    val ord: Ordering[(Long, String, String)] =
+      Ordering.by((t: (Long, String, String)) => (-t._1, t._2, t._3))
+    val tree = mutable.TreeSet.empty[(Long, String, String)](ord)
+
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = pairCounts.getOrElse(p, 0L)
+      val nu = old + delta
+      if (old >= 2) tree.remove((old, p._1, p._2))
+      if (nu >= 2) tree.add((nu, p._1, p._2))
+      if (nu == 0L) pairCounts.remove(p) else pairCounts(p) = nu
+    }
+
+    // every adjacent position counts (overlapping repeats included),
+    // exactly like the naive loop's per-position tally
+    def removeWord(idx: Int): Unit = {
+      val syms = words(idx); val c = weight(idx)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        bump(p, -c)
+        pairWords.get(p).foreach(_ -= idx)
+        i += 1
+      }
+    }
+
+    def addWord(idx: Int): Unit = {
+      val syms = words(idx); val c = weight(idx)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        bump(p, c)
+        pairWords.getOrElseUpdate(p, mutable.HashSet[Int]()) += idx
+        i += 1
+      }
+    }
+
+    words.indices.foreach(addWord)
+    val merges = mutable.ArrayBuffer[Merge]()
+    var rank = 0
+    while (rank < numMerges && tree.nonEmpty) {
+      val (c, l, r) = tree.head
+      merges += Merge(rank, l, r, c)
+      // the occurrence index is exact, so only words actually holding
+      // the pair are rewritten this round
+      val affected = pairWords.getOrElse((l, r), mutable.HashSet[Int]()).toArray
+      affected.foreach { idx =>
+        removeWord(idx)
+        words(idx) = mergePair(words(idx), l, r)
+        addWord(idx)
+      }
+      rank += 1
+    }
+    merges.toSeq
+  }
+
+  /** Corpus word counts: one hash agg bounded by the distinct-word
+    * vocabulary, frequency-truncated to [[MaxTrainWords]] — the frame
+    * the driver-side trainer consumes.
+    */
+  private[graft] def wordCounts(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    Tables.documents(s, dir)
+      .select(explode(TF.tokens($"text")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w".asc)
+      .limit(MaxTrainWords)
+      .as[(String, Long)].collect().toSeq
+  }
+
   /** The trained merge table for a corpus, fit once per (session, dir):
     * corpus word counts (hash agg), frequency-truncate, train
-    * driver-side.
+    * driver-side with the indexed trainer at the production budget.
     */
   private[graft] def merges(s: SparkSession, dir: String): Seq[Merge] =
     SessionCache.getOrCompute(s, s"bpe.merges:$dir") {
-      import s.implicits._
-      import graft.functions.{TextFunctions => TF}
-      val wc = Tables.documents(s, dir)
-        .select(explode(TF.tokens($"text")).as("w"))
-        .where(length($"w") > 0)
-        .groupBy($"w").agg(count(lit(1)).as("c"))
-        .orderBy($"c".desc, $"w".asc)
-        .limit(MaxTrainWords)
-        .as[(String, Long)].collect().toSeq
-      trainMerges(wc, NumMerges)
+      trainMergesIndexed(wordCounts(s, dir), NumMerges)
     }
 
   /** Registered merge table: the learned subword vocabulary in rank

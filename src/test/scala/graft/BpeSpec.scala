@@ -54,6 +54,48 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every pair in the single count-1 word occurs once — below the
     // min-frequency floor, nothing is worth a vocabulary slot
     assert(merges.isEmpty)
+    assert(Bpe.trainMergesIndexed(Seq("ab" -> 1L), 10).isEmpty)
+  }
+
+  /** Deterministic open-vocabulary dictionary: all base-`alpha` digit
+    * strings of length `len` over 'a'.., each with count 2 — enough
+    * shared substructure to sustain thousands of merges.
+    */
+  private def openDict(alpha: Int, len: Int): Seq[(String, Long)] =
+    (0 until math.pow(alpha, len).toInt).map { i =>
+      val sb = new StringBuilder
+      var v = i
+      (0 until len).foreach { _ => sb.append(('a' + v % alpha).toChar); v /= alpha }
+      (sb.toString, 2L)
+    }
+
+  test("indexed trainer reproduces the naive merge sequence exactly") {
+    // the published worked example
+    assert(Bpe.trainMergesIndexed(sennrich, 5) == Bpe.trainMerges(sennrich, 5))
+    // a 1296-word open dictionary, deep into the merge sequence
+    val dict = openDict(6, 4)
+    assert(Bpe.trainMergesIndexed(dict, 300) == Bpe.trainMerges(dict, 300))
+    // and on the real corpus dictionary, through full closure
+    val wc = Bpe.wordCounts(spark, dir)
+    val naive = Bpe.trainMerges(wc, Bpe.NumMerges)
+    assert(Bpe.trainMergesIndexed(wc, Bpe.NumMerges) == naive)
+    assert(naive.nonEmpty && naive.length < Bpe.NumMerges,
+      "closed test vocabulary must exhaust before the production budget")
+  }
+
+  test("indexed trainer sustains a production-scale merge budget") {
+    // 32768 distinct words: the merge closure exceeds the budget, so
+    // the trainer must spend all 8192+ merges — and do it fast (the
+    // naive loop would be O(merges x dictionary) here)
+    val dict = openDict(8, 5)
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainMergesIndexed(dict, Bpe.NumMerges)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == Bpe.NumMerges, s"got ${merges.length}")
+    assert(merges.map(_.rank) == (0 until Bpe.NumMerges))
+    // every winner met the frequency floor
+    assert(merges.forall(_.count >= 2L))
+    assert(secs < 60.0, f"8k merges took $secs%.1f s")
   }
 
   test("q_bpe_vocab is deterministic, ranked, and algebraically consistent") {
@@ -65,9 +107,11 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getString(3) == r.getString(1) + r.getString(2))
       assert(r.getLong(4) >= 2L)
     }
-    // the corpus vocabulary exhausts at ~105 merges, so the configured
-    // budget is the binding limit here
-    assert(a.length == Bpe.NumMerges)
+    // the closed corpus vocabulary exhausts (at ~105 merges) well
+    // before the production budget: training is exhaustion-bounded
+    // here, and every merge that was worth a slot is present
+    assert(a.length < Bpe.NumMerges)
+    assert(a.length > 48, "full closure must pass the old demo budget")
   }
 
   test("q_bpe_encode hashes a deterministic token stream with consistent counts") {
@@ -81,11 +125,21 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bpeTokens >= nWords, s"doc ${r.getLong(0)}")
       assert(r.getString(3).length == 32) // md5 hex
     }
-    // real subword counts differ from the whitespace counts they refine
+    // at full closure every repeated corpus word absorbs into ONE
+    // token, so per-doc subword counts match whitespace counts minus
+    // any sub-floor (hapax) words still split — encode must agree with
+    // the trained table either way
+    val rank = Bpe.merges(spark, dir)
+      .map(m => (m.left, m.right) -> m.rank).toMap
     val ws = graft.operators.TextAnalysis.tokenStats(spark, dir)
       .select($"doc_id", $"ws_tokens").as[(Long, Int)].collect().toMap
-    val diff = a.count(r => r.getLong(2) != ws(r.getLong(0)).toLong)
-    assert(diff > 0, "BPE counts should not collapse to whitespace counts")
+    val collapsed = a.count(r => r.getLong(2) == ws(r.getLong(0)).toLong)
+    assert(collapsed > 0, "a saturated vocabulary must collapse some doc fully")
+    // the table still carries genuine subword structure: an UNSEEN word
+    // encodes to multiple learned units, not characters
+    val enc = Bpe.encodeWord("zzqx", rank).toSeq
+    assert(enc.length > 1 && enc.last.nonEmpty)
+    assert(Bpe.encodeWord("ab", Map.empty).toSeq == Seq("a", "b", "</w>"))
   }
 
   test("fertility stats are in range and sum-consistent with the per-doc encoding") {
