@@ -123,64 +123,97 @@ object Multimodal {
   case class DecodedImage(doc_id: Long, mime: String, width: Int, height: Int,
       n_bytes: Int, features: Array[Double])
 
+  /** The codec-admission magic table: PNG (89 50 4E 47) and JPEG
+    * (FF D8 FF — covers JFIF and EXIF variants; a real multimodal
+    * corpus is dominated by JPEG). Only sniffed formats reach an
+    * ImageReader — arbitrary binary never touches a codec — and a
+    * payload with valid magic but a corrupt body still costs exactly
+    * one octet-stream row.
+    */
+  private val Magics: Seq[(String, Array[Int])] = Seq(
+    "png" -> Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt),
+    "jpeg" -> Array(0xff, 0xd8, 0xff))
+
+  private[graft] def sniffFormat(bytes: Array[Byte]): Option[String] =
+    Magics.collectFirst {
+      case (fmt, magic) if bytes.length >= magic.length &&
+        magic.indices.forall(i => (bytes(i) & 0xff) == magic(i)) => fmt
+    }
+
+  /** Per-partition reader pool: one reusable ImageReader per sniffed
+    * format family, created lazily on first use and dispose()d when the
+    * partition iterator is exhausted — the once-per-partition
+    * codec-init shape, extended across formats.
+    */
+  private final class ReaderPool {
+    private val readers =
+      scala.collection.mutable.HashMap[String, javax.imageio.ImageReader]()
+    def reader(fmt: String): javax.imageio.ImageReader =
+      readers.getOrElseUpdate(fmt,
+        javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+    def dispose(): Unit = {
+      readers.values.foreach(_.dispose()); readers.clear()
+    }
+  }
+
   /** A REAL codec through the SAME partition boundary as
     * [[decodeFeatures]]: javax.imageio (JDK java.desktop — public
-    * platform API, no external codec libs) decodes PNG payloads inside
-    * the `mapPartitions` iterator. The PNG ImageReader is obtained ONCE
-    * per partition and re-targeted per payload (`setInput`/`read`) —
-    * the once-per-partition codec-init shape the stub documents, now
-    * exercised with real bytes. Payloads are sniffed by PNG magic first,
-    * so arbitrary binary never reaches the reader; a payload with valid
-    * magic but a corrupt/truncated body also falls back to the
-    * octet-stream row (corrupt media is the norm at corpus scale — a
-    * bad payload must cost one row, never the task). The reader is
-    * dispose()d when the partition iterator is exhausted.
+    * platform API, no external codec libs) decodes PNG and JPEG
+    * payloads inside the `mapPartitions` iterator. One ImageReader per
+    * FORMAT is obtained lazily per partition and re-targeted per
+    * payload (`setInput`/`read`) — the once-per-partition codec-init
+    * shape the stub documents, now exercised with real bytes across
+    * both format families. Payloads are sniffed by magic first
+    * ([[sniffFormat]]), so arbitrary binary never reaches a reader; a
+    * payload with valid magic but a corrupt/truncated body also falls
+    * back to the octet-stream row (corrupt media is the norm at corpus
+    * scale — a bad payload must cost one row, never the task). Readers
+    * are dispose()d when the partition iterator is exhausted.
     */
   def decodeImages(payloads: Dataset[(Long, Array[Byte])]): Dataset[DecodedImage] = {
     import payloads.sparkSession.implicits._
-    val pngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
     payloads.mapPartitions { rows =>
-      // per-partition codec init: one reusable PNG reader per partition
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val pool = new ReaderPool
       var disposed = false
       def decode(id: Long, bytes: Array[Byte]): DecodedImage = {
         val undecodable = DecodedImage(id, "application/octet-stream", -1, -1,
           bytes.length, Array.empty)
-        if (bytes.length < 4 || !bytes.take(4).sameElements(pngMagic))
-          undecodable
-        else {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            reader.setInput(iis)
-            val img = reader.read(0)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var (r, g, b) = (0L, 0L, 0L)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val px = img.getRGB(x, y)
-                r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
-                x += 1
+        sniffFormat(bytes) match {
+          case None => undecodable
+          case Some(fmt) =>
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val reader = pool.reader(fmt)
+              reader.setInput(iis)
+              val img = reader.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (r, g, b) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val px = img.getRGB(x, y)
+                  r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            val n = (w.toLong * h * 255).toDouble
-            DecodedImage(id, "image/png", w, h, bytes.length,
-              Array(r / n, g / n, b / n))
-          } catch {
-            // corrupt body behind valid magic (IIOException etc.): keep
-            // the row, flag it by mime — setInput on the next payload
-            // re-targets the reader cleanly
-            case scala.util.control.NonFatal(_) => undecodable
-          } finally iis.close()
+              val n = (w.toLong * h * 255).toDouble
+              DecodedImage(id, s"image/$fmt", w, h, bytes.length,
+                Array(r / n, g / n, b / n))
+            } catch {
+              // corrupt body behind valid magic (IIOException etc.):
+              // keep the row, flag it by mime — setInput on the next
+              // payload re-targets the reader cleanly
+              case scala.util.control.NonFatal(_) => undecodable
+            } finally iis.close()
         }
       }
       new Iterator[DecodedImage] {
         override def hasNext: Boolean = {
           val h = rows.hasNext
-          if (!h && !disposed) { reader.dispose(); disposed = true }
+          if (!h && !disposed) { pool.dispose(); disposed = true }
           h
         }
         override def next(): DecodedImage = {
@@ -212,19 +245,19 @@ object Multimodal {
   def resizeImages(payloads: Dataset[(Long, Array[Byte])],
       maxDim: Int): Dataset[ResizedImage] = {
     import payloads.sparkSession.implicits._
-    val pngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
     payloads.mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val pool = new ReaderPool
       var disposed = false
       def resize(id: Long, bytes: Array[Byte]): ResizedImage = {
         val undecodable = ResizedImage(id, "application/octet-stream", -1, -1,
           -1, -1, 0, Array.empty, Array.empty)
-        if (bytes.length < 4 || !bytes.take(4).sameElements(pngMagic))
-          undecodable
-        else {
+        sniffFormat(bytes) match {
+          case None => undecodable
+          case Some(fmt) =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           try {
+            val reader = pool.reader(fmt)
             reader.setInput(iis)
             val img = reader.read(0)
             val (w, h) = (img.getWidth, img.getHeight)
@@ -255,7 +288,7 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(thumb, "png", bos)
             val out = bos.toByteArray
-            ResizedImage(id, "image/png", w, h, tw, th, out.length,
+            ResizedImage(id, s"image/$fmt", w, h, tw, th, out.length,
               Array(r / n, g / n, b / n), out)
           } catch {
             case scala.util.control.NonFatal(_) => undecodable
@@ -265,7 +298,7 @@ object Multimodal {
       new Iterator[ResizedImage] {
         override def hasNext: Boolean = {
           val h = rows.hasNext
-          if (!h && !disposed) { reader.dispose(); disposed = true }
+          if (!h && !disposed) { pool.dispose(); disposed = true }
           h
         }
         override def next(): ResizedImage = {
@@ -293,18 +326,18 @@ object Multimodal {
     */
   def hashImages(payloads: Dataset[(Long, Array[Byte])]): Dataset[ImageHash] = {
     import payloads.sparkSession.implicits._
-    val pngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
     payloads.mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val pool = new ReaderPool
       var disposed = false
       def hash(id: Long, bytes: Array[Byte]): ImageHash = {
         val undecodable = ImageHash(id, "application/octet-stream", 0L)
-        if (bytes.length < 4 || !bytes.take(4).sameElements(pngMagic))
-          undecodable
-        else {
+        sniffFormat(bytes) match {
+          case None => undecodable
+          case Some(fmt) =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           try {
+            val reader = pool.reader(fmt)
             reader.setInput(iis)
             val img = reader.read(0)
             // 9x8 thumbnail: 8 horizontal comparisons x 8 rows = 64 bits
@@ -332,7 +365,7 @@ object Multimodal {
               }
               y += 1
             }
-            ImageHash(id, "image/png", bits)
+            ImageHash(id, s"image/$fmt", bits)
           } catch {
             case scala.util.control.NonFatal(_) => undecodable
           } finally iis.close()
@@ -341,7 +374,7 @@ object Multimodal {
       new Iterator[ImageHash] {
         override def hasNext: Boolean = {
           val h = rows.hasNext
-          if (!h && !disposed) { reader.dispose(); disposed = true }
+          if (!h && !disposed) { pool.dispose(); disposed = true }
           h
         }
         override def next(): ImageHash = {
@@ -357,14 +390,16 @@ object Multimodal {
     * perceptual hash: 4 chunks of 16 bits, ≤ 3 differing bits cannot
     * touch all 4 chunks, so candidates come from chunk-key equality
     * (a bucket equi-join, never all-pairs) and the exact hamming
-    * filter verifies. Undecodable rows never pair (mime filter).
+    * filter verifies. Undecodable rows never pair (mime filter);
+    * decoded rows pair ACROSS formats — dHash's whole point is that a
+    * JPEG re-encode of a PNG is the same image.
     */
   def imageDedupPairs(hashes: Dataset[ImageHash],
       maxHamming: Int = 3): DataFrame = {
     import hashes.sparkSession.implicits._
     require(maxHamming < 4, "4 chunks pigeonhole only hamming <= 3")
     val chunks = hashes.toDF()
-      .where($"mime" === "image/png")
+      .where($"mime".startsWith("image/"))
       .select($"doc_id", $"dhash", explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           call_function("shiftrightunsigned", $"dhash", lit(c * 16))
@@ -400,6 +435,26 @@ object Multimodal {
       img.setRGB(x, y, (next() << 16) | (next() << 8) | next())
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Re-encode any decodable payload as JPEG at an explicit quality —
+    * the cross-format twin a perceptual-dedup test plants: the SAME
+    * image through a lossy codec family, which byte hashing can never
+    * pair and dHash must.
+    */
+  def reencodeJpeg(payload: Array[Byte], quality: Float = 0.95f): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
     bos.toByteArray
   }
 

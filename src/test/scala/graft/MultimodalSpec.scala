@@ -165,6 +165,56 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     hashes.unpersist()
   }
 
+  test("JPEG payloads decode, resize, and hash through the same codec boundary") {
+    import spark.implicits._
+    val png = Multimodal.plantedPng(40, 30)
+    val jpeg = Multimodal.reencodeJpeg(png)
+    // JFIF magic present, PNG magic absent
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val out = Multimodal.decodeImages(Seq(1L -> jpeg).toDS()).collect().head
+    assert(out.mime == "image/jpeg" && out.width == 40 && out.height == 30)
+    // lossy compression moves channel means only marginally on a gradient
+    val ref = Multimodal.decodeImages(Seq(1L -> png).toDS()).collect().head
+    (0 until 3).foreach { c =>
+      assert(math.abs(out.features(c) - ref.features(c)) < 0.02,
+        s"channel $c: jpeg=${out.features(c)} png=${ref.features(c)}")
+    }
+    val rz = Multimodal.resizeImages(Seq(1L -> jpeg).toDS(), maxDim = 10)
+      .collect().head
+    assert(rz.mime == "image/jpeg" && rz.thumb_width == 10 && rz.thumb_height == 8)
+    // the thumbnail store format stays PNG regardless of source format
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rz.thumb_png))
+    assert(round.getWidth == 10 && round.getHeight == 8)
+  }
+
+  test("dHash pairs a JPEG re-encode of a PNG across formats; corrupt JPEG costs one row") {
+    import spark.implicits._
+    val p1 = Multimodal.plantedPng(64, 48)
+    val p2 = Multimodal.reencodeJpeg(p1) // the SAME image, lossy family
+    val p3 = Multimodal.plantedNoisePng(7L, 64, 48) // unrelated
+    // valid JPEG magic (FF D8 FF), garbage body — must cost one
+    // octet-stream row, never the task
+    val corruptJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      Array.fill[Byte](32)(0x2a)
+    val payloads = Seq((1L, p1), (2L, p2), (3L, p3), (4L, corruptJpeg))
+      .toDS().repartition(2)
+    val hashes = Multimodal.hashImages(payloads).cache()
+    val byId = hashes.collect().map(h => h.doc_id -> h).toMap
+    assert(byId(1L).mime == "image/png" && byId(2L).mime == "image/jpeg")
+    assert(byId(4L).mime == "application/octet-stream")
+    // the headline claim: re-encode ACROSS formats lands within the
+    // near-dup radius — byte hashing can never pair these payloads
+    val pairs = Multimodal.imageDedupPairs(hashes)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 3),
+      s"png/jpeg twin must pair, got ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "unrelated image paired")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L), "corrupt row paired")
+    hashes.unpersist()
+  }
+
   test("PNG decode round-trips through a many-partition frame") {
     import spark.implicits._
     // one payload per partition: the per-partition reader init path runs
