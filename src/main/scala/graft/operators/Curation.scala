@@ -54,31 +54,60 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Per-doc curation features — the three standalone signal operators
-    * joined on doc_id (quality metrics, token-repetition ratio,
-    * unigram-LM likelihood) plus the language column. Reusing the
-    * registered operators IS the point: the model gate scores exactly
-    * the signals the heuristic gates read, and the spec pins the fused
-    * columns against the standalone outputs. All three are doc_id
-    * equi-joins (co-partitionable at any corpus size); token-less docs
-    * have no signal rows and drop here, as every heuristic gate already
-    * drops them.
+  /** Per-doc curation features in TWO corpus scans — the q_doc_signals
+    * lesson applied to the gate: per-signal scans don't survive 100 TB,
+    * so every ROW-LOCAL signal (quality metrics + composite, the
+    * dup-token repetition ratio, the corpus lang column) fuses into ONE
+    * projection over a single scan, and only the LM signal keeps a
+    * corpus pass of its own — explode, broadcast-join the materialized
+    * LM artifact ([[TextAnalysis.lmModel]]), position-ordered mean. The
+    * signal VALUES are pinned column-by-column against the standalone
+    * operators by CurationSpec (same metric expressions, same rounding,
+    * same ln inputs — bit-equal doubles), and PlanGuardSpec bounds the
+    * feature plan to two corpus scans. Token-less docs have no LM rows
+    * and drop at the doc_id join, as every heuristic gate already
+    * drops them. Persisted once per session: the model fit AND the
+    * scoring pass both read this frame (the ml.featurized precedent —
+    * 8 scalar columns per doc, far smaller than the token explosions
+    * that produce it).
     */
   private[graft] def gateFeatures(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"curation.gateFeatures:$dir") {
-      import s.implicits._
-      // persisted once per session: the model fit AND the scoring pass
-      // both read this frame (the ml.featurized precedent — 8 scalar
-      // columns per doc, far smaller than the token explosions that
-      // produce it)
-      TextAnalysis.qualityScore(s, dir)
-        .join(Corpus.repetitionFilter(s, dir)
-          .select($"doc_id", $"dup_token_ratio"), "doc_id")
-        .join(TextAnalysis.unigramLogprob(s, dir)
-          .select($"doc_id", $"avg_logprob"), "doc_id")
-        .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
-        .persist()
+      gateFeaturePlan(s, dir).persist()
     }
+
+  /** The un-persisted feature plan — split out so PlanGuardSpec can
+    * assert the two-scan shape on a fresh build (the session-cached
+    * frame above collapses to an in-memory leaf once persisted).
+    */
+  private[graft] def gateFeaturePlan(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      // scan 1: every row-local signal from one projection
+      val rowLocal = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"text", TF.tokens($"text").as("toks"))
+        .select(Seq($"doc_id", $"lang",
+          // unrounded, like the standalone operator (same integer
+          // inputs -> bit-equal double)
+          (lit(1.0) -
+            size(array_distinct($"toks")).cast("double") / size($"toks"))
+            .as("dup_token_ratio")) ++
+          TextAnalysis.qualityMetricCols($"toks", $"text"): _*)
+        .withColumn("quality",
+          TextAnalysis.qualityCol($"n_tokens", $"stop_ratio", $"punct_ratio"))
+      // scan 2: the LM signal's per-doc pass over the broadcast artifact
+      // (identical algebra to q_unigram_logprob: position-ordered fold,
+      // 6-dp round)
+      val tok = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "token")))
+      val lm = tok.join(broadcast(TextAnalysis.lmModel(s, dir)), "token")
+        .groupBy($"doc_id")
+        .agg(round(
+          aggregate(
+            transform(array_sort(collect_list(struct($"pos", $"logp"))),
+              x => x("logp")),
+            lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6).as("avg_logprob"))
+      rowLocal.join(lm, "doc_id")
+  }
 
   private def featureVec = {
     import org.apache.spark.ml.functions.array_to_vector

@@ -340,6 +340,30 @@ object TextAnalysis {
     avgLogprobFrame(s, dir).orderBy($"doc_id")
   }
 
+  /** The unigram LM as a MATERIALIZED model artifact, once per
+    * (session, dir): (token, logp = ln(freq / N)) — vocabulary-bounded
+    * (≪ corpus rows), persisted like the PQ codebooks and the BPE merge
+    * table. This is the CCNet shape taken literally: the LM is a
+    * trained ARTIFACT applied per document, not lineage rebuilt inside
+    * every consuming plan — the curation gate broadcast-joins it so its
+    * feature plan reads the corpus once for the LM signal instead of
+    * twice (freq build + score pass).
+    */
+  private[graft] def lmModel(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrCompute(s, s"textanalysis.lmModel:$dir") {
+      import s.implicits._
+      val freq = Tables.documents(s, dir)
+        .select(explode(TF.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("freq"))
+      val tot = freq.agg(sum($"freq").cast("double").as("n_total"))
+      val lm = freq.crossJoin(broadcast(tot))
+        .select($"token",
+          log($"freq".cast("double") / $"n_total").as("logp"))
+        .persist()
+      lm.count() // materialize: consumers see an in-memory leaf, not lineage
+      lm
+    }
+
   /** The per-doc (doc_id, avg_logprob, n_tokens) frame WITHOUT the
     * presentation sort — one source for q_unigram_logprob and the
     * perplexity-bucket operator composing over it.

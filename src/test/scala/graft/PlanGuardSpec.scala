@@ -143,6 +143,26 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${hashEx.size} hash exchange(s) in the fused signal projection")
   }
 
+  test("curation gate features read the corpus exactly twice") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the fused row-local scan + the LM signal's scoring pass; the LM
+    // model itself is a materialized in-memory artifact (a leaf, not
+    // corpus lineage). A third scan means a per-signal scan crept back.
+    // Built fresh on a dir no other suite caches, so neither the
+    // session-cached feature frame nor a whole-plan cache hit can mask
+    // the shape.
+    val plan = graft.operators.Curation
+      .gateFeaturePlan(spark, "/root/testdata/sf0.01")
+      .queryExecution.sparkPlan
+    val corpusScans = plan.collect {
+      case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("documents")) => f
+    }
+    assert(corpusScans.size == 2,
+      s"${corpusScans.size} corpus scans in the gate feature plan — " +
+        "row-local signals must share one fused scan, the LM pass one more")
+  }
+
   test("semdedup candidate pairs come from a cluster equi-join — no BNLJ, no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.functions._
