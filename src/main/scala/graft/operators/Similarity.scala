@@ -834,6 +834,36 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** The published contract made executable: SemDeDup's k scales with
+    * the corpus so per-cluster blocks stay bounded (Abbas et al. fit
+    * k=50k on LAION — about one cluster per few thousand items). The
+    * grounding rule is a target MEAN cluster size: k = ceil(n/target),
+    * which bounds expected within-cluster pair volume at
+    * ~n·(target−1)/2 — linear in the corpus. [[semDedupPlan]] measures
+    * the actual volumes around this k.
+    */
+  val SemDedupTargetClusterSize = 64
+
+  private[graft] def semDedupK(n: Long): Int =
+    math.max(2, math.ceil(n.toDouble / SemDedupTargetClusterSize).toInt)
+
+  /** Seeded k-means fit at a given k, returned as the (cent_id, cv,
+    * cnrm) frame [[semDedupOn]] consumes.
+    */
+  private def fitCentroids(s: SparkSession, v: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = new KMeans().setK(k).setSeed(26062019L).setMaxIter(10)
+      .setFeaturesCol("fv")
+      .fit(v.select(array_to_vector($"v").as("fv")))
+    s.createDataFrame(
+        model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cent_id", "cv")
+      .select($"cent_id", transform($"cv", _.cast("double")).as("cv"))
+      .withColumn("cnrm", sqrt(arrayDot($"cv", $"cv")))
+  }
+
   /** SemDeDup (Abbas et al. 2023) — SEMANTIC dedup by cluster-then-
     * prune, the embedding-space analogue of MinHash near-dup: a seeded
     * k-means partitions the space, candidate pairs are enumerated only
@@ -841,26 +871,62 @@ object Similarity {
     * but the smallest-id member of each duplicate pair. Unlike the
     * guarded O(n²) q_embed_cosine_dedup sweep this is the corpus-scale
     * semantic-dedup shape: the k-means fit is linear, the pair join is
-    * an equi-join on cluster_id, and k scales with the corpus so
-    * per-cluster work is constant. Rows-only (k-means fit);
-    * SimilaritySpec proves pair equality with the exact sweep
-    * restricted to co-clustered pairs and that a planted duplicate is
-    * pruned.
+    * an equi-join on cluster_id, and k is GROUNDED in the corpus
+    * ([[semDedupK]]: one cluster per [[SemDedupTargetClusterSize]]
+    * items) so per-cluster work stays constant as the corpus grows.
+    * Rows-only (k-means fit); SimilaritySpec proves pair equality with
+    * the exact sweep restricted to co-clustered pairs and that a
+    * planted duplicate is pruned.
     */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, dir)
+    val k = semDedupK(v.count())
+    semDedupOn(s, v, fitCentroids(s, v, k), SemDedupTau)
+  }
+
+  /** The SemDeDup k planner — the q_lsh_plan template applied to
+    * cluster-then-prune: for candidate k around the grounded choice
+    * (a quarter of it up to four times it), the MEASURED quadratic exposure next to the linear
+    * assignment cost. `candidate_pairs` = Σ n_c·(n_c−1)/2 over the
+    * actual seeded-k-means cluster sizes — the exact number of cosine
+    * evaluations the prune stage will pay; `assign_dots` = n·k, the
+    * price of buying smaller clusters. The `chosen` row marks
+    * [[semDedupK]]'s pick. Driver-side work is one bounded row per
+    * candidate; each fit is linear in the corpus. Rows-only (k-means
+    * fits are not SQL-expressible); SimilaritySpec asserts the
+    * candidate-pair bound shrinks as k grows.
+    */
+  def semDedupPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val v = vecs(s, dir)
-    val model = new KMeans().setK(16).setSeed(26062019L).setMaxIter(10)
-      .setFeaturesCol("fv")
-      .fit(v.select(array_to_vector($"v").as("fv")))
-    val cents = s.createDataFrame(
-        model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("cent_id", "cv")
-      .select($"cent_id", transform($"cv", _.cast("double")).as("cv"))
-      .withColumn("cnrm", sqrt(arrayDot($"cv", $"cv")))
-    semDedupOn(s, v, cents, SemDedupTau)
+    val n = v.count()
+    val kStar = semDedupK(n)
+    val candidates =
+      Seq(kStar / 4, kStar / 2, kStar, kStar * 2, kStar * 4)
+        .map(math.max(2, _)).distinct
+    val fv = v.select(array_to_vector($"v").as("fv")).persist()
+    val perK = candidates.map { k =>
+      val m = new KMeans().setK(k).setSeed(26062019L).setMaxIter(10)
+        .setFeaturesCol("fv").fit(fv)
+      m.transform(fv)
+        .groupBy($"prediction").agg(count(lit(1)).as("c"))
+        .agg(
+          lit(k).as("k"),
+          count(lit(1)).cast("int").as("clusters_used"),
+          max($"c").as("max_cluster"),
+          sum(($"c" * ($"c" - 1)) / 2).cast("long").as("candidate_pairs"))
+    }.reduce(_.unionByName(_))
+    val out = perK.select($"k", lit(n).as("n_vecs"), $"clusters_used",
+        $"max_cluster", $"candidate_pairs",
+        round($"candidate_pairs".cast("double") / n, 2).as("pairs_per_vec"),
+        (lit(n) * $"k").as("assign_dots"),
+        ($"k" === kStar).as("chosen"))
+      .orderBy($"k")
+    fv.unpersist(blocking = false)
+    out
   }
 
   val queries: Seq[GraftQuery] = Seq(
@@ -872,5 +938,6 @@ object Similarity {
     GraftQuery("q_ann_pq", annPq, Some(annPqSql)),
     GraftQuery("q_ann_ivf_pq", annIvfPq, None),
     GraftQuery("q_embed_label_knn", labelKnn, Some(labelKnnSql)),
-    GraftQuery("q_semdedup", semDedup, None))
+    GraftQuery("q_semdedup", semDedup, None),
+    GraftQuery("q_semdedup_plan", semDedupPlan, None, singleShot = true))
 }

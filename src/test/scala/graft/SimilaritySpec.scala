@@ -202,6 +202,35 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semDedup k planner: candidate-pair bound shrinks as k grows, chosen row grounded") {
+    import spark.implicits._
+    val rows = Similarity.semDedupPlan(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(6), r.getBoolean(7)))
+    assert(rows.length >= 3, "planner must sweep several candidate k")
+    val n = rows.head._2
+    // Σ n_c(n_c−1)/2 is exact: at k=anything it is bounded by the
+    // whole-corpus quadratic and accounts for every vector
+    rows.foreach { case (k, nv, used, maxC, pairs, dots, _) =>
+      assert(nv == n && used <= k && maxC <= n)
+      assert(pairs <= n * (n - 1) / 2)
+      assert(dots == n * k)
+    }
+    // the planner's whole point: quadratic exposure falls as k grows
+    val byK = rows.sortBy(_._1)
+    assert(byK.last._5 < byK.head._5,
+      s"pairs at k=${byK.last._1} (${byK.last._5}) must undercut k=${byK.head._1} (${byK.head._5})")
+    // the chosen row is the grounded k = ceil(n / target)
+    val chosen = rows.filter(_._7)
+    assert(chosen.length == 1 && chosen.head._1 == Similarity.semDedupK(n))
+    // and the registered dedup actually runs at that k: cluster ids
+    // stay inside [0, k*)
+    val clusters = Similarity.semDedup(spark, dir)
+      .select($"cluster_id").distinct().as[Int].collect()
+    assert(clusters.forall(c => c >= 0 && c < Similarity.semDedupK(n)))
+    assert(clusters.length > 1, "grounded k must actually partition the corpus")
+  }
+
   test("semDedup agrees with an independent driver-side reimplementation") {
     import spark.implicits._
     val cents = plantedVecs.where($"vec_id" < 8)
