@@ -146,6 +146,52 @@ object Similarity {
        |    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) sc) r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** The 16-bit sign-LSH bucket of a vector column: 16 fixed
+    * pseudo-random hyperplanes (deterministic LCG coordinates, plane p
+    * dim d coefficient in [-1, 1) via (x>>>11)/2^53 then *2-1 —
+    * dividing by 2^52 would land in [-1,3) and bias buckets toward
+    * all-ones). Shared by the bucket census (q_ann_lsh) and the LSH
+    * top-k search path the recall scoreboard measures.
+    */
+  private def lshBucketExpr(vCol: Column): Column = {
+    val nPlanes = 16
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+      (0 until 64).map { d =>
+        val x = (p * 64 + d) * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      }
+    }
+    val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
+    aggregate(
+      zip_with(planesCol, sequence(lit(0), lit(nPlanes - 1)), (plane, idx) =>
+        when(aggregate(zip_with(plane, vCol, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) > 0,
+          call_function("shiftleft", lit(1L), idx)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** LSH as a SEARCH path (not just the bucket census): candidates are
+    * the query's same-bucket vectors (one equi-join on the 16-bit key),
+    * exact cosine reranks, top-5 — the standard bucket-probe ANN. A
+    * query whose bucket holds fewer than 5 neighbors returns fewer rows;
+    * the recall scoreboard prices that honestly.
+    */
+  private[graft] def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, dir).withColumn("bucket", lshBucketExpr($"v"))
+    val q = v.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"bucket", $"v".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    broadcast(q).join(v, "bucket")
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 5)
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Random-hyperplane LSH bucketing — the scale path: 16 fixed
     * pseudo-random hyperplanes (deterministic LCG coordinates) hash each
     * vector to a 16-bit bucket; candidates only form within a bucket.
@@ -156,25 +202,8 @@ object Similarity {
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nPlanes = 16
-    // plane p, dim d coefficient in [-1, 1): deterministic LCG mapped by
-    // (x>>>11)/2^53 ∈ [0,1) then *2-1 (dividing by 2^52 would land in
-    // [-1,3) and bias buckets toward all-ones)
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-      (0 until 64).map { d =>
-        val x = (p * 64 + d) * 6364136223846793005L + 1442695040888963407L
-        ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-      }
-    }
-    val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
     val v = vecs(s, dir)
-    v.select($"vec_id",
-        aggregate(
-          zip_with(planesCol, sequence(lit(0), lit(nPlanes - 1)), (plane, idx) =>
-            when(aggregate(zip_with(plane, $"v", (x, y) => x * y),
-              lit(0.0), (acc, x) => acc + x) > 0,
-              call_function("shiftleft", lit(1L), idx)).otherwise(lit(0L))),
-          lit(0L), (acc, x) => acc + x).as("bucket"))
+    v.select($"vec_id", lshBucketExpr($"v").as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("n_vecs"),
         min($"vec_id").as("min_vec_id"), max($"vec_id").as("max_vec_id"),
         md5(array_join(transform(sort_array(collect_list($"vec_id")),
@@ -782,6 +811,39 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** The ANN recall scoreboard — measured recall@5 against the
+    * brute-force truth for every scale path, in one query: ONE
+    * brute-force frame (persisted — 50 rows) and one bounded semi-join
+    * per method. recall@5 = |returned ∩ true top-5| / (queries × 5),
+    * the standard ANN benchmark statistic; a method returning fewer
+    * than 5 candidates for a query (LSH with a thin bucket) is priced
+    * honestly. This is the query a 100 TB deployment runs on a sample
+    * before picking its index: the scoreboard is bounded (5 rows) no
+    * matter the corpus. Rows-only (three methods embed k-means /
+    * codebook fits); SimilaritySpec pins the floor each method must
+    * clear on this corpus.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = annCosineTopK(s, dir)
+      .select($"q_id", $"neighbor_id").persist()
+    val nTruth = brute.count() // = queries × 5, forces the persist
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> lshTopK(s, dir),
+      "ivf" -> annIvf(s, dir),
+      "ivf_kmeans" -> annIvfKmeans(s, dir),
+      "pq" -> annPq(s, dir),
+      "ivf_pq" -> annIvfPq(s, dir))
+    methods.map { case (name, df) =>
+      df.select($"q_id", $"neighbor_id")
+        .join(broadcast(brute), Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), $"hits",
+          lit(nTruth).as("n_truth"),
+          round($"hits" / nTruth.toDouble, 4).as("recall_at_5"))
+    }.reduce(_.unionByName(_)).orderBy($"method")
+  }
+
   /** Norm-decorated view of an arbitrary (vec_id, v: array<double>)
     * frame — lets specs drive the router with planted vectors.
     */
@@ -939,5 +1001,6 @@ object Similarity {
     GraftQuery("q_ann_ivf_pq", annIvfPq, None),
     GraftQuery("q_embed_label_knn", labelKnn, Some(labelKnnSql)),
     GraftQuery("q_semdedup", semDedup, None),
-    GraftQuery("q_semdedup_plan", semDedupPlan, None, singleShot = true))
+    GraftQuery("q_semdedup_plan", semDedupPlan, None, singleShot = true),
+    GraftQuery("q_ann_recall", annRecall, None, singleShot = true))
 }

@@ -31,9 +31,9 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       ivf.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
     }
     val mean = recalls.sum / recalls.size
-    // nprobe/nlist = 2/16 scans ~12.5% of the corpus; a working coarse
-    // quantizer must beat that fraction by a wide margin
-    assert(truth.size == 10 && mean >= 0.3, s"mean recall $mean")
+    // corpus-measured floor (q_ann_recall: 0.44 on this corpus) — well
+    // above the 2/16 ~12.5% scan fraction a non-quantizer would get
+    assert(truth.size == 10 && mean >= 0.4, s"mean recall $mean")
   }
 
   test("k-means IVF is run-to-run deterministic") {
@@ -49,10 +49,38 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       ivfpq.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
     }
     val mean = recalls.sum / recalls.size
-    // pruned (2/16 lists) AND compressed (8 code bytes per vector):
-    // trained residual codebooks must still clear the 2/16-probe IVF
-    // floor — compression may not cost recall below the pruning floor
+    // corpus-measured floor (q_ann_recall: 0.32 on this corpus) —
+    // pruned (2/16 lists) AND compressed (8 code bytes per vector),
+    // compression may not cost recall below the pruning floor
     assert(truth.size == 10 && mean >= 0.3, s"mean recall $mean")
+  }
+
+  test("ANN recall scoreboard measures all five scale paths against one truth frame") {
+    import spark.implicits._
+    val rows = Similarity.annRecall(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == Set("lsh", "ivf", "ivf_kmeans", "pq", "ivf_pq"))
+    rows.values.foreach { case (hits, nTruth, recall) =>
+      assert(nTruth == 50L && hits >= 0 && hits <= nTruth)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - hits.toDouble / nTruth) < 1e-4)
+    }
+    // corpus-measured floors (the scoreboard's own values on sf0.001):
+    // the fixed-centroid IVF dominates, the trained/compressed variants
+    // follow, and the single-table 16-bit LSH probe trails — the
+    // scoreboard exists to expose exactly that ordering
+    assert(rows("ivf")._3 >= 0.8, s"ivf ${rows("ivf")._3}")
+    assert(rows("ivf_kmeans")._3 >= 0.4, s"ivf_kmeans ${rows("ivf_kmeans")._3}")
+    assert(rows("ivf_pq")._3 >= 0.3, s"ivf_pq ${rows("ivf_pq")._3}")
+    assert(rows("pq")._3 >= 0.25, s"pq ${rows("pq")._3}")
+    // cross-check one method against an independent recomputation
+    val truth = neighborSets(Similarity.annCosineTopK(spark, dir))
+    val ivfHits = neighborSets(Similarity.annIvf(spark, dir)).map {
+      case (q, ns) => truth(q).intersect(ns).size
+    }.sum
+    assert(rows("ivf")._1 == ivfHits.toLong,
+      s"scoreboard ${rows("ivf")._1} vs recomputed $ivfHits")
   }
 
   test("IVF-PQ is run-to-run deterministic") {
