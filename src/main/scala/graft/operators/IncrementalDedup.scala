@@ -47,6 +47,39 @@ object IncrementalDedup {
       .select(s.table(table).columns.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append").insertInto(table)
 
+  /** Periodic bucket-aligned compaction of a signature (or label)
+    * store: each [[absorbDelta]] appends one delta-sized file-set per
+    * bucket, so after N days a bucket holds N+1 files and the daily
+    * join's scan cost creeps up with file count, not data size.
+    * Compaction rewrites each bucket's files into one — WITHOUT a
+    * shuffle: the bucketed scan is forced (one partition per bucket,
+    * no Exchange), and writing with the identical bucket spec means
+    * every task holds exactly one bucket's rows and emits exactly one
+    * file. The rewrite lands in a shadow table that swaps in via a
+    * metastore rename, so a reader never sees a half-compacted store.
+    * Content, bucketing, and the exchange-free delta join are all
+    * preserved (IncrementalDedupSpec proves each).
+    */
+  def compactStore(s: SparkSession, table: String): Unit = {
+    val tmp = table + "__compacting"
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      sys.error(s"$table is not a bucketed store"))
+    val scanConf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(scanConf)
+    try {
+      s.conf.set(scanConf, "false") // force the one-partition-per-bucket read
+      s.table(table).write
+        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+          spec.bucketColumnNames.tail: _*)
+        .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+        .mode("overwrite").saveAsTable(tmp)
+    } finally s.conf.set(scanConf, prev)
+    s.sql(s"DROP TABLE $table")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Candidate near-dup matches of a DELTA batch against the store:
     * signature the delta (its own cost only), equi-join on
     * (band, band_key) — the store side reads bucket-aligned, the delta

@@ -100,6 +100,84 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  private def dataFileCount(tbl: String): Int = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.startsWith("part-")) n += 1
+    n
+  }
+
+  test("store compaction: one file per bucket, content preserved, rewrite plans exchange-free") {
+    import spark.implicits._
+    val scanConf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val (store, delta) = splitDocs
+    IncrementalDedup.writeStore(store, table)
+    // three daily absorbs → three extra file-sets on top of the base
+    val rows = delta.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    rows.grouped(math.max(1, rows.length / 3)).foreach { g =>
+      IncrementalDedup.absorbDelta(spark,
+        spark.createDataFrame(g.toSeq).toDF("doc_id", "text"), table)
+    }
+    val grown = dataFileCount(table)
+    assert(grown > IncrementalDedup.StoreBuckets,
+      s"absorbs did not grow the file count: $grown")
+    val contentBefore = spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getSeq[Long](3)))
+      .toSet
+    // the plan the rewrite executes: forced bucketed scan = one
+    // partition per bucket, zero exchanges; the V1 bucketed write adds
+    // at most a per-partition sort, never a shuffle — so files-after ==
+    // buckets below proves each task held exactly one bucket's rows
+    val prev = spark.conf.get(scanConf)
+    try {
+      spark.conf.set(scanConf, "false")
+      val scan = spark.table(table).queryExecution.executedPlan
+      assert(scan.toString.contains("Bucketed: true") &&
+        !scan.toString.contains("ShuffleExchange"),
+        s"compaction read would shuffle or scan unbucketed:\n$scan")
+      assert(scan.execute().getNumPartitions == IncrementalDedup.StoreBuckets,
+        "bucketed scan did not yield one partition per bucket")
+    } finally spark.conf.set(scanConf, prev)
+    IncrementalDedup.compactStore(spark, table)
+    val compacted = dataFileCount(table)
+    assert(compacted == IncrementalDedup.StoreBuckets,
+      s"expected one file per bucket, got $compacted")
+    val contentAfter = spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getSeq[Long](3)))
+      .toSet
+    assert(contentAfter == contentBefore, "compaction changed store content")
+    // the daily loop stays steady: another absorb + compaction returns
+    // to exactly the same file count, and the swapped-in table still
+    // serves the delta join bucket-aligned
+    val day2 = delta.limit(1).select($"doc_id" + 200000, $"text")
+      .toDF("doc_id", "text").localCheckpoint()
+    IncrementalDedup.absorbDelta(spark, day2, table)
+    assert(dataFileCount(table) > compacted)
+    IncrementalDedup.compactStore(spark, table)
+    assert(dataFileCount(table) == compacted,
+      "file count not stable across absorb/compact cycles")
+    val d2id = day2.collect()(0).getLong(0)
+    val matched = IncrementalDedup.deltaAgainstStore(spark,
+        day2.select($"doc_id" + 1, $"text").toDF("doc_id", "text"), table)
+      .where($"est_jaccard" === 1.0).collect()
+    assert(matched.exists(_.getLong(1) == d2id),
+      "post-compaction store lost the absorbed day-2 signatures")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val plan = Dedup.signatureBands(day2)
+        .join(spark.table(table), Seq("band", "band_key"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"post-compaction store scan unbucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
+
   test("within-frame pairs equal the batch LSH pairs inside the frame") {
     import spark.implicits._
     val (_, delta) = splitDocs
