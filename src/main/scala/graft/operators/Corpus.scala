@@ -753,8 +753,52 @@ object Corpus {
       .replace("TERMS", terms)
   }
 
+  /** Per-source document caps — the C4 / RefinedWeb "at most N pages
+    * per domain" rule (reference analog: per-source curation; cap keeps
+    * a single domain from dominating the mixture no matter how much it
+    * crawls): rank each source's docs by the shared quality composite
+    * (ties to the smaller doc_id) and keep the top [[SourceCap]].
+    * ONE scan of documents (source is projected next to the quality
+    * metrics); the window partitions by source, so at 100 TB the
+    * shuffle is the cap's inherent group-by-domain exchange and each
+    * task sorts only its domains' rows — no partition-less window
+    * (PlanGuard's failure shape), no driver materialization.
+    */
+  val SourceCap = 10
+
+  def sourceCaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"text",
+        graft.functions.TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", $"source",
+        TextAnalysis.qualityFromToks($"toks", $"text").as("quality"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= SourceCap)
+      .select($"source", $"rank", $"doc_id", $"quality")
+      .orderBy($"source", $"rank")
+  }
+
+  val sourceCapsSql: String =
+    s"""WITH ${TextAnalysis.qualityCtesSql},
+       |scored AS (
+       |  SELECT d.doc_id, d.source,
+       |    ${TextAnalysis.qualitySqlExpr("n_tokens", "stop_ratio", "punct_ratio")}
+       |      AS quality
+       |  FROM documents d JOIN qm ON d.doc_id = qm.doc_id)
+       |SELECT source, CAST(rn AS INT) AS rank, doc_id, quality FROM (
+       |  SELECT source, doc_id, quality,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id ASC) AS rn
+       |  FROM scored) z
+       |WHERE rn <= $SourceCap ORDER BY source, rank""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_bm25_search", bm25Search, Some(bm25SearchSql)),
+    GraftQuery("q_source_caps", sourceCaps, Some(sourceCapsSql)),
     // the registered plan is the O(log n) star-contraction scale path;
     // the label-propagation twin stays as the spec-checked baseline
     GraftQuery("q_dedup_clusters", dedupClustersStar, Some(dedupClustersSql),

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hot-key mitigation for fact⋈dim equi-joins (SURVEY §5): when one
@@ -36,4 +37,35 @@ object SkewJoin {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The salted join as a registered query: events (15 distinct
+    * user_ids over the whole stream — every key is hot by construction)
+    * ⋈ customer, salted 8 ways, aggregated to per-segment event volume.
+    * The oracle is the PLAIN join — salting must be invisible in the
+    * result. The value sum runs over DECIMAL so the 8-way fan-out
+    * cannot move a last-ulp double (order-independent algebra, same
+    * rule as the revenue rollups).
+    */
+  def skewJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = Tables.events(s, dir).select($"user_id", $"event_id", $"value")
+    val dim = Tables.customer(s, dir)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    saltedEquiJoin(fact, dim, "user_id", $"event_id", salts = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast("decimal(28,10)")).cast("double"), 6)
+          .as("total_value"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val skewJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+      |    AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_skew_join", skewJoinQuery, Some(skewJoinSql)))
 }

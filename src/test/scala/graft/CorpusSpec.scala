@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Dedup, Evaluation, Similarity}
+import graft.operators.{Corpus, Dedup, Evaluation, Similarity, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -83,6 +83,36 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = Corpus.stratifiedSample(spark, dir).repartition(13)
       .as[(Long, String)].collect().toSet
     assert(a == b)
+  }
+
+  test("per-source caps keep the quality-top N of every source") {
+    import spark.implicits._
+    val kept = Corpus.sourceCaps(spark, dir)
+      .select($"source", $"rank", $"doc_id", $"quality")
+      .as[(String, Int, Long, Double)].collect()
+    val perSource = kept.groupBy(_._1)
+    val allSources = Tables.documents(spark, dir)
+      .select($"source").distinct().as[String].collect().toSet
+    assert(perSource.keySet == allSources, "a source vanished from the cap")
+    // ranks are 1..cap and ordered by (quality desc, doc_id asc)
+    perSource.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.length <= Corpus.SourceCap)
+      val order = sorted.map(r => (-r._4, r._3)).toSeq
+      assert(order == order.sorted, s"rank order broken: $sorted")
+    }
+    // the kept set IS the per-source quality top-N of the full scoring
+    val full = TextAnalysis.qualityScore(spark, dir)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"doc_id", $"quality")
+      .as[(String, Long, Double)].collect()
+    full.groupBy(_._1).foreach { case (src, rows) =>
+      val expect = rows.sortBy(r => (-r._3, r._2))
+        .take(Corpus.SourceCap).map(_._2).toSet
+      val got = perSource(src).map(_._3).toSet
+      assert(got == expect, s"$src kept $got, expected $expect")
+    }
   }
 
   test("HLL distinct stays within 5% of exact per event type") {

@@ -51,6 +51,22 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mx < 2 * mn, s"salt imbalance: $perSalt")
   }
 
+  test("registered skew join equals the unsalted join on events x customer") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = SkewJoin.skewJoinQuery(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = Tables.events(spark, dir)
+      .join(Tables.customer(spark, dir), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast("decimal(28,10)")).cast("double"), 6)
+          .as("total_value"))
+      .orderBy($"c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == plain)
+  }
+
   test("AQE splits the skewed partition of a sort-merge join at runtime") {
     import spark.implicits._
     val (fact, dim) = skewed
