@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GraftQuery, Tables}
+import graft.{GraftQuery, SessionCache, Tables}
 import graft.functions.GraftExpressions.arrayDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -302,7 +302,18 @@ object Similarity {
     * SQL-expressible); SimilaritySpec pins recall against the brute-force
     * top-5 on sf0.001.
     */
-  def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+  def annIvfKmeans(s: SparkSession, dir: String): DataFrame =
+    // the fit is session-memoized (the ml/ fitted-model precedent): a
+    // session running several registered queries — the recall
+    // scoreboard plus this query — pays the k-means training once
+    SessionCache.getOrCompute(s, s"sim.ivfKmeans:$dir") {
+      annIvfKmeansUncached(s, dir)
+    }
+
+  /** The fit itself — the determinism spec drives THIS entry twice so
+    * memoization can't mask a nondeterministic training run.
+    */
+  private[graft] def annIvfKmeansUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -709,7 +720,16 @@ object Similarity {
     * the recall floor vs. brute-force top-5 and that codebook training
     * tightened quantization error.
     */
-  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    // coarse-quantizer fit + Lloyd codebook training + the checkpointed
+    // assignment all live in the returned DAG's construction — memoized
+    // per session so the recall scoreboard reuses this query's index
+    SessionCache.getOrCompute(s, s"sim.ivfPq:$dir") {
+      annIvfPqUncached(s, dir)
+    }
+
+  /** Index build + search, uncached — the determinism spec's entry. */
+  private[graft] def annIvfPqUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vn = vecs(s, dir)
       .select($"vec_id", transform($"v", x => x / $"nrm").as("vn"))
@@ -944,7 +964,10 @@ object Similarity {
     import s.implicits._
     val v = vecs(s, dir)
     val k = semDedupK(v.count())
-    semDedupOn(s, v, fitCentroids(s, v, k), SemDedupTau)
+    val cents = SessionCache.getOrCompute(s, s"sim.semdedupCents:$dir:$k") {
+      fitCentroids(s, v, k)
+    }
+    semDedupOn(s, v, cents, SemDedupTau)
   }
 
   /** The SemDeDup k planner — the q_lsh_plan template applied to

@@ -37,8 +37,10 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("k-means IVF is run-to-run deterministic") {
-    val a = Similarity.annIvfKmeans(spark, dir).collect().toSeq
-    val b = Similarity.annIvfKmeans(spark, dir).collect().toSeq
+    // the UNCACHED entry: two genuinely independent trainings must
+    // agree (the session memo would trivially make them equal)
+    val a = Similarity.annIvfKmeansUncached(spark, dir).collect().toSeq
+    val b = Similarity.annIvfKmeansUncached(spark, dir).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
 
@@ -84,8 +86,9 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("IVF-PQ is run-to-run deterministic") {
-    val a = Similarity.annIvfPq(spark, dir).collect().toSeq
-    val b = Similarity.annIvfPq(spark, dir).collect().toSeq
+    // uncached: each call re-trains the coarse quantizer + codebooks
+    val a = Similarity.annIvfPqUncached(spark, dir).collect().toSeq
+    val b = Similarity.annIvfPqUncached(spark, dir).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
 
