@@ -602,6 +602,84 @@ object TextAnalysis {
        |FROM lpdoc JOIN r USING (avg_logprob) CROSS JOIN nn
        |ORDER BY doc_id""".stripMargin
 
+  /** Interpolated Kneser-Ney bigram language model (Kneser & Ney 1995;
+    * the Chen & Goodman 1999 fixed-discount form, d = 0.75), trained on
+    * the corpus's own bigrams and scored per document — the step up
+    * from the unigram CCNet stand-in ([[unigramLogprob]]): the
+    * continuation probability N1+(·w₂)/|bigram types| replaces raw
+    * frequency, which is what separates fluent word ORDER from mere
+    * word choice ("san francisco" vs "francisco san" score identically
+    * under any unigram model).
+    *   P(w₂|w₁) = (c(w₁w₂) − d)/c(w₁·) + d·N1+(w₁·)/c(w₁·) · N1+(·w₂)/B
+    * Every scored bigram is in-vocabulary by construction (the model
+    * trains on the corpus it scores), so c(w₁w₂) ≥ 1 and the
+    * discounted term stays positive. Scale shape: the three model
+    * statistics are hash aggregations over the BIGRAM-TYPE frame
+    * (vocabulary², bounded ≪ corpus token volume); per-doc scoring is
+    * one equi-join of occurrence rows against the scored-type frame
+    * plus one grouped fold. The float sum runs in token-position order
+    * (the [[unigramLogprob]] precedent) and the mean rounds to 6 dp
+    * before the hash gate, absorbing last-ulp ln() differences across
+    * libm implementations.
+    */
+  def knBigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 0.75
+    val bg = Tables.documents(s, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+      .select($"doc_id", posexplode(
+        filter(
+          transform($"toks", (_, i) =>
+            when(i + 2 <= size($"toks"),
+              struct(element_at($"toks", i + 1).as("w1"),
+                element_at($"toks", i + 2).as("w2")))),
+          x => x.isNotNull)).as(Seq("pos", "b")))
+      .select($"doc_id", $"pos", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val left = c12.groupBy($"w1")
+      .agg(sum($"c").as("c1"), count(lit(1)).as("n_after"))
+    val pre = c12.groupBy($"w2").agg(count(lit(1)).as("n_pre"))
+    val types = c12.agg(count(lit(1)).cast("double").as("bt"))
+    val scored = c12.join(left, "w1").join(pre, "w2")
+      .crossJoin(broadcast(types))
+      .select($"w1", $"w2",
+        log(($"c" - lit(d)) / $"c1" +
+          lit(d) * $"n_after" / $"c1" * ($"n_pre" / $"bt")).as("logp"))
+    bg.join(scored, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(round(
+        aggregate(
+          transform(array_sort(collect_list(struct($"pos", $"logp"))),
+            x => x("logp")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6).as("avg_kn_logprob"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
+  val knBigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, i AS pos, l[i] AS w1, l[i+1] AS w2
+      |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+      |        FROM toks) z),
+      |c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+      |lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1, count(*) AS n_after
+      |        FROM c12 GROUP BY w1),
+      |pre AS (SELECT w2, count(*) AS n_pre FROM c12 GROUP BY w2),
+      |bt AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM c12),
+      |sc AS (
+      |  SELECT w1, w2,
+      |    ln((c - 0.75) / c1 + 0.75 * n_after / c1 * (n_pre / bt)) AS logp
+      |  FROM c12 JOIN lft USING (w1) JOIN pre USING (w2) CROSS JOIN bt),
+      |per AS (SELECT doc_id, pos, logp FROM bg JOIN sc USING (w1, w2))
+      |SELECT doc_id,
+      |  round(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+      |    (x, y) -> x + y) / count(*), 6) AS avg_kn_logprob,
+      |  count(*) AS n_bigrams
+      |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** N-gram diversity (the distinct-n metric, Li et al. 2016): per
     * source and n ∈ {1,2,3}, the ratio of distinct n-grams to total
     * n-grams — the standard repetitiveness/diversity statistic of a
@@ -838,6 +916,7 @@ object TextAnalysis {
     GraftQuery("q_pii_redact", piiRedact, Some(piiRedactSql)),
     GraftQuery("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
+    GraftQuery("q_kn_bigram_logprob", knBigramLogprob, Some(knBigramLogprobSql)),
     GraftQuery("q_perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql)),
     GraftQuery("q_ngram_diversity", ngramDiversity, Some(ngramDiversitySql)),
     GraftQuery("q_compression_ratio", compressionRatio, None),
