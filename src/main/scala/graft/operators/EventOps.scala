@@ -7,19 +7,42 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators (SURVEY §2.G/H batch side): gap sessionization
-  * and tumbling-window aggregation. The events parquet carries
-  * nanosecond timestamps, which Spark 4 only reads via the
-  * nanosAsLong legacy flag — we floor-truncate to microseconds, exactly
-  * what the oracle's `ts::TIMESTAMP` cast does.
+  * and tumbling-window aggregation. The events parquet has shipped with
+  * two timestamp encodings over time — TIMESTAMP(NANOS) (which Spark 4
+  * only reads via the nanosAsLong legacy flag, arriving as a LongType of
+  * nanos) and plain TIMESTAMP_MICROS (arriving as TIMESTAMP/NTZ) — so
+  * the loader branches on the loaded schema and canonicalizes `ts` to a
+  * microsecond TimestampType either way, exactly what the oracle's
+  * `ts::TIMESTAMP` cast sees (session timezone is UTC, so the NTZ→TZ
+  * cast is value-preserving).
   */
 object EventOps {
 
   private val money = DecimalType(28, 6)
 
-  /** events with ts as a proper microsecond TimestampType. */
+  /** events with ts canonicalized to a microsecond TimestampType,
+    * whatever encoding the parquet footer carries (see canonicalTs).
+    */
   def events(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    canonicalTs(Tables.events(s, dir))
+
+  /** Schema-adaptive ts canonicalization: LongType means the scan ran
+    * under nanosAsLong (nanos-as-int64 footer) → floor-truncate to
+    * micros; TIMESTAMP / TIMESTAMP_NTZ footers need only a cast to the
+    * session-zoned type (identity under the UTC session) so unix_micros
+    * / window() / lag arithmetic downstream keep working unchanged.
+    */
+  def canonicalTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other — expected INT64 nanos, " +
+          "TIMESTAMP or TIMESTAMP_NTZ")
+    }
 
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts — one shuffle on user_id, the canonical distributed

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.EventOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Loader-contract spec: the events table has shipped with two parquet
+  * timestamp encodings over time (TIMESTAMP(NANOS) behind the
+  * nanosAsLong flag, and plain TIMESTAMP_MICROS), and a driver-side
+  * regeneration once swapped one for the other mid-build. EventOps must
+  * canonicalize `ts` to a microsecond TimestampType from EITHER
+  * encoding, so a future swap can't silently take out the events query
+  * family again. The nanos side reads a committed fixture
+  * (src/test/resources/events_nanos); the micros side reads the real
+  * driver-generated table.
+  */
+class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  val nanosDir: String =
+    getClass.getResource("/events_nanos/events.parquet").getPath
+      .stripSuffix("/events.parquet")
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("events loads under the current driver-generated encoding and " +
+    "canonicalizes to TimestampType") {
+    val raw = Tables.events(spark, dir)
+    val tsType = raw.schema("ts").dataType
+    assert(tsType == LongType || tsType == TimestampType ||
+      tsType == TimestampNTZType, s"unexpected ts type $tsType")
+    val canon = EventOps.events(spark, dir)
+    assert(canon.schema("ts").dataType == TimestampType)
+    assert(canon.count() > 0)
+  }
+
+  test("events loads from a nanos-encoded footer (legacy flag path) and " +
+    "canonicalizes identically") {
+    import spark.implicits._
+    val raw = Tables.events(spark, nanosDir)
+    // under nanosAsLong the scan surfaces INT64 nanos
+    assert(raw.schema("ts").dataType == LongType)
+    val canon = EventOps.canonicalTs(raw)
+    assert(canon.schema("ts").dataType == TimestampType)
+    // fixture row 1 is 2024-01-01T00:07:00 (event_id=1, 7-minute stride)
+    val first = canon.where($"event_id" === 1)
+      .select(date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
+      .as[String].head()
+    assert(first == "2024-01-01 00:07:00")
+    assert(canon.count() == 8)
+  }
+
+  test("canonicalTs is a no-op on an already-canonical frame") {
+    val canon = EventOps.events(spark, dir)
+    assert(EventOps.canonicalTs(canon).schema("ts").dataType == TimestampType)
+  }
+}
