@@ -624,8 +624,32 @@ object TextAnalysis {
     */
   def knBigramLogprob(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = 0.75
-    val bg = Tables.documents(s, dir)
+    val perDoc = bigramOccurrences(s, dir)
+      .join(knModel(s, dir), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(round(
+        aggregate(
+          transform(array_sort(collect_list(struct($"pos", $"logp"))),
+            x => x("logp")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6).as("avg_kn_logprob"),
+        count(lit(1)).as("n_bigrams"))
+    // docs with < 2 tokens have no bigrams: emit them with n_bigrams = 0
+    // and a NULL mean rather than silently dropping them, so compositions
+    // joining this signal with per-doc frames (q_unigram_logprob emits
+    // 1-token docs) never lose rows
+    Tables.documents(s, dir).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"avg_kn_logprob",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-doc bigram occurrence rows (doc_id, pos, w1, w2) — one scan,
+    * shared by KN model training and per-doc scoring.
+    */
+  private def bigramOccurrences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
       .select($"doc_id", TF.tokens($"text").as("toks"))
       .select($"doc_id", posexplode(
         filter(
@@ -635,26 +659,33 @@ object TextAnalysis {
                 element_at($"toks", i + 2).as("w2")))),
           x => x.isNotNull)).as(Seq("pos", "b")))
       .select($"doc_id", $"pos", $"b.w1".as("w1"), $"b.w2".as("w2"))
-    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
-    val left = c12.groupBy($"w1")
-      .agg(sum($"c").as("c1"), count(lit(1)).as("n_after"))
-    val pre = c12.groupBy($"w2").agg(count(lit(1)).as("n_pre"))
-    val types = c12.agg(count(lit(1)).cast("double").as("bt"))
-    val scored = c12.join(left, "w1").join(pre, "w2")
-      .crossJoin(broadcast(types))
-      .select($"w1", $"w2",
-        log(($"c" - lit(d)) / $"c1" +
-          lit(d) * $"n_after" / $"c1" * ($"n_pre" / $"bt")).as("logp"))
-    bg.join(scored, Seq("w1", "w2"))
-      .groupBy($"doc_id")
-      .agg(round(
-        aggregate(
-          transform(array_sort(collect_list(struct($"pos", $"logp"))),
-            x => x("logp")),
-          lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6).as("avg_kn_logprob"),
-        count(lit(1)).as("n_bigrams"))
-      .orderBy($"doc_id")
   }
+
+  /** The KN bigram LM as a MATERIALIZED model artifact, once per
+    * (session, dir): (w1, w2, logp) over the bigram-TYPE frame
+    * (bounded ≪ corpus token volume) — the [[lmModel]] precedent, so
+    * the corpus-sized bigram lineage is built once per session instead
+    * of once inside every consuming plan.
+    */
+  private[graft] def knModel(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrCompute(s, s"textanalysis.knModel:$dir") {
+      import s.implicits._
+      val d = 0.75
+      val c12 = bigramOccurrences(s, dir)
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+      val left = c12.groupBy($"w1")
+        .agg(sum($"c").as("c1"), count(lit(1)).as("n_after"))
+      val pre = c12.groupBy($"w2").agg(count(lit(1)).as("n_pre"))
+      val types = c12.agg(count(lit(1)).cast("double").as("bt"))
+      val scored = c12.join(left, "w1").join(pre, "w2")
+        .crossJoin(broadcast(types))
+        .select($"w1", $"w2",
+          log(($"c" - lit(d)) / $"c1" +
+            lit(d) * $"n_after" / $"c1" * ($"n_pre" / $"bt")).as("logp"))
+        .persist()
+      scored.count() // materialize: consumers see an in-memory leaf
+      scored
+    }
 
   val knBigramLogprobSql: String =
     """WITH toks AS (
@@ -673,12 +704,17 @@ object TextAnalysis {
       |  SELECT w1, w2,
       |    ln((c - 0.75) / c1 + 0.75 * n_after / c1 * (n_pre / bt)) AS logp
       |  FROM c12 JOIN lft USING (w1) JOIN pre USING (w2) CROSS JOIN bt),
-      |per AS (SELECT doc_id, pos, logp FROM bg JOIN sc USING (w1, w2))
-      |SELECT doc_id,
-      |  round(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
-      |    (x, y) -> x + y) / count(*), 6) AS avg_kn_logprob,
-      |  count(*) AS n_bigrams
-      |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |per AS (SELECT doc_id, pos, logp FROM bg JOIN sc USING (w1, w2)),
+      |agg AS (
+      |  SELECT doc_id,
+      |    round(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+      |      (x, y) -> x + y) / count(*), 6) AS avg_kn_logprob,
+      |    CAST(count(*) AS BIGINT) AS n_bigrams
+      |  FROM per GROUP BY doc_id)
+      |SELECT d.doc_id, a.avg_kn_logprob,
+      |  coalesce(a.n_bigrams, 0) AS n_bigrams
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** N-gram diversity (the distinct-n metric, Li et al. 2016): per
     * source and n ∈ {1,2,3}, the ratio of distinct n-grams to total

@@ -14,6 +14,26 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("KN bigram logprob keeps sub-2-token docs as n_bigrams=0 / NULL mean") {
+    import spark.implicits._
+    // tiny corpus with a 0-token, a 1-token, and two scoreable docs
+    val tmp = s"/tmp/graft_kn_short_${ProcessHandle.current().pid()}"
+    Seq(
+      (1L, "", "en", "web", 0L),
+      (2L, "solo", "en", "web", 4L),
+      (3L, "the quick brown fox", "en", "web", 19L),
+      (4L, "quick brown the fox", "en", "web", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.knBigramLogprob(spark, tmp).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
+      "short docs must not be dropped")
+    val byId = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2))).toMap
+    assert(byId(1L) == ((None, 0L)) && byId(2L) == ((None, 0L)))
+    assert(byId(3L)._2 == 3L && byId(4L)._2 == 3L && byId(3L)._1.isDefined)
+  }
+
   test("compression ratio orders repetitive < prose < noise and is deterministic") {
     import spark.implicits._
     import graft.operators.TextAnalysis
