@@ -59,7 +59,8 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ANN recall scoreboard measures all five scale paths against one truth frame") {
     import spark.implicits._
-    val rows = Similarity.annRecall(spark, dir).collect()
+    val rows = (Similarity.annRecall(spark, dir).collect() ++
+        Similarity.annRecallTrained(spark, dir).collect())
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
     assert(rows.keySet == Set("lsh", "ivf", "ivf_kmeans", "pq", "ivf_pq"))
