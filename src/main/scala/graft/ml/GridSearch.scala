@@ -127,6 +127,60 @@ object GridSearch {
       .orderBy($"estimator", $"rank")
   }
 
+  /** The per-estimator winning grid point, read off the cached sweep —
+    * a grid-bounded driver materialization (one row per estimator, like
+    * the k-means centroid collect).
+    */
+  private def bestParams(s: SparkSession, dir: String): Map[String, (Double, Double)] = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"estimator")
+      .orderBy($"auc_roc".desc, $"p1".asc, $"p2".asc)
+    gridAucs(s, dir).withColumn("rk", row_number().over(w))
+      .where($"rk" === 1).select($"estimator", $"p1", $"p2")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+  }
+
+  /** 5×2cv paired t-test between the per-estimator WINNERS of the sweep
+    * — the reference workflow's closing move: tune each family, then ask
+    * whether the best linear model and the best tree ensemble actually
+    * differ (ttest_5x2cv, reference src/TextClassification.py:1520,
+    * applied to the tuned pair instead of the fixed CV pair). Both
+    * winners REFIT on every fold's train half through the shared
+    * fold-tally machinery (featurizer included — no leakage), and the
+    * t statistic is the same Dietterich algebra as q_ttest_5x2 /
+    * q_ml_ttest_5x2 (CrossVal.ttestStat — the three queries can't
+    * drift). Output is one row carrying both winners' hyperparameters
+    * next to the statistic. Rows-only (model fits); MlEvalSpec pins the
+    * winner coordinates against the sweep and the statistic's
+    * determinism.
+    */
+  def mlGridTtest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val best = bestParams(s, dir)
+    val (lrRp, lrEn) = best("logreg")
+    val (rfDepth, rfTrees) = best("rf")
+    val winners: Seq[(String, () => org.apache.spark.ml.Estimator[_])] = Seq(
+      "logreg" -> (() => new LogisticRegression().setMaxIter(10)
+        .setRegParam(lrRp).setElasticNetParam(lrEn)),
+      "rf" -> (() => new RandomForestClassifier().setSeed(Classifiers.Seed)
+        .setMaxDepth(rfDepth.toInt).setNumTrees(rfTrees.toInt)))
+    val tallies = ModelEval.foldTalliesFor(s, dir, winners,
+      s"ml.gridWinnerFoldTallies:$dir")
+    val aucs = Evaluation.cumTallies(tallies, Seq("r", "f", "scorer"))
+      .groupBy($"r", $"f", $"scorer")
+      .agg((Evaluation.aucNumerator /
+        Evaluation.aucDenominator(sum($"cp"), sum($"c" - $"cp"))).as("auc"))
+    CrossVal.ttestStat(aucs, "logreg", "rf")
+      .select(
+        lit("logreg").as("estimator_a"),
+        lit(lrRp).as("a_reg_param"), lit(lrEn).as("a_elastic_net"),
+        lit("rf").as("estimator_b"),
+        lit(rfDepth).as("b_max_depth"), lit(rfTrees).as("b_num_trees"),
+        $"d00", $"s_sqr", $"t_stat")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q_ml_grid_search", mlGridSearch, None, singleShot = true))
+    GraftQuery("q_ml_grid_search", mlGridSearch, None, singleShot = true),
+    GraftQuery("q_ml_grid_ttest", mlGridTtest, None, singleShot = true))
 }

@@ -124,7 +124,17 @@ object ModelEval {
     * distinct-score rows no matter how large the test folds are.
     */
   private[graft] def foldTallies(s: SparkSession, dir: String): DataFrame =
-    SessionCache.getOrCompute(s, s"ml.cvFoldTallies:$dir") {
+    foldTalliesFor(s, dir, cvPair, s"ml.cvFoldTallies:$dir")
+
+  /** The same 5×2 refit-and-collapse machinery for ANY scorer pair —
+    * [[foldTallies]] runs it with the fixed CV pair; the grid-search
+    * winner t-test (GridSearch.mlGridTtest) with the per-estimator best
+    * hyperparameters. Memoized under the caller's key.
+    */
+  private[ml] def foldTalliesFor(s: SparkSession, dir: String,
+      scorers: Seq[(String, () => org.apache.spark.ml.Estimator[_])],
+      cacheKey: String): DataFrame =
+    SessionCache.getOrCompute(s, cacheKey) {
       import s.implicits._
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -164,7 +174,7 @@ object ModelEval {
             idf.transform(df).select($"doc_id", $"label", $"features")
           val (ftrain, ftest) = (feat(tf.where(!isTest)), feat(tf.where(isTest)))
           val cached = ftrain.persist()
-          val branches = cvPair.map { case (name, est) =>
+          val branches = scorers.map { case (name, est) =>
             val m = est().fit(cached).asInstanceOf[Transformer]
             m.transform(ftest).select(
               lit(name).as("scorer"), lit(r).as("r"), lit(f).as("f"),

@@ -227,4 +227,26 @@ class MlEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // all collapse to one degenerate score
     assert(rows.map(_._7).distinct.length >= 2, "all grid AUCs identical")
   }
+
+  test("grid-winner t-test carries the sweep's best params and a finite statistic") {
+    import graft.ml.GridSearch
+    val sweep = GridSearch.mlGridSearch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3), r.getDouble(5)))
+    val bestOf = sweep.filter(_._2 == 1).map(t => t._1 -> ((t._3, t._4))).toMap
+    val rows = GridSearch.mlGridTtest(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // (estimator_a, a_reg_param, a_elastic_net, estimator_b, b_max_depth,
+    //  b_num_trees, d00, s_sqr, t_stat)
+    assert(r.getString(0) == "logreg" && r.getString(3) == "rf")
+    assert((r.getDouble(1), r.getDouble(2)) == bestOf("logreg"),
+      "t-test must refit the logreg winner the sweep selected")
+    assert((r.getDouble(4), r.getDouble(5)) == bestOf("rf"),
+      "t-test must refit the rf winner the sweep selected")
+    val t = r.getDouble(8)
+    assert(!t.isNaN && !t.isInfinite, s"t_stat $t")
+    // determinism: seeded fits + deterministic folds → identical rerun
+    val again = GridSearch.mlGridTtest(spark, dir).collect()
+    assert(again.toSeq == rows.toSeq)
+  }
 }
