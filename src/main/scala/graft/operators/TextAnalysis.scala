@@ -188,6 +188,158 @@ object TextAnalysis {
        |SELECT doc_id, CAST(sum(term) % ${P} AS BIGINT) AS fingerprint
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS algorithm; the standard LOCAL fingerprint picker
+    * for substring-level dedup): hash every [[WinnowK]]-token k-gram
+    * (the Dedup.hash60 shingle hash, so both engines agree bit-for-bit),
+    * slide a [[WinnowW]]-window over the hash sequence, and in each
+    * window keep the RIGHTMOST MINIMUM — the published guarantee is that
+    * any match of length ≥ k+w−1 tokens shares at least one selected
+    * fingerprint, at an expected density of 2/(w+1) instead of storing
+    * every k-gram. Pure per-row generator algebra (higher-order array
+    * functions, whole-stage codegen, ZERO shuffle before the
+    * presentation sort); docs with fewer than k tokens emit
+    * n_kgrams = 0 with NULL density/digest (the knBigramLogprob
+    * no-silent-drop precedent). The digest is the md5 of the
+    * pos-sorted "pos:hash" list — the driver's scalar-output contract
+    * for set-valued results (the annLsh ids_md5 precedent).
+    */
+  val WinnowK = 4
+  val WinnowW = 4
+
+  /** Per-doc selected fingerprints as an array<struct<pos,fp>> column —
+    * shared by the per-doc digest query and the candidate-pair join.
+    */
+  private def winnowSelected(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emptySel = array().cast("array<struct<pos:int,fp:bigint>>")
+    Tables.documents(s, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+      .withColumn("m", greatest(size($"toks") - lit(WinnowK - 1), lit(0)))
+      .withColumn("gh", when($"m" >= 1,
+        transform(sequence(lit(1), $"m"), i =>
+          Dedup.hash60(array_join(slice($"toks", i, lit(WinnowK)), " ")) % P))
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn("sel", when($"m" >= 1,
+        array_sort(array_distinct(
+          transform(sequence(lit(1), greatest($"m" - lit(WinnowW - 1), lit(1))), t => {
+            val sl = slice($"gh", t, lit(WinnowW))
+            val minv = array_min(sl)
+            // rightmost occurrence of the window minimum: first position
+            // in the REVERSED window, mapped back
+            val posInSl = size(sl) + lit(1) -
+              call_function("array_position", reverse(sl), minv).cast("int")
+            struct((t + posInSl - lit(1)).cast("int").as("pos"), minv.as("fp"))
+          }))))
+        .otherwise(emptySel))
+      .select($"doc_id", $"m", $"sel")
+  }
+
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    winnowSelected(s, dir)
+      .select($"doc_id", $"m".cast("long").as("n_kgrams"),
+        size($"sel").cast("long").as("n_selected"),
+        when($"m" > 0, round(size($"sel").cast("double") / $"m", 6)).as("density"),
+        when(size($"sel") > 0, md5(array_join(
+          transform($"sel", x =>
+            concat(x("pos").cast("string"), lit(":"), x("fp").cast("string"))),
+          ",").cast("binary"))).as("fp_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val winnowFingerprintSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, greatest(len(l) - ${WinnowK - 1}, 0) AS m,
+       |    [${Dedup.hash60Sql(s"array_to_string(l[i:i+${WinnowK - 1}], ' ')")} % ${P}
+       |     for i in generate_series(1, greatest(len(l) - ${WinnowK - 1}, 0))] AS gh
+       |  FROM toks),
+       |raw AS (
+       |  SELECT doc_id, m,
+       |    CASE WHEN m >= 1 THEN
+       |      [{'pos': t - 1 + len(gh[t:least(t + ${WinnowW - 1}, m)])
+       |          - list_position(list_reverse(gh[t:least(t + ${WinnowW - 1}, m)]),
+       |              list_min(gh[t:least(t + ${WinnowW - 1}, m)])) + 1,
+       |        'fp': list_min(gh[t:least(t + ${WinnowW - 1}, m)])}
+       |       for t in generate_series(1, greatest(m - ${WinnowW - 1}, 1))]
+       |    ELSE [] END AS rawsel
+       |  FROM g),
+       |sels AS (
+       |  -- winnowing selections are non-decreasing in pos, so duplicates
+       |  -- are consecutive: an index filter dedups without list_distinct
+       |  -- (unimplemented for struct lists) and the result is pos-sorted
+       |  SELECT doc_id, m,
+       |    list_filter(rawsel, (x, i) -> i = 1 OR rawsel[i - 1] <> x) AS sel
+       |  FROM raw)
+       |SELECT doc_id, CAST(m AS BIGINT) AS n_kgrams,
+       |  CAST(len(sel) AS BIGINT) AS n_selected,
+       |  CASE WHEN m > 0 THEN round(CAST(len(sel) AS DOUBLE) / m, 6) END AS density,
+       |  CASE WHEN len(sel) > 0 THEN
+       |    md5(array_to_string([CAST(x.pos AS VARCHAR) || ':' || CAST(x.fp AS VARCHAR)
+       |      for x in sel], ','))
+       |  END AS fp_md5
+       |FROM sels ORDER BY doc_id""".stripMargin
+
+  /** Winnowing candidate pairs — the operator the fingerprints exist
+    * for: documents sharing ≥ 2 selected fingerprints are substring-
+    * overlap candidates (each shared fingerprint witnesses a common
+    * k-gram; the winnowing guarantee makes any ≥ k+w−1-token shared
+    * span produce at least one). Scale shape is the minhash-banding
+    * posture exactly: distinct (fp, doc) postings, CORPUS-HOT
+    * fingerprints capped (a fingerprint in > [[WinnowMaxPostings]] docs
+    * is boilerplate, dropped like a hot LSH bucket — bounds any
+    * posting-list join fan-out), one equi-join on fp, pair aggregation.
+    * Never all-pairs, no window over the corpus.
+    */
+  val WinnowMaxPostings = 64
+
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val postings = winnowSelected(s, dir)
+      .select($"doc_id", explode($"sel").as("x"))
+      .select($"doc_id", $"x.fp".as("fp"))
+      .distinct()
+    val rare = postings.groupBy($"fp")
+      .agg(count(lit(1)).as("df"))
+      .where($"df" <= WinnowMaxPostings && $"df" >= 2)
+      .select($"fp")
+    val p = postings.join(rare, "fp")
+    p.select($"fp", $"doc_id".as("doc_a"))
+      .join(p.select($"fp", $"doc_id".as("doc_b")), "fp")
+      .where($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, greatest(len(l) - ${WinnowK - 1}, 0) AS m,
+       |    [${Dedup.hash60Sql(s"array_to_string(l[i:i+${WinnowK - 1}], ' ')")} % ${P}
+       |     for i in generate_series(1, greatest(len(l) - ${WinnowK - 1}, 0))] AS gh
+       |  FROM toks),
+       |postings AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([list_min(gh[t:least(t + ${WinnowW - 1}, m)])
+       |      for t in generate_series(1, greatest(m - ${WinnowW - 1}, 1))]) AS fp
+       |  FROM g WHERE m >= 1),
+       |rare AS (
+       |  SELECT fp FROM postings GROUP BY fp
+       |  HAVING count(*) <= ${WinnowMaxPostings} AND count(*) >= 2)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM postings a JOIN rare USING (fp) JOIN postings b USING (fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** PII patterns shared by both engines — Java regex and RE2 agree on
     * this subset (character classes, bounded repeats, \b; no backrefs).
     * Replacement order matters and is fixed: emails first (they contain
@@ -949,6 +1101,8 @@ object TextAnalysis {
     GraftQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
     GraftQuery("q_token_stats", tokenStats, Some(tokenStatsSql)),
     GraftQuery("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    GraftQuery("q_winnow_fingerprint", winnowFingerprint, Some(winnowFingerprintSql)),
+    GraftQuery("q_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     GraftQuery("q_pii_redact", piiRedact, Some(piiRedactSql)),
     GraftQuery("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),

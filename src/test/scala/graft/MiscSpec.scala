@@ -34,6 +34,41 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(3L)._2 == 3L && byId(4L)._2 == 3L && byId(3L)._1.isDefined)
   }
 
+  test("winnowing guarantee: docs sharing a 2(k+w-1)-token span become a candidate pair") {
+    import spark.implicits._
+    val k = TextAnalysis.WinnowK
+    val w = TextAnalysis.WinnowW
+    // shared span of 2(k+w-1) tokens inside otherwise-distinct docs: each
+    // disjoint k+w-1 half guarantees one shared selected fingerprint
+    // (Schleimer et al. Thm), so the pair clears the >=2-shared gate
+    val span = (1 to 2 * (k + w - 1)).map(i => s"shared$i").mkString(" ")
+    val tmp = s"/tmp/graft_winnow_${ProcessHandle.current().pid()}"
+    Seq(
+      (1L, s"alpha beta gamma $span delta epsilon zeta", "en", "web", 0L),
+      (2L, s"one two three four $span five six", "en", "web", 0L),
+      (3L, "entirely different text with no overlap at all here", "en", "web", 0L),
+      (4L, "tiny doc", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = TextAnalysis.winnowPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Schleimer et al.: any match of length >= k+w-1 shares a fingerprint;
+    // the span contributes several k-grams, so the >=2-shared gate holds too
+    assert(pairs.contains((1L, 2L)), s"planted span pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "doc 3 has no overlap")
+    val fps = TextAnalysis.winnowFingerprint(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(fps.keySet == Set(1L, 2L, 3L, 4L), "every doc must surface")
+    // sub-k-token doc: zero k-grams, NULL density, not dropped
+    assert(fps(4L) == ((0L, 0L, None)))
+    // selected density is positive and below 1 where k-grams exist
+    fps.filter(_._2._1 > 0).values.foreach { case (m, nSel, d) =>
+      assert(nSel >= 1 && nSel <= m && d.exists(x => x > 0 && x <= 1.0))
+    }
+  }
+
   test("compression ratio orders repetitive < prose < noise and is deterministic") {
     import spark.implicits._
     import graft.operators.TextAnalysis
