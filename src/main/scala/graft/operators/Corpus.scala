@@ -631,6 +631,100 @@ object Corpus {
        |SELECT source, n_docs, n_tokens, share, weight, boost
        |FROM mix ORDER BY source""".stripMargin
 
+  /** UniMax epoch cap (Chung et al. 2023): no source may repeat more
+    * than this many epochs whatever the budget asks for.
+    */
+  val UniMaxEpochCap = 2L
+
+  /** UniMax mixture allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling") — the epoch-capped alternative
+    * to temperature sampling: distribute a token budget (here half the
+    * corpus) as UNIFORMLY as possible across sources, except no source
+    * repeats more than [[UniMaxEpochCap]] epochs. That is exactly
+    * waterfilling: sources whose capacity c_i = n_tokens_i × cap sits
+    * below the waterline are fully allocated (capped); the rest split
+    * the remaining budget evenly. Solved in CLOSED FORM, no iteration:
+    * rank sources by capacity (a #sources-bounded broadcast self-join,
+    * the eventsFunnel counts precedent — no partition-less window), a
+    * source is capped iff c_i·(n_uncapped_at_i) ≤ remaining budget at
+    * its rank — all EXACT integer arithmetic (capacities and budget are
+    * BIGINT), so both engines agree bit-for-bit; the final waterline is
+    * one integer division. One corpus scan (the per-source token hash
+    * agg), everything after is #sources-bounded.
+    */
+  def mixtureUnimax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val per = Tables.documents(s, dir)
+      .select($"source", size(TF.tokens($"text")).as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").cast("long").as("n_tokens"))
+      .withColumn("cap", $"n_tokens" * UniMaxEpochCap)
+    val tot = per.agg((sum($"n_tokens") / 2).cast("long").as("budget"),
+      count(lit(1)).as("nsrc"))
+    // exclusive prefix (cum_prev, n_before) in (cap, source) order via a
+    // bounded broadcast self-join — #sources² comparisons, no window
+    val b = per.select($"source".as("s2"), $"cap".as("c2"))
+    val pre = per.select($"source", $"cap")
+      .join(broadcast(b),
+        $"c2" < $"cap" || ($"c2" === $"cap" && $"s2" < $"source"), "left")
+      .groupBy($"source")
+      .agg(coalesce(sum($"c2"), lit(0L)).as("cum_prev"),
+        count($"s2").as("n_before"))
+    val flags = per.join(pre, "source").crossJoin(broadcast(tot))
+      .withColumn("capped",
+        $"cap" * ($"nsrc" - $"n_before") <= $"budget" - $"cum_prev")
+    val kk = flags.agg(
+      sum($"capped".cast("long")).as("kstar"),
+      coalesce(sum(when($"capped", $"cap")), lit(0L)).as("cumk"))
+    val alloc = least($"cap".cast("double"),
+      coalesce(($"budget" - $"cumk").cast("double") /
+        nullif($"nsrc" - $"kstar", lit(0L)), $"cap".cast("double")))
+    flags.crossJoin(broadcast(kk))
+      .select($"source", $"n_docs", $"n_tokens", $"cap".as("capacity"),
+        round(alloc, 2).as("allocation"),
+        round(alloc / $"n_tokens", 6).as("epochs"),
+        $"capped")
+      .orderBy($"source")
+  }
+
+  val mixtureUnimaxSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |caps AS (
+       |  SELECT source, n_docs, n_tokens, n_tokens * ${UniMaxEpochCap} AS cap
+       |  FROM per),
+       |tot AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget,
+       |               count(*) AS nsrc FROM per),
+       |pre AS (
+       |  SELECT a.source, CAST(coalesce(sum(b.cap), 0) AS BIGINT) AS cum_prev,
+       |    count(b.source) AS n_before
+       |  FROM caps a LEFT JOIN caps b
+       |    ON b.cap < a.cap OR (b.cap = a.cap AND b.source < a.source)
+       |  GROUP BY a.source),
+       |flags AS (
+       |  SELECT c.source, c.n_docs, c.n_tokens, c.cap, p.cum_prev, p.n_before,
+       |    t.budget, t.nsrc,
+       |    (c.cap * (t.nsrc - p.n_before) <= t.budget - p.cum_prev) AS capped
+       |  FROM caps c JOIN pre p USING (source) CROSS JOIN tot t),
+       |kk AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS kstar,
+       |    CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS cumk
+       |  FROM flags)
+       |SELECT source, n_docs, n_tokens, CAST(cap AS BIGINT) AS capacity,
+       |  round(least(CAST(cap AS DOUBLE),
+       |    coalesce(CAST(budget - cumk AS DOUBLE) / nullif(nsrc - kstar, 0),
+       |      CAST(cap AS DOUBLE))), 2) AS allocation,
+       |  round(least(CAST(cap AS DOUBLE),
+       |    coalesce(CAST(budget - cumk AS DOUBLE) / nullif(nsrc - kstar, 0),
+       |      CAST(cap AS DOUBLE))) / n_tokens, 6) AS epochs,
+       |  capped
+       |FROM flags CROSS JOIN kk
+       |ORDER BY source""".stripMargin
+
   /** MATERIALIZE the temperature mixture — the resampling step that
     * turns q_mixture_temperature's per-source boost into an actual
     * corpus: each document replicates `⌊boost⌋ + Bernoulli(frac)` times
@@ -814,6 +908,7 @@ object Corpus {
     GraftQuery("q_source_mixture", sourceMixture, Some(sourceMixtureSql)),
     GraftQuery("q_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),
+    GraftQuery("q_mixture_unimax", mixtureUnimax, Some(mixtureUnimaxSql)),
     GraftQuery("q_mixture_apply", mixtureApply, Some(mixtureApplySql)),
     GraftQuery("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
 }

@@ -222,6 +222,32 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unimax allocation waterfills: budget conserved, epochs capped, waterline shared") {
+    import spark.implicits._
+    val rows = Corpus.mixtureUnimax(spark, dir)
+      .select($"n_tokens", $"capacity", $"allocation", $"epochs", $"capped")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val budget = rows.map(_._1).sum / 2
+    // allocations sum to the budget (up to the per-row 2-dp rounding)
+    assert(math.abs(rows.map(_._3).sum - budget) <= rows.length,
+      s"sum ${rows.map(_._3).sum} vs budget $budget")
+    rows.foreach { case (nt, cap, alloc, epochs, capped) =>
+      assert(cap == nt * Corpus.UniMaxEpochCap)
+      assert(alloc > 0 && alloc <= cap + 0.01)
+      assert(epochs <= Corpus.UniMaxEpochCap + 1e-6)
+      assert(math.abs(epochs - alloc / nt) < 1e-4)
+      if (capped) assert(math.abs(alloc - cap) < 0.01, "capped => full capacity")
+    }
+    // every uncapped source sits on one shared waterline
+    val waterlines = rows.filter(!_._5).map(_._3).distinct
+    assert(waterlines.length <= 1, s"uncapped allocations differ: $waterlines")
+    // a capped source's capacity must sit below the waterline
+    waterlines.headOption.foreach { wl =>
+      rows.filter(_._5).foreach { r => assert(r._2 <= wl + 0.01) }
+    }
+  }
+
   test("model compare: metrics in range, informed model beats dummy on F1") {
     import spark.implicits._
     val rows = Evaluation.modelCompare(spark, dir)
