@@ -210,11 +210,21 @@ object TextAnalysis {
   /** Per-doc selected fingerprints as an array<struct<pos,fp>> column —
     * shared by the per-doc digest query and the candidate-pair join.
     */
-  private def winnowSelected(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def winnowSelected(s: SparkSession, dir: String): DataFrame =
+    winnowSelectedOf(Tables.documents(s, dir))
+
+  /** The winnowing selection on ANY (doc_id, text, ...) frame — every
+    * expression is row-local (higher-order array functions over the
+    * doc's own tokens, zero cross-row aggregation), so the SAME column
+    * algebra serves the batch queries and the streaming twin
+    * (EventsStream.winnowMatchStream) with value-identical
+    * fingerprints. Non-(doc_id, text) input columns pass through.
+    */
+  private[graft] def winnowSelectedOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val emptySel = array().cast("array<struct<pos:int,fp:bigint>>")
-    Tables.documents(s, dir)
-      .select($"doc_id", TF.tokens($"text").as("toks"))
+    docs
+      .withColumn("toks", TF.tokens($"text"))
       .withColumn("m", greatest(size($"toks") - lit(WinnowK - 1), lit(0)))
       .withColumn("gh", when($"m" >= 1,
         transform(sequence(lit(1), $"m"), i =>
@@ -232,7 +242,7 @@ object TextAnalysis {
             struct((t + posInSl - lit(1)).cast("int").as("pos"), minv.as("fp"))
           }))))
         .otherwise(emptySel))
-      .select($"doc_id", $"m", $"sel")
+      .drop("text", "toks", "gh")
   }
 
   def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {

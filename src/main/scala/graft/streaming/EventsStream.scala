@@ -126,6 +126,31 @@ object EventsStream {
     nearDedupStream(gated)
   }
 
+  /** Stream-static winnowing match — the substring-overlap screen of
+    * the ingest family: arriving docs compute their winnowed
+    * fingerprints ROW-LOCALLY (TextAnalysis.winnowSelectedOf — the
+    * identical column algebra as the batch q_winnow_fingerprint, pure
+    * higher-order functions over the doc's own tokens, so the stage is
+    * stateless and the fingerprints are value-identical to the batch
+    * builder's), then join a historical (doc_id, fp) postings table
+    * stream-STATIC (no join state — the q_winnow_pairs posting-list
+    * read). Emits one (doc_id, ts, store_id) candidate per matched
+    * historical doc, deduplicated within the watermark horizon. The
+    * batch ≥2-shared gate finalizes candidates in the daily loop; the
+    * streaming screen is deliberately the ≥1-shared recall-first
+    * filter (the published winnowing guarantee needs only one shared
+    * fingerprint per k+w−1-token overlap).
+    */
+  def winnowMatchStream(docs: DataFrame, postings: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.winnowSelectedOf(
+        docs.withWatermark("ts", "2 hours"))
+      .where(size(col("sel")) > 0)
+      .select(col("doc_id"), col("ts"), explode(col("sel")).as("x"))
+      .select(col("doc_id"), col("ts"), col("x.fp").as("fp"))
+      .join(postings.select(col("doc_id").as("store_id"), col("fp")), Seq("fp"))
+      .select(col("doc_id"), col("ts"), col("store_id"))
+      .dropDuplicatesWithinWatermark("doc_id", "store_id")
+
   /** Stream-static incremental near-dup — the CONTINUOUS form of
     * IncrementalDedup.deltaAgainstStore: each arriving doc checks
     * against the HISTORICAL corpus's bucketed MinHash signature store.

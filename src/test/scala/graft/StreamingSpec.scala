@@ -71,6 +71,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("neardup_out").count() == 2)
   }
 
+  test("stream-static winnowing match flags substring overlap against the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val k = TextAnalysis.WinnowK
+    val w = TextAnalysis.WinnowW
+    val span = (1 to 2 * (k + w - 1)).map(i => s"shared$i").mkString(" ")
+    // historical store: one doc carrying the span, one without
+    val hist = Seq(
+      (100L, s"historic prefix words $span historic suffix words"),
+      (101L, "completely unrelated historical document text here"))
+      .toDF("doc_id", "text")
+    val postings = TextAnalysis.winnowSelectedOf(hist)
+      .select($"doc_id", explode($"sel").as("x"))
+      .select($"doc_id", $"x.fp".as("fp"))
+      .distinct()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(
+      (1L, ts(10), s"arriving doc alpha $span beta gamma"),
+      (2L, ts(11), "no overlap with anything stored at all today"),
+      (3L, ts(12), "tiny"))
+    val q = EventsStream.winnowMatchStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), postings)
+      .writeStream.format("memory").queryName("winnow_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("winnow_out")
+      .select($"doc_id", $"store_id").as[(Long, Long)].collect().toSet
+    // the span doc matches its historical twin exactly once (watermark
+    // dedup collapses multi-fingerprint collisions); others stay silent
+    assert(out == Set((1L, 100L)), s"got $out")
+  }
+
   test("streaming count-min sketch equals the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
