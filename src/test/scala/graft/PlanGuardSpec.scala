@@ -143,6 +143,27 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${hashEx.size} hash exchange(s) in the fused signal projection")
   }
 
+  test("winnow fingerprint plan is one scan, zero hash exchanges; pairs join equi-key only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // the per-doc selection is pure row-local algebra: any hash exchange
+    // means a join/groupBy crept into what must stay a projection
+    val fpPlan = SparkEntry.queries("q_winnow_fingerprint")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(fpPlan.collectLeaves().size == 1, "winnow fingerprint must scan once")
+    val hashEx = fpPlan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty, s"${hashEx.size} hash exchange(s) in the selection projection")
+    // candidate pairs must come from the fp equi-join — never a
+    // nested-loop pair sweep
+    val prPlan = SparkEntry.queries("q_winnow_pairs")(spark, dir)
+      .queryExecution.sparkPlan
+    val bnlj = prPlan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, "winnow pairs must join postings by fingerprint equi-key")
+  }
+
   test("curation gate features read the corpus exactly twice") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // the fused row-local scan + the LM signal's scoring pass; the LM
