@@ -59,4 +59,18 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val canon = EventOps.events(spark, dir)
     assert(EventOps.canonicalTs(canon).schema("ts").dataType == TimestampType)
   }
+
+  test("nanos footer without the legacy flag fails with actionable guidance") {
+    // session-scoped SQL conf: a sibling session can drop the flag
+    // without touching the suite session
+    val bare = spark.newSession()
+    bare.conf.unset(Tables.NanosFlag)
+    val e = intercept[IllegalArgumentException] {
+      Tables.events(bare, nanosDir).schema
+    }
+    assert(e.getMessage.contains(Tables.NanosFlag),
+      s"guidance must name the flag: ${e.getMessage}")
+    // the micros table still loads fine without the flag
+    assert(Tables.events(bare, dir).count() > 0)
+  }
 }
