@@ -189,4 +189,54 @@ object IncrementalDedup {
           .as("est_jaccard"))
       .orderBy($"delta_id", $"store_id")
   }
+
+  /** Winnowing postings store — the substring-overlap screen's daily
+    * loop, same posture as the signature store: distinct (fp, doc_id)
+    * postings bucketed AND sorted on fp, so every future delta screen
+    * reads the historical side bucket-aligned with no Exchange.
+    * Corpus-hot fingerprints (boilerplate appearing in more than
+    * [[TextAnalysis.WinnowMaxPostings]] docs in the snapshot) are
+    * dropped at build time — the q_winnow_pairs cap applied to the
+    * index; absorbs append raw delta postings, and the periodic
+    * [[compactStore]] rebuild is where a deployment re-applies the cap
+    * over accumulated history.
+    */
+  def writeWinnowStore(docs: DataFrame, table: String): Unit = {
+    import docs.sparkSession.implicits._
+    val p = TextAnalysis.winnowPostingsOf(docs)
+    val rare = p.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .where($"df" <= TextAnalysis.WinnowMaxPostings).select($"fp")
+    p.join(rare, "fp")
+      .select($"fp", $"doc_id")
+      .write.bucketBy(StoreBuckets, "fp").sortBy("fp")
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** Absorb a delta's winnow postings — append-only, bucket-aligned
+    * (the [[absorbDelta]] contract applied to the postings table).
+    */
+  def absorbWinnowDelta(s: SparkSession, delta: DataFrame, table: String): Unit =
+    TextAnalysis.winnowPostingsOf(delta)
+      .select(s.table(table).columns.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append").insertInto(table)
+
+  /** Substring-overlap candidates of a delta batch against the store:
+    * winnow the delta row-locally (its own cost only), equi-join the
+    * postings table on fp — store side bucket-aligned, delta side
+    * shuffles into the store's bucketing — and keep delta-vs-store doc
+    * pairs sharing ≥ 2 fingerprints (the q_winnow_pairs gate).
+    */
+  def winnowDeltaAgainstStore(s: SparkSession, delta: DataFrame,
+      table: String): DataFrame = {
+    import s.implicits._
+    val d = TextAnalysis.winnowPostingsOf(delta)
+      .select($"fp", $"doc_id".as("delta_id"))
+    val st = s.table(table).select($"fp", $"doc_id".as("store_id"))
+    d.join(st, "fp")
+      .where($"delta_id" =!= $"store_id")
+      .groupBy($"delta_id", $"store_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= 2)
+      .orderBy($"delta_id", $"store_id")
+  }
 }

@@ -306,12 +306,22 @@ object TextAnalysis {
     */
   val WinnowMaxPostings = 64
 
-  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val postings = winnowSelected(s, dir)
+  /** Distinct (doc_id, fp) winnow postings on any (doc_id, text) frame
+    * — the inverted-index rows of the substring screen, shared by the
+    * registered pair query and the incremental postings store
+    * (IncrementalDedup.writeWinnowStore).
+    */
+  private[graft] def winnowPostingsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    winnowSelectedOf(docs)
       .select($"doc_id", explode($"sel").as("x"))
       .select($"doc_id", $"x.fp".as("fp"))
       .distinct()
+  }
+
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val postings = winnowPostingsOf(Tables.documents(s, dir))
     val rare = postings.groupBy($"fp")
       .agg(count(lit(1)).as("df"))
       .where($"df" <= WinnowMaxPostings && $"df" >= 2)

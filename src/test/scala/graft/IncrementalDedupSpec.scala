@@ -47,6 +47,35 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
   }
 
+  test("winnow delta-vs-store equals the batch pair query across the split") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val winTable = "winnow_store_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $winTable")
+    val (store, delta) = splitDocs
+    IncrementalDedup.writeWinnowStore(store, winTable)
+    val got = IncrementalDedup.winnowDeltaAgainstStore(spark, delta, winTable)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch reference: registered winnow pairs with exactly one endpoint
+    // in the delta, oriented delta-first (caps agree on this corpus:
+    // no shared fingerprint sits near the hot-postings bound)
+    val expected = TextAnalysis.winnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a < 50) != (b < 50) }
+      .map { case (a, b, n) => if (a < 50) (a, b, n) else (b, a, n) }
+      .toSet
+    assert(expected.nonEmpty, "split produced no spanning winnow pairs")
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    // store side reads bucket-aligned: absorbing the delta keeps the
+    // bucket spec so tomorrow's screen stays exchange-free on the store
+    IncrementalDedup.absorbWinnowDelta(spark, delta, winTable)
+    val storeScan = spark.table(winTable).queryExecution.executedPlan.toString
+    assert(!storeScan.contains("ShuffleExchange"), "store scan must not shuffle")
+    val absorbed = spark.table(winTable).select($"doc_id").distinct().count()
+    assert(absorbed > store.count() / 2, "absorbed postings must be visible")
+    spark.sql(s"DROP TABLE IF EXISTS $winTable")
+  }
+
   test("row-local signature bands equal the batch builder's values") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
