@@ -210,9 +210,57 @@ object EventOps {
       |FROM cells JOIN sizes USING (cohort_day)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** DAU / MAU stickiness — the canonical activity-ratio metric: per
+    * observed day, the distinct users active that day over the distinct
+    * users active in the trailing 28 days. The trailing-window distinct
+    * is NOT a range join (a BNLJ at scale) and NOT a per-day rescan:
+    * each (user, active-day) row GENERATES its 28 future day
+    * contributions (a bounded row-local explode), and one
+    * countDistinct hash aggregation per target day does the rest —
+    * two-phase partial aggregation, fan-out fixed at 28 whatever the
+    * event volume, target days filtered to the observed-day frame (a
+    * broadcast-tiny join).
+    */
+  def eventsDauMau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = events(s, dir)
+      .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+      .distinct()
+    val days = du.select($"day").distinct()
+    val contrib = du
+      .select($"user_id", explode(sequence(lit(0), lit(27))).as("off"), $"day")
+      .select($"user_id", date_add($"day", $"off").as("day"))
+      .distinct()
+    val mau = contrib.join(broadcast(days), "day")
+      .groupBy($"day").agg(countDistinct($"user_id").as("mau"))
+    val dau = du.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    dau.join(mau, "day")
+      .select($"day", $"dau", $"mau",
+        round($"dau".cast("double") / $"mau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+
+  val eventsDauMauSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::DATE AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |contrib AS (
+      |  SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS day
+      |  FROM du, (SELECT unnest(generate_series(0, 27)) AS o) oo),
+      |mau AS (
+      |  SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+      |  FROM contrib c JOIN days USING (day) GROUP BY c.day),
+      |dau AS (
+      |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM du GROUP BY day)
+      |SELECT day, dau, mau, round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+      |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_events_sessionize", sessionize, Some(sessionizeSql)),
     GraftQuery("q_stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
     GraftQuery("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
-    GraftQuery("q_events_retention", eventsRetention, Some(eventsRetentionSql)))
+    GraftQuery("q_events_retention", eventsRetention, Some(eventsRetentionSql)),
+    GraftQuery("q_events_dau_mau", eventsDauMau, Some(eventsDauMauSql)))
 }

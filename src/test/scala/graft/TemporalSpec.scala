@@ -68,4 +68,26 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where($"n_prev_5min" =!= $"n_naive").count()
     assert(mismatches == 0)
   }
+
+  test("dau/mau covers every observed day; mau dominates dau and a naive recount") {
+    import spark.implicits._
+    val rows = EventOps.eventsDauMau(spark, dir).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val du = EventOps.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1)))
+    assert(rows.map(_._1).toSet == du.map(_._2).toSet, "one row per observed day")
+    rows.foreach { case (_, dau, mau, st) =>
+      assert(dau >= 1 && mau >= dau, s"mau $mau must dominate dau $dau")
+      assert(st > 0 && st <= 1.0 && math.abs(st - dau.toDouble / mau) < 1e-4)
+    }
+    // naive trailing-28-day recount on one mid-range day
+    val probe = rows.map(_._1).sorted.apply(rows.length / 2)
+    val naiveMau = du.filter { case (_, d) =>
+      !d.after(probe) && d.toLocalDate.plusDays(28).isAfter(probe.toLocalDate)
+    }.map(_._1).distinct.length
+    val got = rows.find(_._1 == probe).get._3
+    assert(got == naiveMau.toLong, s"mau $got vs naive $naiveMau on $probe")
+  }
 }
