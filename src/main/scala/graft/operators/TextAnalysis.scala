@@ -794,7 +794,14 @@ object TextAnalysis {
     * before the hash gate, absorbing last-ulp ln() differences across
     * libm implementations.
     */
-  def knBigramLogprob(s: SparkSession, dir: String): DataFrame = {
+  def knBigramLogprob(s: SparkSession, dir: String): DataFrame =
+    knBigramFrame(s, dir).orderBy(col("doc_id"))
+
+  /** The per-doc KN frame WITHOUT the presentation sort — one source
+    * for q_kn_bigram_logprob and the KN perplexity buckets composing
+    * over it (the avgLogprobFrame convention).
+    */
+  private def knBigramFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perDoc = bigramOccurrences(s, dir)
       .join(knModel(s, dir), Seq("w1", "w2"))
@@ -813,7 +820,6 @@ object TextAnalysis {
       .join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id", $"avg_kn_logprob",
         coalesce($"n_bigrams", lit(0L)).as("n_bigrams"))
-      .orderBy($"doc_id")
   }
 
   /** Per-doc bigram occurrence rows (doc_id, pos, w1, w2) — one scan,
@@ -859,8 +865,12 @@ object TextAnalysis {
       scored
     }
 
-  val knBigramLogprobSql: String =
-    """WITH toks AS (
+  /** Shared KN oracle CTE chain ending in `agg(doc_id, avg_kn_logprob,
+    * n_bigrams)` over the scoreable (≥ 2-token) docs — one source for
+    * the per-doc query and the KN perplexity-bucket oracle.
+    */
+  private val knLpCtesSql: String =
+    """toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
       |  FROM documents),
       |bg AS (
@@ -882,11 +892,65 @@ object TextAnalysis {
       |    round(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
       |      (x, y) -> x + y) / count(*), 6) AS avg_kn_logprob,
       |    CAST(count(*) AS BIGINT) AS n_bigrams
-      |  FROM per GROUP BY doc_id)
+      |  FROM per GROUP BY doc_id)""".stripMargin
+
+  val knBigramLogprobSql: String =
+    s"""WITH $knLpCtesSql
       |SELECT d.doc_id, a.avg_kn_logprob,
       |  coalesce(a.n_bigrams, 0) AS n_bigrams
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** CCNet perplexity tertiles on the KN BIGRAM LM — the published
+    * filter's actual shape (Wenzek et al. 2020 bucket by a KenLM n-gram
+    * model, not a unigram proxy): docs ranked by their KN mean logprob
+    * and split head/middle/tail through the same collapsed-distinct-
+    * score cumTallies prefix sum as q_perplexity_buckets (no
+    * partition-less window, ties share a bucket, exact integer ceil
+    * cutoffs). Docs with no bigrams (< 2 tokens) are not rankable and
+    * surface explicitly as 'unscored' rather than dropping or skewing
+    * the tertile counts.
+    */
+  def knPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lp0 = knBigramFrame(s, dir)
+    val scored = lp0.where($"n_bigrams" > 0).select($"doc_id", $"avg_kn_logprob")
+    val sc0 = scored.groupBy($"avg_kn_logprob").agg(count(lit(1)).as("c"))
+    val bounds = sc0.agg(min($"avg_kn_logprob").as("mn"),
+      max($"avg_kn_logprob").as("mx"), sum($"c").as("n"))
+    val sc = sc0
+      .crossJoin(broadcast(bounds))
+      .withColumn("score", when($"mx" === $"mn", lit(0.5))
+        .otherwise(($"avg_kn_logprob" - $"mn") / ($"mx" - $"mn")))
+      .withColumn("cp", lit(0L))
+    val ranked = Evaluation.cumTallies(sc, Seq.empty)
+      .select($"avg_kn_logprob",
+        when($"rk" <= expr("(n + 2) div 3"), "head")
+          .when($"rk" <= expr("(n * 2 + 2) div 3"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+    lp0.select($"doc_id", $"avg_kn_logprob")
+      .join(ranked, Seq("avg_kn_logprob"), "left")
+      .select($"doc_id", $"avg_kn_logprob",
+        coalesce($"ppl_bucket", lit("unscored")).as("ppl_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  val knPerplexityBucketsSql: String =
+    s"""WITH $knLpCtesSql,
+       |scs AS (SELECT avg_kn_logprob, count(*) AS c FROM agg GROUP BY 1),
+       |rr AS (SELECT avg_kn_logprob,
+       |         sum(c) OVER (ORDER BY avg_kn_logprob DESC) AS rk FROM scs),
+       |nn AS (SELECT count(*) AS n FROM agg),
+       |buck AS (
+       |  SELECT a.doc_id, a.avg_kn_logprob,
+       |    CASE WHEN rk <= (n + 2) // 3 THEN 'head'
+       |         WHEN rk <= (n * 2 + 2) // 3 THEN 'middle'
+       |         ELSE 'tail' END AS ppl_bucket
+       |  FROM agg a JOIN rr USING (avg_kn_logprob) CROSS JOIN nn)
+       |SELECT d.doc_id, b.avg_kn_logprob,
+       |  coalesce(b.ppl_bucket, 'unscored') AS ppl_bucket
+       |FROM documents d LEFT JOIN buck b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** N-gram diversity (the distinct-n metric, Li et al. 2016): per
     * source and n ∈ {1,2,3}, the ratio of distinct n-grams to total
@@ -1128,6 +1192,8 @@ object TextAnalysis {
     GraftQuery("q_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
     GraftQuery("q_kn_bigram_logprob", knBigramLogprob, Some(knBigramLogprobSql)),
     GraftQuery("q_perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql)),
+    GraftQuery("q_kn_perplexity_buckets", knPerplexityBuckets,
+      Some(knPerplexityBucketsSql)),
     GraftQuery("q_ngram_diversity", ngramDiversity, Some(ngramDiversitySql)),
     GraftQuery("q_compression_ratio", compressionRatio, None),
     GraftQuery("q_gopher_rules", gopherRules, Some(gopherRulesSql)),

@@ -32,6 +32,12 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
       (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2))).toMap
     assert(byId(1L) == ((None, 0L)) && byId(2L) == ((None, 0L)))
     assert(byId(3L)._2 == 3L && byId(4L)._2 == 3L && byId(3L)._1.isDefined)
+    // the KN tertiles surface unrankable docs as 'unscored', bucket the rest
+    val buckets = TextAnalysis.knPerplexityBuckets(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(buckets(1L) == "unscored" && buckets(2L) == "unscored")
+    assert(Set("head", "middle", "tail")(buckets(3L)) &&
+      Set("head", "middle", "tail")(buckets(4L)))
   }
 
   test("winnowing guarantee: docs sharing a 2(k+w-1)-token span become a candidate pair") {
