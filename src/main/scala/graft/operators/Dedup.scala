@@ -105,12 +105,14 @@ object Dedup {
       .select($"doc_id", coalesce(size($"arr"), lit(0)).cast("long").as("n"))
   }
 
-  private[operators] val shinglesSql =
-    """(SELECT doc_id, unnest(list_distinct(
+  private[operators] def shinglesSqlAs(alias: String): String =
+    s"""(SELECT doc_id, unnest(list_distinct(
       |    [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
       |  )) AS shingle
-      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
-      |        FROM documents) d) sh""".stripMargin
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      |        FROM documents) d) $alias""".stripMargin
+
+  private[operators] val shinglesSql = shinglesSqlAs("sh")
 
   /** Exact dedup: md5 grouping, keep the smallest doc_id per content hash
     * — one hash aggregation, the canonical 100 TB exact-dedup plan.
@@ -317,6 +319,14 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    minhashEst(s, dir).orderBy($"id_a", $"id_b")
+  }
+
+  /** The unsorted (id_a, id_b, est_jaccard) estimate frame — one source
+    * for the registered pair query and the sketch-accuracy scoreboard.
+    */
+  private[graft] def minhashEst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val wide = minhashWide(shinglesOf(Tables.documents(s, dir)))
     val sigs = wide.select($"doc_id",
         explode(array(hashParams.map { case (i, _, _) =>
@@ -341,12 +351,15 @@ object Dedup {
       .groupBy($"id_a", $"id_b")
       .agg((sum(($"x.mh" === $"y.mh").cast("int")).cast("double") / NumHashes)
         .as("est_jaccard"))
-    agree.orderBy($"id_a", $"id_b")
+    agree
   }
 
-  val minhashLshSql: String = {
+  /** Shared oracle CTE chain ending in `est(id_a, id_b, est_jaccard)` —
+    * one source for the pair query and the accuracy scoreboard.
+    */
+  private val minhashCtesSql: String = {
     val paramRows = hashParams.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
-    s"""WITH params(i, a, b) AS (VALUES $paramRows),
+    s"""params(i, a, b) AS (VALUES $paramRows),
        |sh AS (SELECT doc_id, ${hash60Sql("shingle")} % ${P} AS x FROM $shinglesSql),
        |sigs AS (
        |  SELECT doc_id, i, min((a * x + b) % ${P}) AS mh
@@ -358,16 +371,78 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b,
-       |  CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / ${NumHashes}
-       |    AS est_jaccard
-       |FROM cand
-       |JOIN sigs x ON x.doc_id = id_a
-       |JOIN sigs y ON y.doc_id = id_b AND x.i = y.i
-       |GROUP BY id_a, id_b
-       |ORDER BY id_a, id_b""".stripMargin
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / ${NumHashes}
+       |      AS est_jaccard
+       |  FROM cand
+       |  JOIN sigs x ON x.doc_id = id_a
+       |  JOIN sigs y ON y.doc_id = id_b AND x.i = y.i
+       |  GROUP BY id_a, id_b)""".stripMargin
   }
+
+  val minhashLshSql: String =
+    s"""WITH $minhashCtesSql
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Sketch-accuracy SCOREBOARD for the MinHash estimator — the dedup
+    * analog of q_ann_recall: every LSH candidate pair's 16-hash
+    * agreement estimate NEXT TO the exact n-gram Jaccard it
+    * approximates, with the absolute error. This is the query a 100 TB
+    * deployment runs on a sample before trusting the sketch to replace
+    * the inverted-index join (16 hashes ⇒ σ = √(J(1−J)/16) ≈ 0.125 at
+    * J = 0.5; a drifting corpus shows up here first). Scale shape:
+    * candidates come from band buckets (never all-pairs) and the exact
+    * re-score is the verify-stage pattern — the per-doc shingle ARRAYS
+    * equi-joined against the small candidate frame (AQE broadcasts the
+    * candidate side), intersection as a per-row array_intersect. The
+    * estimate m/16 and the ratio inter/(na+nb−inter) are both exact
+    * IEEE divisions, so the scoreboard hash-checks.
+    */
+  def minhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val est = minhashEst(s, dir)
+    val arrs = shingleArrs(s, dir)
+    val jac = coalesce($"inter".cast("double") /
+      ($"na" + $"nb" - $"inter"), lit(0.0))
+    est
+      .join(arrs.select($"doc_id".as("id_a"), $"arr".as("arr_a")), "id_a")
+      .join(arrs.select($"doc_id".as("id_b"), $"arr".as("arr_b")), "id_b")
+      .select($"id_a", $"id_b", $"est_jaccard",
+        coalesce(size(array_intersect($"arr_a", $"arr_b")), lit(0))
+          .cast("long").as("inter"),
+        coalesce(size($"arr_a"), lit(0)).cast("long").as("na"),
+        coalesce(size($"arr_b"), lit(0)).cast("long").as("nb"))
+      .select($"id_a", $"id_b",
+        round($"est_jaccard", 6).as("est_jaccard"),
+        round(jac, 6).as("jaccard"),
+        round(abs($"est_jaccard" - jac), 6).as("abs_err"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val minhashAccuracySql: String =
+    s"""WITH $minhashCtesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM $shinglesSql GROUP BY doc_id),
+       |inter AS (
+       |  SELECT e.id_a, e.id_b, count(*) AS inter
+       |  FROM est e
+       |  JOIN ${shinglesSqlAs("sha")} ON sha.doc_id = e.id_a
+       |  JOIN ${shinglesSqlAs("shb")} ON shb.doc_id = e.id_b
+       |    AND sha.shingle = shb.shingle
+       |  GROUP BY e.id_a, e.id_b)
+       |SELECT e.id_a, e.id_b,
+       |  round(e.est_jaccard, 6) AS est_jaccard,
+       |  round(coalesce(CAST(i.inter AS DOUBLE)
+       |    / (na.n + nb.n - i.inter), 0.0), 6) AS jaccard,
+       |  round(abs(e.est_jaccard - coalesce(CAST(i.inter AS DOUBLE)
+       |    / (na.n + nb.n - i.inter), 0.0)), 6) AS abs_err
+       |FROM est e
+       |LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+       |JOIN sizes na ON na.doc_id = e.id_a
+       |JOIN sizes nb ON nb.doc_id = e.id_b
+       |ORDER BY e.id_a, e.id_b""".stripMargin
 
   /** 64-bit SimHash fingerprints over tf-weighted token hashes (60 bits
     * used). Near-dup candidates at scale come from 15-bit chunk equality
@@ -592,5 +667,6 @@ object Dedup {
     GraftQuery("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     GraftQuery("q_dedup_simhash", simhash, Some(simhashSql)),
     GraftQuery("q_dedup_containment", containment, Some(containmentSql)),
-    GraftQuery("q_lsh_plan", lshPlan, Some(lshPlanSql)))
+    GraftQuery("q_lsh_plan", lshPlan, Some(lshPlanSql)),
+    GraftQuery("q_minhash_accuracy", minhashAccuracy, Some(minhashAccuracySql)))
 }

@@ -94,6 +94,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == Seq((2L, 1L, 1.0)))
   }
 
+  test("minhash accuracy scoreboard: exact jaccard recomputed independently, error consistent") {
+    import spark.implicits._
+    val sb = Dedup.minhashAccuracy(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(sb.nonEmpty)
+    // the scoreboard covers exactly the LSH candidate pairs
+    val est = Dedup.minhashLsh(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(sb.map(r => (r._1, r._2)).toSet == est)
+    // exact jaccard column agrees with the unpruned inverted-join truth
+    val truth = Dedup.ngramJaccardPrefix(spark, dir, 0.0)
+      .select($"id_a", $"id_b", round($"jaccard", 6))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    sb.foreach { case (a, b, estJ, exact, err) =>
+      assert(math.abs(exact - truth.getOrElse((a, b), 0.0)) < 1e-9,
+        s"pair ($a,$b)")
+      assert(math.abs(err - math.abs(estJ - exact)) < 1e-5)
+      assert(estJ >= 0.0 && estJ <= 1.0 && exact >= 0.0 && exact <= 1.0)
+    }
+  }
+
   test("containment prefix filter equals the unpruned inverted join") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
