@@ -1180,6 +1180,147 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** PMI collocations (Church & Hanks 1990) — the top-20 adjacent word
+    * pairs by pointwise mutual information ln(p(w1w2)/(p(w1)p(w2))),
+    * support-filtered at c12 ≥ 5: the phrase-mining / tokenizer-seeding
+    * statistic a dataset card reports next to heavy hitters. Scale
+    * shape: one corpus scan feeds two hash aggregations (unigram and
+    * bigram counts — partial aggs collapse map-side, shuffle is
+    * vocab-sized), the support filter shrinks the bigram-type frame
+    * BEFORE its two unigram joins, totals ride a broadcast single-row
+    * frame, and selection is orderBy+limit (TakeOrderedAndProject — k
+    * rows per partition, no global sort). PMI decomposes as
+    * ln(c12/N2) − ln(c1/N) − ln(c2/N) so no integer product can wrap
+    * at corpus scale; the ties at the k-boundary break on the rounded
+    * score + (w1, w2), so the cut is engine-deterministic.
+    */
+  def tokenPmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+    val uni = tok.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val bi = tok.select(explode(
+        filter(
+          transform($"toks", (_, i) =>
+            when(i + 2 <= size($"toks"),
+              struct(element_at($"toks", i + 1).as("w1"),
+                element_at($"toks", i + 2).as("w2")))),
+          x => x.isNotNull)).as("b"))
+      .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val tot = uni.agg(sum($"c").cast("double").as("n1"))
+      .crossJoin(bi.agg(sum($"c12").cast("double").as("n2")))
+    val pmi = log($"c12" / $"n2") - log($"c1" / $"n1") - log($"c2" / $"n1")
+    bi.where($"c12" >= 5)
+      .join(uni.select($"w".as("w1"), $"c".as("c1")), "w1")
+      .join(uni.select($"w".as("w2"), $"c".as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select($"w1", $"w2", $"c12".as("n_pair"), round(pmi, 6).as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
+  val tokenPmiSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, count(*) AS c
+      |  FROM (SELECT unnest(l) AS w FROM tok) u GROUP BY w),
+      |bi AS (
+      |  SELECT l[i] AS w1, l[i+1] AS w2, count(*) AS c12
+      |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM tok) z
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS n1,
+      |         (SELECT CAST(sum(c12) AS DOUBLE) FROM bi) AS n2)
+      |SELECT b.w1, b.w2, b.c12 AS n_pair,
+      |  round(ln(b.c12 / t.n2) - ln(ua.c / t.n1) - ln(ub.c / t.n1), 6) AS pmi
+      |FROM bi b
+      |JOIN uni ua ON ua.w = b.w1
+      |JOIN uni ub ON ub.w = b.w2
+      |CROSS JOIN tot t
+      |WHERE b.c12 >= 5
+      |ORDER BY pmi DESC, b.w1, b.w2
+      |LIMIT 20""".stripMargin
+
+  /** Zipf's-law fit — the OLS line through (ln rank, ln frequency) over
+    * the top-1000 corpus tokens: slope ≈ −1 is the published regularity
+    * for natural text; a corpus whose slope drifts (too flat = noisy /
+    * deduplicated-to-death, too steep = template-dominated) fails the
+    * dataset-card smell test. Scale shape: one token hash agg, then
+    * orderBy+limit keeps the top-1000 frame (TakeOrderedAndProject — no
+    * global sort shuffle); everything downstream (the rank window, the
+    * five order-deterministic folds) runs on the LIMIT-bounded 1000-row
+    * frame, which is the documented exception to the
+    * no-partition-less-window rule (input is constant-bounded whatever
+    * the corpus size, the broadcast-self-join precedent of
+    * q_mixture_unimax). Float discipline: Σx, Σy, Σxy, Σx², Σy² fold in
+    * rank order via FloatFold, so both engines accumulate identically;
+    * the closed-form slope/intercept/r² are then single IEEE
+    * expressions, rounded to 6 dp.
+    */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, dir)
+      .select(explode(TF.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"w")
+      .limit(1000)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy($"freq".desc, $"w")).cast("long"))
+      .select($"rank", log($"rank".cast("double")).as("x"),
+        log($"freq".cast("double")).as("y"))
+    import graft.functions.FloatFold.orderedSum
+    val sums = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      orderedSum($"rank", $"x").as("sx"),
+      orderedSum($"rank", $"y").as("sy"),
+      orderedSum($"rank", $"x" * $"y").as("sxy"),
+      orderedSum($"rank", $"x" * $"x").as("sxx"),
+      orderedSum($"rank", $"y" * $"y").as("syy"))
+    val cov = $"n" * $"sxy" - $"sx" * $"sy"
+    val varx = $"n" * $"sxx" - $"sx" * $"sx"
+    val vary = $"n" * $"syy" - $"sy" * $"sy"
+    sums.select(
+      $"n".cast("long").as("n_tokens"),
+      round((cov / varx), 6).as("slope"),
+      round(($"sy" - (cov / varx) * $"sx") / $"n", 6).as("intercept"),
+      round((cov * cov) / (varx * vary), 6).as("r2"))
+  }
+
+  val zipfFitSql: String = {
+    def fold(term: String) =
+      s"list_reduce(list_prepend(0.0, list($term ORDER BY rank)), (a, b) -> a + b)"
+    s"""WITH freq AS (
+       |  SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |          t -> t <> '')) AS w
+       |        FROM documents) u
+       |  GROUP BY w),
+       |top AS (SELECT w, freq FROM freq ORDER BY freq DESC, w LIMIT 1000),
+       |ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank,
+       |    ln(CAST(row_number() OVER (ORDER BY freq DESC, w) AS DOUBLE)) AS x,
+       |    ln(CAST(freq AS DOUBLE)) AS y
+       |  FROM top),
+       |sums AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    ${fold("x")} AS sx, ${fold("y")} AS sy,
+       |    ${fold("x * y")} AS sxy, ${fold("x * x")} AS sxx,
+       |    ${fold("y * y")} AS syy
+       |  FROM ranked)
+       |SELECT CAST(n AS BIGINT) AS n_tokens,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+       |    AS intercept,
+       |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       |FROM sums""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_lang_id", langId, Some(langIdSql)),
     GraftQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -1199,5 +1340,7 @@ object TextAnalysis {
     GraftQuery("q_gopher_rules", gopherRules, Some(gopherRulesSql)),
     GraftQuery("q_doc_signals", docSignals, Some(docSignalsSql)),
     GraftQuery("q_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
-    GraftQuery("q_dsir_resample", dsirResample, Some(dsirResampleSql)))
+    GraftQuery("q_dsir_resample", dsirResample, Some(dsirResampleSql)),
+    GraftQuery("q_token_pmi", tokenPmi, Some(tokenPmiSql)),
+    GraftQuery("q_zipf_fit", zipfFit, Some(zipfFitSql)))
 }

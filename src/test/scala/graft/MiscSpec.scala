@@ -151,6 +151,69 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     b.unpersist()
   }
 
+  test("token PMI agrees with an independently recomputed score and ranks desc") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val got = TextAnalysis.tokenPmi(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty && got.length <= 20)
+    assert(got.forall(_._3 >= 5))
+    // ordered by (pmi desc, w1, w2)
+    val keys = got.map(r => (-r._4, r._1, r._2)).toSeq
+    assert(keys == keys.sorted)
+    // recompute PMI for the returned pairs from raw corpus counts
+    val tok = Tables.documents(spark, dir)
+      .select(TF.tokens($"text").as("toks")).cache()
+    val uni = tok.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val n1 = uni.values.sum.toDouble
+    val bi = tok.select(explode(expr(
+        """filter(transform(toks, (t, i) ->
+          |  if(i + 2 <= size(toks),
+          |     struct(element_at(toks, i + 1) AS w1,
+          |            element_at(toks, i + 2) AS w2), null)),
+          |  x -> x is not null)""".stripMargin)).as("b"))
+      .select($"b.w1", $"b.w2").as[(String, String)].collect()
+    val n2 = bi.length.toDouble
+    val c12 = bi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (w1, w2, nPair, pmi) =>
+      assert(c12((w1, w2)) == nPair)
+      val exp = math.log(nPair / n2) - math.log(uni(w1) / n1) -
+        math.log(uni(w2) / n1)
+      assert(math.abs(pmi - exp) < 1e-5, s"($w1,$w2)")
+    }
+    tok.unpersist()
+  }
+
+  test("zipf fit reproduces a driver-side OLS on the top-token frequencies") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val Seq((n, slope, intercept, r2)) = TextAnalysis.zipfFit(spark, dir)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    val freqs = Tables.documents(spark, dir)
+      .select(explode(TF.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+      .sortBy { case (w, f) => (-f, w) }.take(1000).map(_._2)
+    assert(n == freqs.length)
+    val xs = freqs.indices.map(i => math.log(i + 1.0))
+    val ys = freqs.map(f => math.log(f.toDouble))
+    val sn = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+    val cov = sn * sxy - sx * sy
+    val expSlope = cov / (sn * sxx - sx * sx)
+    assert(math.abs(slope - expSlope) < 1e-5)
+    assert(math.abs(intercept - (sy - expSlope * sx) / sn) < 1e-5)
+    assert(math.abs(r2 - cov * cov / ((sn * sxx - sx * sx) * (sn * syy - sy * sy))) < 1e-5)
+    // frequency falls with rank; r² is a valid fraction. (The driver's
+    // synthetic corpus is near-uniform — r² ≈ 0.06 — which is exactly
+    // the drift this statistic exists to expose, so no Zipfian floor.)
+    assert(slope < 0.0 && r2 >= 0.0 && r2 <= 1.0)
+  }
+
   test("quality scores stay within [0, 1]") {
     import spark.implicits._
     val q = TextAnalysis.qualityScore(spark, dir)
