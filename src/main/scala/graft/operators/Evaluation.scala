@@ -408,6 +408,61 @@ object Evaluation {
        |  count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score
        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Calibration / reliability diagram + Brier score — the probability-
+    * quality view the threshold sweeps don't give (a model can rank
+    * perfectly yet be mis-calibrated; the reference's swarm plots eyeball
+    * this, the reliability curve measures it): scores in 10 fixed-width
+    * bins, each bin's mean predicted score against its empirical
+    * positive rate, with the global Brier score mean((score−y)²) on
+    * every row. Float discipline: scores pre-round to integer
+    * micro-units (round(score·10⁶) — the q_mixture_temperature
+    * integers-before-the-sum precedent), so every aggregate is an exact
+    * integer/decimal sum — order-independent at any parallelism — and
+    * each output is one IEEE division at the end. The Brier sum widens
+    * to decimal(38,0): (si−y·10⁶)² ≤ 10¹² wraps int64 at ~9M docs,
+    * inside the 100 TB envelope. One corpus scan, one 10-group hash
+    * agg + a broadcast single-row totals join.
+    */
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = scored(s, dir).select($"y",
+      least(floor($"score" * 10), lit(9)).cast("int").as("bin"),
+      round($"score" * 1000000).cast("long").as("si"))
+    val bins = base.groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"y").cast("long").as("n_pos"),
+        sum($"si").as("sum_si"))
+    val sq = ($"si" - $"y".cast("long") * 1000000L).cast("decimal(38,0)")
+    val tot = base.agg(
+      (sum(sq * sq).cast("double") /
+        (count(lit(1)).cast("double") * 1e12)).as("brier"))
+    bins.crossJoin(broadcast(tot))
+      .select($"bin", $"n_docs", $"n_pos",
+        round($"n_pos".cast("double") / $"n_docs", 6).as("pos_rate"),
+        round($"sum_si".cast("double") / ($"n_docs".cast("double") * 1e6), 6)
+          .as("mean_score"),
+        round($"brier", 6).as("brier"))
+      .orderBy($"bin")
+  }
+
+  val calibrationSql: String =
+    s"""WITH $scoredCteSql,
+       |base AS (
+       |  SELECT y, CAST(least(floor(score * 10), 9) AS INT) AS bin,
+       |    CAST(round(score * 1000000) AS BIGINT) AS si
+       |  FROM scored),
+       |tot AS (
+       |  SELECT CAST(sum((si - y * 1000000) * (si - y * 1000000)) AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * 1e12) AS brier
+       |  FROM base)
+       |SELECT bin, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
+       |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
+       |  round(CAST(sum(si) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6), 6)
+       |    AS mean_score,
+       |  round(t.brier, 6) AS brier
+       |FROM base CROSS JOIN tot t
+       |GROUP BY bin, t.brier ORDER BY bin""".stripMargin
+
   /** Confusion matrix + the reference's eight derived metrics
     * (scoresCM, src/TextClassification.py:865-890) for the word-match
     * classifier — one aggregation, metrics as exact-count ratios.
@@ -768,6 +823,7 @@ object Evaluation {
     GraftQuery("q_prevalence_pr", prevalencePr, Some(prevalencePrSql)),
     GraftQuery("q_confusion_sweep", confusionSweep, Some(confusionSweepSql)),
     GraftQuery("q_score_distribution", scoreDistribution, Some(scoreDistributionSql)),
+    GraftQuery("q_calibration", calibration, Some(calibrationSql)),
     GraftQuery("q_label_dist", labelDist, Some(labelDistSql)),
     GraftQuery("q_f1_folds", f1Folds, Some(f1FoldsSql)))
 }

@@ -38,6 +38,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.intersect(exact).size >= (exact.size * 0.8).toInt)
   }
 
+  test("calibration bins partition the corpus and brier matches a driver recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bins = Evaluation.calibration(spark, dir)
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(bins.nonEmpty)
+    val docs = graft.Tables.documents(spark, dir).count()
+    assert(bins.map(_._2).sum == docs)
+    // one global brier value on every row
+    assert(bins.map(_._6).distinct.length == 1)
+    bins.foreach { case (bin, n, pos, rate, mean, _) =>
+      assert(bin >= 0 && bin <= 9 && pos <= n)
+      assert(math.abs(rate - pos.toDouble / n) < 1e-6)
+      // mean predicted score sits inside (or at the rounded edge of) its bin
+      assert(mean >= bin / 10.0 - 1e-6 && mean <= (bin + 1) / 10.0 + 1e-6)
+    }
+    val exp = Evaluation.scored(spark, dir)
+      .select(avg(pow($"score" - $"y", 2))).as[Double].head()
+    assert(math.abs(bins.head._6 - exp) < 1e-5)
+  }
+
   test("ROC curve is monotone and ends at (1,1)") {
     import spark.implicits._
     val roc = Evaluation.rocCurve(spark, dir)
