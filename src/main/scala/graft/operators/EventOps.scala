@@ -257,10 +257,61 @@ object EventOps {
       |SELECT day, dau, mau, round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
       |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin
 
+  /** Per-event-type z-score anomaly detection — the monitoring query of
+    * an event pipeline (a value 3σ off its type's distribution is a
+    * broken emitter or a fraud signal): two passes, per-type moment
+    * aggregates then a broadcast join back onto the stream. Float
+    * discipline: values pre-round to integer micro-units and the
+    * moments are exact decimal sums (order-independent at any
+    * parallelism), and the 3σ GATE is evaluated entirely in that exact
+    * arithmetic — (n·v − Σv)² > 9·(n·Σv² − (Σv)²) is the |z| > 3
+    * predicate multiplied through by n²·σ², so the flag can never flip
+    * on a last-ulp float divergence between engines. The reported z
+    * itself ((n·v − Σv)/√(n·Σv² − (Σv)²)) is one IEEE division off the
+    * exact aggregates, rounded to 6 dp. The moments frame is
+    * #event-types-bounded → broadcast; outliers only in the output.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val e = events(s, dir)
+      .select($"event_id", $"event_type", $"value",
+        round($"value" * 1000000).cast("long").cast(dec).as("vi"))
+    val stats = e.groupBy($"event_type")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum($"vi").as("sv"),
+        sum($"vi" * $"vi").as("svv"))
+    val dev = $"n" * $"vi" - $"sv"
+    val varn = $"n" * $"svv" - $"sv" * $"sv"
+    e.join(broadcast(stats), "event_type")
+      .where(dev * dev > lit(9) * varn)
+      .select($"event_id", $"event_type", $"value",
+        round(dev.cast("double") / sqrt(varn.cast("double")), 6).as("z"))
+      .orderBy($"event_id")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(CAST(round(value * 1000000) AS BIGINT) AS HUGEINT) AS vi
+      |  FROM events),
+      |stats AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(vi) AS sv, sum(vi * vi) AS svv
+      |  FROM e GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  round(CAST(s.n * e.vi - s.sv AS DOUBLE)
+      |    / sqrt(CAST(s.n * s.svv - s.sv * s.sv AS DOUBLE)), 6) AS z
+      |FROM e JOIN stats s USING (event_type)
+      |WHERE (s.n * e.vi - s.sv) * (s.n * e.vi - s.sv)
+      |  > 9 * (s.n * s.svv - s.sv * s.sv)
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_events_sessionize", sessionize, Some(sessionizeSql)),
     GraftQuery("q_stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
     GraftQuery("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     GraftQuery("q_events_retention", eventsRetention, Some(eventsRetentionSql)),
-    GraftQuery("q_events_dau_mau", eventsDauMau, Some(eventsDauMauSql)))
+    GraftQuery("q_events_dau_mau", eventsDauMau, Some(eventsDauMauSql)),
+    GraftQuery("q_events_anomaly", eventsAnomaly, Some(eventsAnomalySql)))
 }

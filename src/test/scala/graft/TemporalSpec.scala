@@ -90,4 +90,32 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = rows.find(_._1 == probe).get._3
     assert(got == naiveMau.toLong, s"mau $got vs naive $naiveMau on $probe")
   }
+
+  test("events anomaly flags exactly the naive |z|>3 set per event type") {
+    import spark.implicits._
+    val flagged = EventOps.eventsAnomaly(spark, dir)
+      .select($"event_id", $"z").as[(Long, Double)].collect().toMap
+    val raw = EventOps.events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+    val byType = raw.groupBy(_._2)
+    val naive = byType.toSeq.flatMap { case (_, rows) =>
+      // the operator's micro-unit integer moments, recomputed naively
+      val vis = rows.map(r => BigInt(math.round(r._3 * 1e6)))
+      val n = BigInt(vis.length)
+      val sv = vis.sum
+      val svv = vis.map(v => v * v).sum
+      val varn = n * svv - sv * sv
+      rows.zip(vis).collect {
+        case ((id, _, _), vi) if (n * vi - sv).pow(2) > 9 * varn =>
+          id -> ((n * vi - sv).toDouble / math.sqrt(varn.toDouble))
+      }
+    }
+    assert(flagged.keySet == naive.map(_._1).toSet)
+    naive.foreach { case (id, z) =>
+      assert(math.abs(flagged(id) - z) < 1e-5, s"event $id")
+      assert(math.abs(z) > 3.0)
+    }
+    assert(flagged.nonEmpty, "sf0.001 events should contain at least one 3-sigma value")
+  }
 }
