@@ -1092,6 +1092,72 @@ object Similarity {
     out
   }
 
+  /** Embedding-store hygiene: per-vector L2 norm with a corpus z-score
+    * and a 3σ outlier flag — degenerate norms (zeros, near-zeros,
+    * blow-ups) are embedding-pipeline failures that poison every
+    * cosine downstream (a zero vector makes cosine NaN; an unnormalized
+    * batch skews IVF centroids), so a store audits norms BEFORE
+    * building indexes. Float discipline: the norm² is the row-local
+    * codegen'd ArrayDot fold (bit-identical to the oracle's
+    * list_reduce), pre-rounded to integer micro-units; the corpus
+    * moments are exact decimal sums and the flag is the
+    * q_events_anomaly multiplied-through integer predicate — no float
+    * boundary anywhere in the gate. One scan, one single-row moments
+    * aggregate, broadcast back. Output is per-vector (norm, z, flag) —
+    * at 100 TB the same plan with `.where($"is_outlier")` ships only
+    * the quarantine list.
+    */
+  def embedNormOutliers(s: SparkSession, dir: String): DataFrame =
+    embedNormOutliersOf(Tables.embeddings(s, dir))
+
+  /** The audit on ANY (vec_id, embedding) frame — factored so specs can
+    * plant degenerate vectors (the driver's store is unit-normalized,
+    * so the real corpus exercises only the zero-variance branch).
+    */
+  private[graft] def embedNormOutliersOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val dec = "decimal(38,0)"
+    val base = emb
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
+      .select($"vec_id", $"nrm",
+        round($"nrm" * 1000000).cast("long").cast(dec).as("ni"))
+    val stats = base.agg(count(lit(1)).cast(dec).as("n"),
+      sum($"ni").as("sv"), sum($"ni" * $"ni").as("svv"))
+    val dev = $"n" * $"ni" - $"sv"
+    val varn = $"n" * $"svv" - $"sv" * $"sv"
+    base.crossJoin(broadcast(stats))
+      .select($"vec_id", round($"nrm", 6).as("norm"),
+        // a constant-norm store (e.g. already unit-normalized) has zero
+        // variance: z is undefined (NULL), nothing flags
+        when(varn > 0,
+          round(dev.cast("double") / sqrt(varn.cast("double")), 6)).as("z"),
+        (dev * dev > lit(9) * varn).as("is_outlier"))
+      .orderBy($"vec_id")
+  }
+
+  val embedNormOutliersSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, ${normSql("t")} AS nrm
+       |  FROM (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+       |        FROM embeddings) t),
+       |ints AS (
+       |  SELECT vec_id, nrm,
+       |    CAST(CAST(round(nrm * 1000000) AS BIGINT) AS HUGEINT) AS ni
+       |  FROM base),
+       |stats AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(ni) AS sv,
+       |    sum(ni * ni) AS svv
+       |  FROM ints)
+       |SELECT i.vec_id, round(i.nrm, 6) AS norm,
+       |  CASE WHEN s.n * s.svv - s.sv * s.sv > 0 THEN
+       |    round(CAST(s.n * i.ni - s.sv AS DOUBLE)
+       |      / sqrt(CAST(s.n * s.svv - s.sv * s.sv AS DOUBLE)), 6) END AS z,
+       |  (s.n * i.ni - s.sv) * (s.n * i.ni - s.sv)
+       |    > 9 * (s.n * s.svv - s.sv * s.sv) AS is_outlier
+       |FROM ints i CROSS JOIN stats s
+       |ORDER BY i.vec_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_embed_cosine_dedup", cosineDedupBlocked, Some(cosineDedupSql)),
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
@@ -1104,5 +1170,6 @@ object Similarity {
     GraftQuery("q_semdedup", semDedup, None),
     GraftQuery("q_semdedup_plan", semDedupPlan, None, singleShot = true),
     GraftQuery("q_ann_recall", annRecall, Some(annRecallSql)),
-    GraftQuery("q_ann_recall_trained", annRecallTrained, None, singleShot = true))
+    GraftQuery("q_ann_recall_trained", annRecallTrained, None, singleShot = true),
+    GraftQuery("q_embed_norm_outliers", embedNormOutliers, Some(embedNormOutliersSql)))
 }

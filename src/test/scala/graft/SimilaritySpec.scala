@@ -290,4 +290,25 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = vs.map { case (id, _, _) => id -> (assign(id), !pruned(id)) }.toMap
     assert(got == want)
   }
+
+  test("norm audit flags the planted blow-up vector and nothing on the clean store") {
+    import spark.implicits._
+    // 20 unit-ish vectors + one 100x blow-up + one near-zero vector
+    val clean = (0L until 20L).map(i =>
+      (i, Array.fill(8)(0.3536f + (i % 3) * 1e-4f)))
+    val planted = clean ++ Seq(
+      (100L, Array.fill(8)(35.36f)), (101L, Array.fill(8)(1e-4f)))
+    val emb = planted.toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity.embedNormOutliersOf(emb)
+      .as[(Long, Double, Option[Double], Boolean)].collect()
+    assert(rows.length == planted.length)
+    val flagged = rows.filter(_._4).map(_._1).toSet
+    assert(flagged == Set(100L), "only the blow-up exceeds 3 sigma of a 22-row store")
+    // real store: unit-normalized, so nothing flags and z is a finite
+    // column (or all-NULL when the norms are micro-unit constant)
+    val real = graft.operators.Similarity.embedNormOutliers(spark, dir)
+      .as[(Long, Double, Option[Double], Boolean)].collect()
+    assert(real.nonEmpty && real.forall(!_._4))
+    assert(real.forall(r => r._2 > 0))
+  }
 }
