@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -890,7 +891,62 @@ object Corpus {
        |  FROM scored) z
        |WHERE rn <= $SourceCap ORDER BY source, rank""".stripMargin
 
+  /** Per-source discriminative terms via class-based TF-IDF (the
+    * c-TF-IDF of Grootendorst 2022 / BERTopic's topic representation,
+    * with source as the class): score(t, c) = tf_{t,c} · ln(1 + A/f_t)
+    * where f_t is the global term count and A the average token mass
+    * per class — the "what does each slice talk about" summary a
+    * corpus map reports per domain/source. Scale shape: ONE corpus
+    * token scan aggregates (source, token) counts; the global f_t and
+    * the totals both derive from that vocab-bounded frame (no second
+    * corpus pass); the top-10 window partitions by source (the
+    * per-class rank's inherent exchange — never partition-less). Ties
+    * break on the 6-dp-rounded score then term, so the cut is
+    * engine-deterministic.
+    */
+  def ctfidfSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select($"source", explode(TF.tokens($"text")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
+    val global = tf.groupBy($"token").agg(sum($"tf").as("ft"))
+    val tot = tf.agg((sum($"tf").cast("double") /
+      countDistinct($"source").cast("double")).as("avg_mass"))
+    val scoredF = tf.join(global, "token").crossJoin(broadcast(tot))
+      .select($"source", $"token", $"tf",
+        round($"tf" * log(lit(1.0) + $"avg_mass" / $"ft"), 6).as("ctfidf"))
+    val w = Window.partitionBy($"source").orderBy($"ctfidf".desc, $"token")
+    scoredF.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 10)
+      .orderBy($"source", $"rank")
+  }
+
+  val ctfidfSourceSql: String =
+    """WITH tf AS (
+      |  SELECT source, w AS token, count(*) AS tf
+      |  FROM (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
+      |          t -> t <> '')) AS w
+      |        FROM documents) u
+      |  GROUP BY source, w),
+      |global AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY token),
+      |tot AS (
+      |  SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT source) AS avg_mass
+      |  FROM tf),
+      |scored AS (
+      |  SELECT t.source, t.token, t.tf,
+      |    round(t.tf * ln(1.0 + o.avg_mass / g.ft), 6) AS ctfidf
+      |  FROM tf t JOIN global g USING (token) CROSS JOIN tot o),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY ctfidf DESC, token) AS INT) AS rank
+      |  FROM scored)
+      |SELECT source, token, tf, ctfidf, rank
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY source, rank""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_ctfidf_source", ctfidfSource, Some(ctfidfSourceSql)),
     GraftQuery("q_bm25_search", bm25Search, Some(bm25SearchSql)),
     GraftQuery("q_source_caps", sourceCaps, Some(sourceCapsSql)),
     // the registered plan is the O(log n) star-contraction scale path;

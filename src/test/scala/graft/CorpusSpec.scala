@@ -273,6 +273,28 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("c-TF-IDF per source equals a driver-side recompute of the top-10") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val got = Corpus.ctfidfSource(spark, dir)
+      .as[(String, String, Long, Double, Int)].collect()
+    val tf = Tables.documents(spark, dir)
+      .select($"source", explode(TF.tokens($"text")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
+      .as[(String, String, Long)].collect()
+    val ft = tf.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val avgMass = tf.map(_._3).sum.toDouble / tf.map(_._1).distinct.length
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = tf.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map { case (_, tok, c) => (tok, c, r6(c * math.log1p(avgMass / ft(tok)))) }
+        .sortBy { case (tok, _, sc) => (-sc, tok) }
+        .take(10).zipWithIndex
+        .map { case ((tok, c, sc), i) => (src, tok, c, sc, i + 1) }
+    }.toSet
+    assert(got.toSet == want)
+  }
+
   test("oversample copies equalize class mass") {
     import spark.implicits._
     val perClass = Evaluation.balanceOversample(spark, dir)
