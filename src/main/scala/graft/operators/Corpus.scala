@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators beyond the dedup/similarity families
@@ -301,6 +301,70 @@ object Corpus {
        |GROUP BY c.doc_id, b.doc_id
        |HAVING count(*) >= 2
        |ORDER BY c.doc_id, bench_id""".stripMargin
+
+  /** Bloom-filter benchmark decontamination — the SCALE PATH of
+    * [[contamination]]: the benchmark side collapses to a Bloom filter
+    * and the corpus probes membership, so the broadcast is KBs however
+    * large the benchmark suite grows (the exact join broadcasts every
+    * benchmark shingle). The filter is DECLARATIVE (the count-min
+    * heavy-hitters precedent, which is why this stays oracle-checkable
+    * where an opaque bitmap blob would not): K=3 salted md5 hash rows ×
+    * M=8192 buckets; "insert" = the DISTINCT (k, pos) position set of
+    * the benchmark shingles — bounded at K·M = 24 576 rows whatever the
+    * benchmark size — and "might contain" = all K of a probe shingle's
+    * positions present (a position-set equi-join + a count-equals-K
+    * gate). Bloom semantics hold by construction: NO false negatives
+    * (every inserted shingle's positions are present), false positives
+    * only on full K-way collision — docs this screen flags feed the
+    * exact checker, docs it clears are clear. One corpus scan, one
+    * bounded broadcast, one hash agg per side.
+    */
+  def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 8192
+    val K = 3
+    def positions(c: Column): Column = array((0 until K).map { k =>
+      struct(lit(k).as("k"),
+        (Dedup.hash60(concat_ws("|", lit(k.toString), c)) % M).as("pos"))
+    }: _*)
+    val sh = Dedup.shingles(s, dir)
+    val bloom = sh.where($"doc_id" < 20)
+      .select(explode(positions($"shingle")).as("kp"))
+      .select($"kp.k", $"kp.pos").distinct()
+    val probes = sh.where($"doc_id" >= 20)
+      .select($"doc_id", $"shingle", explode(positions($"shingle")).as("kp"))
+      .select($"doc_id", $"shingle", $"kp.k", $"kp.pos")
+    probes.join(broadcast(bloom), Seq("k", "pos"))
+      .groupBy($"doc_id", $"shingle")
+      .agg(count(lit(1)).as("k_hits"))
+      .where($"k_hits" === K)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .where($"n_hits" >= 2)
+      .orderBy($"doc_id")
+  }
+
+  val contaminationBloomSql: String = {
+    val pos = (t: String) =>
+      s"(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || $t.shingle), 1, 15))::BIGINT) % 8192"
+    s"""WITH sh AS (SELECT * FROM ${Dedup.shinglesSql}),
+       |ks AS (SELECT unnest(generate_series(0, 2)) AS k),
+       |bloom AS (
+       |  SELECT DISTINCT k, ${pos("b")} AS pos
+       |  FROM (SELECT shingle FROM sh WHERE doc_id < 20) b, ks),
+       |probes AS (
+       |  SELECT p.doc_id, p.shingle, k, ${pos("p")} AS pos
+       |  FROM (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20) p, ks),
+       |hits AS (
+       |  SELECT doc_id, shingle, count(*) AS k_hits
+       |  FROM probes JOIN bloom USING (k, pos)
+       |  GROUP BY doc_id, shingle
+       |  HAVING count(*) = 3)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM hits GROUP BY doc_id
+       |HAVING count(*) >= 2
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Deterministic stratified sampling (the `sampleBy` surface): per-lang
     * keep-rates (en 10%, others 30%) decided by the high bits of an LCG
@@ -957,6 +1021,8 @@ object Corpus {
       singleShot = true),
     GraftQuery("q_pack_sequences", packSequences(_, _), Some(packSequencesSql)),
     GraftQuery("q_contamination_check", contamination, Some(contaminationSql)),
+    GraftQuery("q_contamination_bloom", contaminationBloom,
+      Some(contaminationBloomSql)),
     GraftQuery("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     GraftQuery("q_distinct_approx", distinctApprox, None),
     GraftQuery("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),

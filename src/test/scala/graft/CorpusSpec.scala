@@ -273,6 +273,40 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloom decontamination screen never misses an exact contamination hit") {
+    import spark.implicits._
+    val exact = Corpus.contamination(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val bloom = Corpus.contaminationBloom(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty && bloom.nonEmpty)
+    // no false negatives: every exactly-contaminated doc is flagged, and
+    // its hit count dominates its best per-bench shared-shingle count
+    // (bloom positions of a truly shared shingle are always present)
+    exact.foreach { case (docId, benchId, nShared) =>
+      assert(bloom.contains(docId), s"doc $docId (bench $benchId) missed")
+      assert(bloom(docId) >= nShared, s"doc $docId hits ${bloom.get(docId)} < $nShared")
+    }
+    // false positives only on full 3-way position collisions: the
+    // flagged set must sit between the TRUE union-overlap set (docs
+    // sharing >= 2 distinct shingles with the whole benchmark suite —
+    // the screen's semantics, wider than the per-bench-doc exact pairs)
+    // and that set plus a small collision tail
+    val allSh = graft.operators.Dedup
+      .shingleArrsOf(Tables.documents(spark, dir))
+      .select($"doc_id", explode($"arr").as("shingle"))
+      .as[(Long, String)].collect()
+    val benchSet = allSh.collect { case (d, sh) if d < 20 => sh }.toSet
+    val trueUnion = allSh.filter(_._1 >= 20).groupBy(_._1).toSeq
+      .collect { case (d, rows) if rows.count(r => benchSet(r._2)) >= 2 => d }
+      .toSet
+    assert(trueUnion.subsetOf(bloom.keySet))
+    val probed = Tables.documents(spark, dir).where($"doc_id" >= 20).count()
+    val fp = bloom.keySet -- trueUnion
+    assert(fp.size <= probed * 0.05,
+      s"${fp.size} collision-only docs of $probed probed")
+  }
+
   test("c-TF-IDF per source equals a driver-side recompute of the top-10") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
