@@ -247,6 +247,96 @@ object Features {
        |FROM $docTokensSql
        |GROUP BY token ORDER BY train_cnt DESC, token ASC LIMIT 50""".stripMargin
 
+  /** Sparse "more-like-this" retrieval: top-5 cosine-nearest documents
+    * per query doc (doc_id < 5) in smoothed TF-IDF space — the lexical
+    * neighbor search next to q_bm25_search's term retrieval and the
+    * dense q_ann_* family (near-duplicate triage, related-document
+    * panels, label propagation seeds). Scale shape: the classic
+    * inverted-index dot product — the bounded query-side weight frame
+    * broadcasts, one equi-join on token generates only posting-list
+    * candidates (never all-pairs), and per-pair dots / per-doc norms
+    * are token-ORDERED FloatFold sums of the 6-dp-rounded weights, so
+    * both engines accumulate identically; the top-5 window partitions
+    * by query. Candidate volume is Σ_t df(t) over the query's terms —
+    * a corpus deployment caps hot postings exactly like
+    * q_winnow_pairs; at bench SF the full lists are the honest cost.
+    */
+  def docKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.FloatFold.orderedSum
+    import org.apache.spark.sql.expressions.Window
+    val w = tfidfWeights(s, dir)
+    val norms = w.groupBy($"doc_id")
+      .agg(sqrt(orderedSum($"token", $"w" * $"w")).as("nrm"))
+    val q = w.where($"doc_id" < 5)
+      .select($"doc_id".as("qid"), $"token", $"w".as("wq"))
+    val dots = q.join(
+        w.select($"doc_id".as("did"), $"token", $"w".as("wd")), "token")
+      .where($"did" =!= $"qid")
+      .groupBy($"qid", $"did")
+      .agg(orderedSum($"token", $"wq" * $"wd").as("dot"))
+    val scored = dots
+      .join(norms.select($"doc_id".as("qid"), $"nrm".as("nq")), "qid")
+      .join(norms.select($"doc_id".as("did"), $"nrm".as("nd")), "did")
+      .select($"qid", $"did", round($"dot" / ($"nq" * $"nd"), 6).as("cos"))
+    val rw = Window.partitionBy($"qid").orderBy($"cos".desc, $"did")
+    scored.withColumn("rank", row_number().over(rw))
+      .where($"rank" <= 5)
+      .select($"qid".as("query_id"), $"did".as("doc_id"), $"cos", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The rounded TF-IDF weight frame (doc_id, token, w) shared with the
+    * registered q_tfidf (same expression, pre-rounded so downstream
+    * folds are engine-deterministic).
+    */
+  private def tfidfWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = docTokens(s, dir)
+    val tfDf = dt.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfDf = tfDf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDf = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n"))
+    tfDf.join(broadcast(dfDf), "token")
+      .crossJoin(broadcast(nDf))
+      .select($"doc_id", $"token",
+        round($"tf" * (log((lit(1.0) + $"n") / (lit(1.0) + $"df")) + lit(1.0)), 6)
+          .as("w"))
+  }
+
+  val docKnnSql: String = {
+    def fold(term: String) =
+      s"list_reduce(list_prepend(0.0, list($term ORDER BY token)), (a, b) -> a + b)"
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM $docTokensSql GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |w AS (
+       |  SELECT tf.doc_id, tf.token,
+       |    round(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0), 6) AS w
+       |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+       |norms AS (
+       |  SELECT doc_id, sqrt(${fold("w * w")}) AS nrm FROM w GROUP BY doc_id),
+       |dots AS (
+       |  SELECT q.doc_id AS qid, d.doc_id AS did,
+       |    list_reduce(list_prepend(0.0, list(q.w * d.w ORDER BY q.token)),
+       |      (a, b) -> a + b) AS dot
+       |  FROM w q JOIN w d ON q.token = d.token AND d.doc_id <> q.doc_id
+       |  WHERE q.doc_id < 5
+       |  GROUP BY q.doc_id, d.doc_id),
+       |scored AS (
+       |  SELECT qid, did, round(dot / (nq.nrm * nd.nrm), 6) AS cos
+       |  FROM dots
+       |  JOIN norms nq ON nq.doc_id = qid
+       |  JOIN norms nd ON nd.doc_id = did),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, did) AS INT) AS rank
+       |  FROM scored)
+       |SELECT qid AS query_id, did AS doc_id, cos, rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_tf", tf, Some(tfSql)),
     GraftQuery("q_tfidf", tfidf, Some(tfidfSql)),
@@ -254,5 +344,6 @@ object Features {
     GraftQuery("q_feature_corr", featureCorr, Some(featureCorrSql)),
     GraftQuery("q_top_features", topFeatures, Some(topFeaturesSql)),
     GraftQuery("q_lexical_dispersion", lexicalDispersion, Some(lexicalDispersionSql)),
-    GraftQuery("q_train_test_dist", trainTestDist, Some(trainTestDistSql)))
+    GraftQuery("q_train_test_dist", trainTestDist, Some(trainTestDistSql)),
+    GraftQuery("q_doc_knn", docKnn, Some(docKnnSql)))
 }

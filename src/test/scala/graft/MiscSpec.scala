@@ -214,6 +214,38 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slope < 0.0 && r2 >= 0.0 && r2 <= 1.0)
   }
 
+  test("doc knn reproduces a brute-force tfidf cosine ranking for one query") {
+    import spark.implicits._
+    val got = Features.docKnn(spark, dir)
+      .as[(Long, Long, Double, Int)].collect()
+    val perQ = got.groupBy(_._1)
+    assert(perQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    perQ.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.sameElements(1 to 5))
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // brute-force check for query 0 off the registered tfidf weights
+    val w = Features.tfidf(spark, dir)
+      .select($"doc_id", $"token", $"tfidf")
+      .as[(Long, String, Double)].collect()
+    val byDoc = w.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q0 = byDoc(0L)
+    def cos(d: Map[String, Double]): Double = {
+      val dot = q0.keysIterator.toSeq.sorted
+        .map(t => q0(t) * d.getOrElse(t, 0.0)).sum
+      r6(dot / (math.sqrt(q0.values.map(x => x * x).sum) *
+        math.sqrt(d.values.map(x => x * x).sum)))
+    }
+    val want = byDoc.collect { case (id, m) if id != 0L => (id, cos(m)) }
+      .filter(_._2 != 0.0).toSeq
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got.filter(_._1 == 0L).sortBy(_._4).map(_._2).toSeq == want)
+  }
+
   test("quality scores stay within [0, 1]") {
     import spark.implicits._
     val q = TextAnalysis.qualityScore(spark, dir)
