@@ -960,18 +960,27 @@ object Similarity {
     * restricted to clusters. Returns one row per vector:
     * (vec_id, cluster_id, kept).
     */
-  private[graft] def semDedupOn(s: SparkSession, v: DataFrame,
-      cents: DataFrame, tau: Double): DataFrame = {
-    import s.implicits._
+  /** Argmax-cosine cluster assignment (the ivfSearch shape: centroid
+    * side broadcast, rounded cosine + cent_id tiebreak) — one source
+    * for SemDeDup's partition and the cluster-map report; keeps the
+    * winning cosine as `ccos`.
+    */
+  private def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    // argmax-cosine cluster assignment (the ivfSearch shape: centroid
-    // side broadcast, rounded cosine + cent_id tiebreak)
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)
-    val assign = v.crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(cents))
       .select($"vec_id", $"v", $"nrm", $"cent_id",
         round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("ccos"))
       .withColumn("crk", row_number().over(wAssign))
       .where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cent_id", $"ccos")
+  }
+
+  private[graft] def semDedupOn(s: SparkSession, v: DataFrame,
+      cents: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    val assign = assignToCentroids(v, cents)
       .select($"vec_id", $"v", $"nrm", $"cent_id")
     // within-cluster pairs only: ONE shuffle equi-join on cluster_id —
     // the published pruning. Cluster count grows with the corpus
@@ -1006,6 +1015,48 @@ object Similarity {
 
   private[graft] def semDedupK(n: Long): Int =
     math.max(2, math.ceil(n.toDouble / SemDedupTargetClusterSize).toInt)
+
+  /** Embedding-space CORPUS MAP — the cluster-level cartography report
+    * an embedding store publishes (and the reporting face of the same
+    * partition SemDeDup prunes with — the k-means fit is shared
+    * through SessionCache, so a session pays it once): per cluster,
+    * its size, COHESION (mean cosine of members to their centroid —
+    * low-cohesion clusters are the mixed/noisy regions worth manual
+    * review), and the modal label with its count (how well the
+    * embedding geometry recovers the labeling). Scale shape: linear
+    * assignment against broadcast centroids, one cluster-keyed hash
+    * agg; the cohesion fold orders by vec_id and each cluster is
+    * bounded at ~[[SemDedupTargetClusterSize]] members BY CONSTRUCTION
+    * of the grounded k, so no fold buffers more than the target size.
+    * Rows-only (k-means fit); SimilaritySpec pins invariants +
+    * determinism.
+    */
+  def embedClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.FloatFold.orderedSum
+    val v = vecs(s, dir)
+    val k = semDedupK(v.count())
+    val cents = SessionCache.getOrCompute(s, s"sim.semdedupCents:$dir:$k") {
+      fitCentroids(s, v, k)
+    }
+    val labels = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    val assign = assignToCentroids(v, cents)
+      .select($"vec_id", $"cent_id", $"ccos")
+      .join(labels, "vec_id")
+    val labelCounts = assign.groupBy($"cent_id", $"label")
+      .agg(count(lit(1)).as("ln"))
+      .groupBy($"cent_id")
+      // modal label, smaller label on ties (struct-max, no window)
+      .agg(max(struct($"ln", (-$"label").as("neg"))).as("m"))
+      .select($"cent_id", (-$"m.neg").as("top_label"), $"m.ln".as("top_label_n"))
+    assign.groupBy($"cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(orderedSum($"vec_id", $"ccos") / count(lit(1)), 6).as("cohesion"))
+      .join(labelCounts, "cent_id")
+      .select($"cent_id".as("cluster_id"), $"n_vecs", $"cohesion",
+        $"top_label", $"top_label_n")
+      .orderBy($"cluster_id")
+  }
 
   /** Seeded k-means fit at a given k, returned as the (cent_id, cv,
     * cnrm) frame [[semDedupOn]] consumes.
@@ -1171,5 +1222,6 @@ object Similarity {
     GraftQuery("q_semdedup_plan", semDedupPlan, None, singleShot = true),
     GraftQuery("q_ann_recall", annRecall, Some(annRecallSql)),
     GraftQuery("q_ann_recall_trained", annRecallTrained, None, singleShot = true),
-    GraftQuery("q_embed_norm_outliers", embedNormOutliers, Some(embedNormOutliersSql)))
+    GraftQuery("q_embed_norm_outliers", embedNormOutliers, Some(embedNormOutliersSql)),
+    GraftQuery("q_embed_clusters", embedClusters, None, singleShot = true))
 }

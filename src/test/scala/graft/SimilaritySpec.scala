@@ -291,6 +291,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("embed cluster map partitions the store, bounded cohesion, deterministic") {
+    import spark.implicits._
+    val rows = graft.operators.Similarity.embedClusters(spark, dir)
+      .as[(Int, Long, Double, Int, Long)].collect()
+    val n = Tables.embeddings(spark, dir).count()
+    val k = graft.operators.Similarity.semDedupK(n)
+    assert(rows.nonEmpty && rows.length <= k)
+    assert(rows.map(_._2).sum == n, "clusters partition the store")
+    rows.foreach { case (cid, nv, coh, _, tn) =>
+      assert(cid >= 0 && cid < k)
+      assert(coh > -1.0 - 1e-9 && coh <= 1.0 + 1e-9)
+      assert(tn >= 1 && tn <= nv, "modal label count bounded by cluster size")
+    }
+    val again = graft.operators.Similarity.embedClusters(spark, dir)
+      .as[(Int, Long, Double, Int, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("norm audit flags the planted blow-up vector and nothing on the clean store") {
     import spark.implicits._
     // 20 unit-ish vectors + one 100x blow-up + one near-zero vector
