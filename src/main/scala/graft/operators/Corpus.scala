@@ -405,6 +405,52 @@ object Corpus {
       .orderBy($"event_type")
   }
 
+  /** Rolling-window distinct users via a MERGEABLE sketch store — the
+    * pattern that answers "distinct users over any trailing window"
+    * without ever rescanning history: one Apache DataSketches HLL
+    * sketch per day (Spark's native `hll_sketch_agg`, lgK=12 ≈ 2.5%
+    * rel. std. err., a few KB each), and a 7-day rolling estimate is
+    * the UNION of 7 stored sketches (`hll_union_agg` — sketch union is
+    * exact w.r.t. the member sketches, the algebraic property the
+    * store exists for). A deployment persists the per-day sketch table
+    * (the [[graft.operators.IncrementalDedup]] store posture: append
+    * one day, never recompute history); here the rolling union rides a
+    * bounded day-fanout explode (each day's sketch contributes to its
+    * 7 target days — the q_events_dau_mau shape, an equi-join, no
+    * range BNLJ). The exact trailing distinct is computed next to it
+    * as the bench-scale verification twin with its relative error — at
+    * 100 TB only the sketch branch survives (the q_distinct_approx
+    * convention). Rows-only: the sketch binary is
+    * DataSketches-internal; CorpusSpec pins the error envelope, exact
+    * twin agreement with a naive recount, and determinism.
+    */
+  def distinctRolling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = EventOps.events(s, dir)
+      .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+      .distinct()
+    val sketches = du.groupBy($"day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val days = sketches.select($"day")
+    val est = sketches
+      .select($"sk", explode(sequence(lit(0), lit(6))).as("off"), $"day")
+      .select($"sk", date_add($"day", $"off").as("day"))
+      .join(broadcast(days), Seq("day"))
+      .groupBy($"day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+    val exact = du
+      .select($"user_id", explode(sequence(lit(0), lit(6))).as("off"), $"day")
+      .select($"user_id", date_add($"day", $"off").as("day"))
+      .distinct()
+      .join(broadcast(days), Seq("day"))
+      .groupBy($"day").agg(countDistinct($"user_id").as("exact_users"))
+    exact.join(est, "day")
+      .select($"day", $"exact_users", $"est_users",
+        round(abs($"est_users" - $"exact_users").cast("double")
+          / $"exact_users", 6).as("rel_err"))
+      .orderBy($"day")
+  }
+
   /** Count-min sketch parameters: 4 independent hash rows × 1024
     * buckets — 4096 counters total, a fixed-size mergeable summary at
     * any corpus size (Cormode & Muthukrishnan 2005). Hashes derive from
@@ -1025,6 +1071,7 @@ object Corpus {
       Some(contaminationBloomSql)),
     GraftQuery("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     GraftQuery("q_distinct_approx", distinctApprox, None),
+    GraftQuery("q_distinct_rolling", distinctRolling, None),
     GraftQuery("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     GraftQuery("q_span_dedup", spanDedup, Some(spanDedupSql)),
     GraftQuery("q_source_mixture", sourceMixture, Some(sourceMixtureSql)),

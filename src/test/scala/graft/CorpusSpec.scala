@@ -273,6 +273,32 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rolling sketch store: estimates inside the HLL envelope, exact twin verified") {
+    import spark.implicits._
+    val rows = Corpus.distinctRolling(spark, dir)
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // lgK=12 keeps relative error well under 5% at these cardinalities
+    rows.foreach { case (day, exact, est, err) =>
+      assert(exact >= 1 && est >= 1)
+      assert(err <= 0.05, s"day $day: est $est vs exact $exact (err $err)")
+      assert(math.abs(err - math.abs(est - exact).toDouble / exact) < 1e-6)
+    }
+    // exact twin equals a naive trailing recount on a mid-range day
+    val du = graft.operators.EventOps.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+    val probe = rows.map(_._1).sorted.apply(rows.length / 2)
+    val naive = du.filter { case (_, d) =>
+      !d.after(probe) && d.toLocalDate.plusDays(7).isAfter(probe.toLocalDate)
+    }.map(_._1).distinct.length.toLong
+    assert(rows.find(_._1 == probe).get._2 == naive)
+    // determinism: the sketch estimate is a pure function of the data
+    val again = Corpus.distinctRolling(spark, dir)
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("bloom decontamination screen never misses an exact contamination hit") {
     import spark.implicits._
     val exact = Corpus.contamination(spark, dir)
