@@ -271,16 +271,29 @@ object EventOps {
     * exact aggregates, rounded to 6 dp. The moments frame is
     * #event-types-bounded → broadcast; outliers only in the output.
     */
-  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val dec = "decimal(38,0)"
-    val e = events(s, dir)
-      .select($"event_id", $"event_type", $"value",
-        round($"value" * 1000000).cast("long").cast(dec).as("vi"))
-    val stats = e.groupBy($"event_type")
-      .agg(count(lit(1)).cast(dec).as("n"),
+  /** value → exact integer micro-units (decimal(38,0)) — shared by the
+    * batch anomaly query and its streaming ingest twin.
+    */
+  private[graft] def microValue(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 1000000).cast("long").cast("decimal(38,0)")
+
+  /** Per-event-type exact moments (n, Σv, Σv²) in micro-unit decimals —
+    * the #types-bounded static side the streaming gate broadcasts.
+    */
+  private[graft] def valueMoments(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"event_type", microValue($"value").as("vi"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum($"vi").as("sv"),
         sum($"vi" * $"vi").as("svv"))
+  }
+
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+      .select($"event_id", $"event_type", $"value", microValue($"value").as("vi"))
+    val stats = valueMoments(events(s, dir))
     val dev = $"n" * $"vi" - $"sv"
     val varn = $"n" * $"svv" - $"sv" * $"sv"
     e.join(broadcast(stats), "event_type")

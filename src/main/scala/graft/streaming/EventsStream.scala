@@ -70,6 +70,29 @@ object EventsStream {
         graft.operators.Corpus.nCopiesCol(col("doc_id"), col("boost")))
       .select(col("doc_id"), col("source"), col("boost"), col("n_copies"))
 
+  /** Stream-static anomaly gate — the ingest form of q_events_anomaly:
+    * arriving events join the PRECOMPUTED per-type moment table (a
+    * #event-types-bounded stream-static broadcast join — no join
+    * state) and the 3σ decision evaluates ROW-LOCALLY in the same
+    * exact decimal arithmetic as the batch operator — (n·v − Σv)² >
+    * 9·(n·Σv² − (Σv)²) — so a given (event, moments) pair flags
+    * identically at ingest and in the nightly batch. Moments refresh
+    * from the daily loop (the mixtureApplyStream weight-table
+    * precedent): the distribution moves slowly, the gate must not
+    * wait on it. Fully stateless — the alert sink sees flagged rows
+    * with their z as data arrives.
+    */
+  def anomalyGateStream(events: DataFrame, moments: DataFrame): DataFrame = {
+    val vi = graft.operators.EventOps.microValue(col("value"))
+    val dev = col("n") * col("vi") - col("sv")
+    val varn = col("n") * col("svv") - col("sv") * col("sv")
+    events.join(broadcast(moments), "event_type")
+      .withColumn("vi", vi)
+      .where(dev * dev > lit(9) * varn)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(dev.cast("double") / sqrt(varn.cast("double")), 6).as("z"))
+  }
+
   /** Streaming exact dedup: watermarked dropDuplicates on the event key —
     * the streaming twin of Dedup.exact (state is bounded by the
     * watermark horizon instead of growing with the stream).

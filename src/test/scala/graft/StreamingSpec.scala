@@ -159,6 +159,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(copies.values.exists(_ >= 1) && copies.values.exists(_ <= 1))
   }
 
+  test("stream-static anomaly gate flags the same events as the batch predicate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 19 in-band values + one planted blow-up per type
+    val rows = (1L to 19L).map(i => (i, ts(i.toInt), "click", 10.0 + (i % 5))) ++
+      Seq((100L, ts(30), "click", 5000.0), (101L, ts(31), "view", 3.0))
+    val staticDf = rows.toDF("event_id", "ts", "event_type", "value")
+    val moments = graft.operators.EventOps.valueMoments(staticDf)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    mem.addData(rows.take(10): _*)
+    val q = EventsStream.anomalyGateStream(
+        mem.toDF().toDF("event_id", "ts", "event_type", "value"), moments)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(rows.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anom_out")
+      .select($"event_id", $"z").as[(Long, Double)].collect().toMap
+    assert(streamed.keySet == Set(100L), "only the blow-up flags")
+    assert(streamed(100L) > 3.0)
+    // the batch predicate over the same frame agrees row-for-row
+    val vi = round($"value" * 1000000).cast("long").cast("decimal(38,0)")
+    val batch = staticDf.withColumn("vi", vi)
+      .join(broadcast(moments), "event_type")
+      .where(($"n" * $"vi" - $"sv") * ($"n" * $"vi" - $"sv") >
+        lit(9) * ($"n" * $"svv" - $"sv" * $"sv"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(batch == streamed.keySet)
+  }
+
   test("streaming curation gates quality before deduplicating") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
