@@ -222,6 +222,57 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no equi-join on cent_id found — the within-cluster pair join changed shape")
   }
 
+  test("round-14 additions: equi-joins only, partitioned windows, bounded zipf limit") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // candidate generation / lookup joins must stay equi-key (queries
+    // whose plans carry 1-row totals crossJoins — doc_knn's idf scalar,
+    // calibration/ctfidf/norm-audit — are the documented
+    // broadcast-scalar exception and are not in this list; doc_knn's
+    // candidate join itself is the token equi-join, checked below)
+    Seq("q_minhash_accuracy", "q_contamination_bloom",
+        "q_events_anomaly").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case b: BroadcastNestedLoopJoinExec => b: org.apache.spark.sql.execution.SparkPlan
+        case c: CartesianProductExec => c
+      }
+      assert(bad.isEmpty, s"$name: ${bad.size} non-equi join(s)")
+    }
+    // doc_knn: the only nested-loop joins are the 1-row idf/doc-count
+    // scalars — every BNLJ build side must be a grouping-less aggregate
+    locally {
+      import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+      val plan = SparkEntry.queries("q_doc_knn")(spark, dir).queryExecution.sparkPlan
+      val bnljs = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+      val cart = plan.collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, "cartesian product in q_doc_knn")
+      bnljs.foreach { b =>
+        val scalarSide = b.children.exists(_.collect {
+          case a: HashAggregateExec if a.groupingExpressions.isEmpty => a: org.apache.spark.sql.execution.SparkPlan
+          case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => a
+          case a: SortAggregateExec if a.groupingExpressions.isEmpty => a
+        }.nonEmpty)
+        assert(scalarSide,
+          "q_doc_knn nested-loop join whose build side is NOT a 1-row scalar " +
+            "aggregate — a corpus-sized broadcast at scale")
+      }
+    }
+    // per-group rankings keep their partition spec
+    Seq("q_doc_knn", "q_ctfidf_source").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      val bare = plan.collect { case w: Window if w.partitionSpec.isEmpty => w }
+      assert(bare.isEmpty, s"$name has ${bare.size} partition-less window(s)")
+    }
+    // zipf's global rank window is legal ONLY because its input is
+    // LIMIT-bounded — pin that the limit is in the plan
+    val zipf = SparkEntry.queries("q_zipf_fit")(spark, dir)
+      .queryExecution.optimizedPlan
+    val limits = zipf.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l }
+    assert(limits.nonEmpty, "q_zipf_fit lost its top-1000 LIMIT — " +
+      "the rank window would be corpus-sized")
+  }
+
   test("jaccard plan computes the shingle expression at most once per branch") {
     val plan = operators.Dedup.ngramJaccard(spark, dir)
       .queryExecution.executedPlan.toString
