@@ -1180,6 +1180,68 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source DATASET CARD rollup — the published-card statistics
+    * table (docs, token mass, token-length percentiles, mean quality,
+    * Gopher pass rate, English share) per source, all from ONE corpus
+    * scan: every per-doc signal is row-local (the q_doc_signals
+    * fusion lesson) and one source-keyed hash aggregation finishes —
+    * at 100 TB the text read is the cost, so the card must not pay a
+    * pass per statistic. Percentiles use the exact interpolated
+    * `percentile` (the q_percentiles convention; the documented scale
+    * swap-in is percentile_approx). Mean quality follows the integer
+    * micro-unit discipline (quality is already 6-dp rounded, so its
+    * micro-units are exact and the sum is order-independent); rates
+    * are exact integer ratios.
+    */
+  def sourceStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Tables.documents(s, dir)
+      .select($"source", $"lang", $"text", TF.tokens($"text").as("toks"))
+      .select(Seq($"source", $"lang",
+        qualityFromToks($"toks", $"text").as("quality")) ++
+        gopherMetricCols($"toks", $"text"): _*)
+      .withColumn("gopher_pass", gopherPassCol)
+    perDoc.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_words").cast("long").as("n_tokens"),
+        expr("percentile(n_words, 0.5)").as("tokens_p50"),
+        expr("percentile(n_words, 0.95)").as("tokens_p95"),
+        round(sum(round($"quality" * 1000000).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * 1e6), 6).as("mean_quality"),
+        round(sum($"gopher_pass".cast("int")).cast("double") / count(lit(1)), 6)
+          .as("gopher_pass_rate"),
+        round(sum(($"lang" === "en").cast("int")).cast("double") / count(lit(1)), 6)
+          .as("pct_en"))
+      .orderBy($"source")
+  }
+
+  val sourceStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT source, lang, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, lang,
+       |    ${qualitySqlExpr(
+            "len(toks)",
+            s"CAST(len(list_filter(toks, t -> list_contains(${TF.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, t))) AS DOUBLE) / len(toks)",
+            "CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE) / len(text)")} AS quality,
+       |    $gopherMetricsSql
+       |  FROM t),
+       |g AS (SELECT *, $gopherPassSql AS gopher_pass FROM m)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |  CAST(quantile_cont(n_words, 0.5) AS DOUBLE) AS tokens_p50,
+       |  CAST(quantile_cont(n_words, 0.95) AS DOUBLE) AS tokens_p95,
+       |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS mean_quality,
+       |  round(CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS gopher_pass_rate,
+       |  round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS pct_en
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   /** PMI collocations (Church & Hanks 1990) — the top-20 adjacent word
     * pairs by pointwise mutual information ln(p(w1w2)/(p(w1)p(w2))),
     * support-filtered at c12 ≥ 5: the phrase-mining / tokenizer-seeding
@@ -1342,5 +1404,6 @@ object TextAnalysis {
     GraftQuery("q_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     GraftQuery("q_dsir_resample", dsirResample, Some(dsirResampleSql)),
     GraftQuery("q_token_pmi", tokenPmi, Some(tokenPmiSql)),
-    GraftQuery("q_zipf_fit", zipfFit, Some(zipfFitSql)))
+    GraftQuery("q_zipf_fit", zipfFit, Some(zipfFitSql)),
+    GraftQuery("q_source_stats", sourceStats, Some(sourceStatsSql)))
 }

@@ -246,6 +246,35 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 == 0L).sortBy(_._4).map(_._2).toSeq == want)
   }
 
+  test("source stats card agrees with the standalone quality and gopher operators") {
+    import spark.implicits._
+    val card = TextAnalysis.sourceStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7))).toMap
+    val srcOf = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(card.values.map(_._1).sum == srcOf.size, "docs partition across sources")
+    // gopher pass rate recomputed from the standalone rule query
+    val pass = TextAnalysis.gopherRules(spark, dir)
+      .select($"doc_id", $"pass").as[(Long, Boolean)].collect()
+    val passBySrc = pass.groupBy(p => srcOf(p._1)._1)
+      .map { case (s, xs) => s -> xs.count(_._2).toDouble / xs.length }
+    // mean quality recomputed from the standalone quality query
+    val qual = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+    val qualBySrc = qual.groupBy(q => srcOf(q._1)._1)
+      .map { case (s, xs) =>
+        s -> xs.map(x => math.round(x._2 * 1e6)).sum.toDouble / (xs.length * 1e6) }
+    card.foreach { case (src, (_, nTok, meanQ, gRate, pctEn)) =>
+      assert(nTok > 0)
+      assert(math.abs(meanQ - qualBySrc(src)) < 1e-5, s"$src quality")
+      assert(math.abs(gRate - passBySrc(src)) < 1e-5, s"$src gopher")
+      val en = srcOf.values.filter(_._1 == src)
+      assert(math.abs(pctEn - en.count(_._2 == "en").toDouble / en.size) < 1e-5)
+    }
+  }
+
   test("quality scores stay within [0, 1]") {
     import spark.implicits._
     val q = TextAnalysis.qualityScore(spark, dir)
