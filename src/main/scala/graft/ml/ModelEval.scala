@@ -306,7 +306,43 @@ object ModelEval {
         .persist()
     }.orderBy("frac_pct")
 
+  /** Calibration / reliability + Brier PER FITTED MODEL — the
+    * q_calibration analytics applied to every bank model's hold-out
+    * probabilities (rank metrics can't see mis-calibration; NB is
+    * notoriously over-confident, the tree models step-wise — this is
+    * the query that shows it). Cost shape: consumes the SESSION-CACHED
+    * per-(model, score) tallies — no rescore, no new fit — and both
+    * the 10-bin reliability rows and the Brier score are EXACT integer
+    * algebra on the tallies: with si = round(score·10⁶),
+    * Σ(score−y)² = Σ_rows [cp·(si−10⁶)² + (c−cp)·si²] in
+    * decimal(38,0), so the whole report is order-independent and two
+    * IEEE divisions deep. Rows-only (fitted models); MlEvalSpec
+    * recomputes one model's bins + Brier from its raw hold-out scores.
+    */
+  def mlCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val t = holdoutTallies(s, dir).select($"model", $"score", $"c", $"cp",
+      round($"score" * 1000000).cast("long").cast(dec).as("si"))
+    val bins = t.groupBy($"model",
+        least(floor($"score" * 10), lit(9)).cast("int").as("bin"))
+      .agg(sum($"c").as("n_docs"), sum($"cp").as("n_pos"),
+        sum($"si" * $"c").as("ssi"))
+    val brier = t.groupBy($"model")
+      .agg(((sum($"cp" * ($"si" - 1000000L) * ($"si" - 1000000L)) +
+        sum(($"c" - $"cp") * $"si" * $"si")).cast("double") /
+        (sum($"c").cast("double") * 1e12)).as("brier"))
+    bins.join(broadcast(brier), "model")
+      .select($"model", $"bin", $"n_docs", $"n_pos",
+        round($"n_pos".cast("double") / $"n_docs", 6).as("pos_rate"),
+        round($"ssi".cast("double") / ($"n_docs".cast("double") * 1e6), 6)
+          .as("mean_score"),
+        round($"brier", 6).as("brier"))
+      .orderBy($"model", $"bin")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_ml_calibration", mlCalibration, None, singleShot = true),
     GraftQuery("q_ml_roc_auc", mlRocAuc, None, singleShot = true),
     GraftQuery("q_ml_roc_curve", mlRocCurve, None, singleShot = true),
     GraftQuery("q_ml_pr_curve", mlPrCurve, None, singleShot = true),

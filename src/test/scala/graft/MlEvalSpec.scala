@@ -249,4 +249,34 @@ class MlEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = GridSearch.mlGridTtest(spark, dir).collect()
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("ml calibration bins + brier equal a raw-score recompute for logreg") {
+    import spark.implicits._
+    val rows = ModelEval.mlCalibration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val models = rows.map(_._1).distinct
+    assert(models.length == Classifiers.estimators.length,
+      "one calibration block per bank model")
+    // recompute logreg's report from its raw hold-out scores
+    val raw = Classifiers.holdoutScores(spark, dir, "logreg")
+      .select($"y", $"score").as[(Int, Double)].collect()
+    val lr = rows.filter(_._1 == "logreg")
+    assert(lr.map(_._3).sum == raw.length, "bins partition the hold-out half")
+    val sis = raw.map { case (y, sc) => (y, math.round(sc * 1e6)) }
+    val wantBrier = sis.map { case (y, si) =>
+      val d = si - y.toLong * 1000000L; BigInt(d) * BigInt(d)
+    }.sum.toDouble / (raw.length * 1e12)
+    assert(math.abs(lr.head._7 - wantBrier) < 1e-5, "brier")
+    lr.foreach { case (_, bin, n, pos, rate, mean, _) =>
+      assert(pos <= n && rate >= 0.0 && rate <= 1.0)
+      assert(mean >= bin / 10.0 - 1e-6 && mean <= (bin + 1) / 10.0 + 1e-6)
+    }
+    // determinism off the session-cached tallies
+    val again = ModelEval.mlCalibration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }
