@@ -643,6 +643,76 @@ object Corpus {
        |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
        |ORDER BY chunk_hash""".stripMargin
 
+  /** Per-document NOVELTY score — the doc-level memorization screen the
+    * span table feeds (Lee et al. 2021's exact-substring signal turned
+    * into a per-doc statistic): the fraction of a doc's 10-token chunks
+    * that appear in NO other document; low-novelty docs are boilerplate
+    * / templates / verbatim reprints, the rows a curation pass
+    * down-weights even when full-doc dedup misses them. Scale shape:
+    * the q_dedup_ngram_jaccard frequency-join pattern — chunk
+    * occurrences aggregate to a hash-keyed doc-count frame (partial
+    * aggs collapse map-side), one equi-join back onto occurrences, one
+    * doc-keyed agg. Sub-10-token docs have no chunks and surface
+    * explicitly with n_chunks = 0 / NULL novelty (the KN-logprob
+    * no-silent-drop convention).
+    */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val chunks = Tables.documents(s, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+      .select($"doc_id", explode(
+        filter(
+          transform(sequence(lit(0), expr("(size(toks) - 1) div 10")),
+            k => when((k + 1) * 10 <= size($"toks"),
+              array_join(slice($"toks", k * 10 + 1, lit(10)), " "))),
+          c => c.isNotNull)).as("chunk"))
+      .select($"doc_id", Dedup.hash60($"chunk").as("chunk_hash"))
+    val docsPerChunk = chunks.groupBy($"chunk_hash")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    val perDoc = chunks.join(docsPerChunk, "chunk_hash")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(($"n_docs" > 1).cast("long")).as("n_shared"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_chunks", lit(0L)).as("n_chunks"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        when($"n_chunks".isNotNull,
+          round(lit(1.0) - $"n_shared".cast("double") / $"n_chunks", 6))
+          .as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  val noveltySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    ${Dedup.hash60Sql("chunk")} AS chunk_hash
+       |  FROM (SELECT doc_id,
+       |          unnest([array_to_string(toks[(k*10+1):(k*10+10)], ' ')
+       |                  for k in generate_series(0, len(toks)//10 - 1)]) AS chunk
+       |        FROM toks) c),
+       |dpc AS (
+       |  SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+       |  FROM chunks GROUP BY chunk_hash),
+       |per AS (
+       |  SELECT c.doc_id, count(*) AS n_chunks,
+       |    CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared
+       |  FROM chunks c JOIN dpc d USING (chunk_hash)
+       |  GROUP BY c.doc_id)
+       |SELECT doc.doc_id,
+       |  coalesce(p.n_chunks, 0) AS n_chunks,
+       |  coalesce(p.n_shared, 0) AS n_shared,
+       |  CASE WHEN p.n_chunks IS NOT NULL THEN
+       |    round(1.0 - CAST(p.n_shared AS DOUBLE) / p.n_chunks, 6) END AS novelty
+       |FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
   /** Source-mixture accounting — the data-mixing step of a pretraining
     * pipeline: per-source doc/token mass plus the up/down-weight needed
     * to hit a uniform target mixture (weight = target share / actual
@@ -1074,6 +1144,7 @@ object Corpus {
     GraftQuery("q_distinct_rolling", distinctRolling, None),
     GraftQuery("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     GraftQuery("q_span_dedup", spanDedup, Some(spanDedupSql)),
+    GraftQuery("q_novelty", novelty, Some(noveltySql)),
     GraftQuery("q_source_mixture", sourceMixture, Some(sourceMixtureSql)),
     GraftQuery("q_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),

@@ -273,6 +273,43 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("novelty is consistent with the span-dedup table and covers every doc") {
+    import spark.implicits._
+    val nov = Corpus.novelty(spark, dir)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(nov.length == Tables.documents(spark, dir).count())
+    nov.foreach { case (_, nChunks, nShared, novOpt) =>
+      assert(nShared <= nChunks)
+      if (nChunks == 0) assert(novOpt.isEmpty)
+      else {
+        val n = novOpt.get
+        assert(n >= -1e-9 && n <= 1.0 + 1e-9)
+        assert(math.abs(n - (1.0 - nShared.toDouble / nChunks)) < 1e-5)
+      }
+    }
+    // any doc owning a cross-doc duplicated span (span-dedup table) must
+    // have n_shared > 0; docs with zero table presence score novelty 1.0
+    val dupHashes = Corpus.spanDedup(spark, dir)
+      .select($"chunk_hash").as[Long].collect().toSet
+    assert(dupHashes.nonEmpty)
+    val byDoc = nov.map(r => r._1 -> r._3).toMap
+    // recompute chunk ownership directly
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect()
+    toks.foreach { case (id, ts) =>
+      val chunks = ts.grouped(10).filter(_.length == 10).map(_.mkString(" ")).toSeq
+      val sharedCount = chunks.count { c =>
+        val h = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            .take(15), 16)
+        dupHashes(h)
+      }
+      assert(byDoc(id) == sharedCount.toLong, s"doc $id")
+    }
+  }
+
   test("rolling sketch store: estimates inside the HLL envelope, exact twin verified") {
     import spark.implicits._
     val rows = Corpus.distinctRolling(spark, dir)
