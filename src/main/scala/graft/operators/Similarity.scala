@@ -1123,7 +1123,13 @@ object Similarity {
         .map(math.max(2, _)).distinct
     val fv = v.select(array_to_vector($"v").as("fv")).persist()
     val perK = candidates.map { k =>
-      val m = new KMeans().setK(k).setSeed(26062019L).setMaxIter(10)
+      // planner fits stop at 4 Lloyd rounds: the cluster-SIZE
+      // distribution (all the planner measures) stabilizes rounds
+      // before the centroids do, and the production fit for the chosen
+      // k (q_semdedup's cached centroids) still runs the full budget —
+      // 5 exploratory fits × 10 iters was the bench's single most
+      // expensive line for a what-if table
+      val m = new KMeans().setK(k).setSeed(26062019L).setMaxIter(4)
         .setFeaturesCol("fv").fit(fv)
       m.transform(fv)
         .groupBy($"prediction").agg(count(lit(1)).as("c"))
