@@ -431,13 +431,8 @@ object Corpus {
       .distinct()
     val sketches = du.groupBy($"day")
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val est = rollingEstFromSketches(sketches)
     val days = sketches.select($"day")
-    val est = sketches
-      .select($"sk", explode(sequence(lit(0), lit(6))).as("off"), $"day")
-      .select($"sk", date_add($"day", $"off").as("day"))
-      .join(broadcast(days), Seq("day"))
-      .groupBy($"day")
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
     val exact = du
       .select($"user_id", explode(sequence(lit(0), lit(6))).as("off"), $"day")
       .select($"user_id", date_add($"day", $"off").as("day"))
@@ -449,6 +444,22 @@ object Corpus {
         round(abs($"est_users" - $"exact_users").cast("double")
           / $"exact_users", 6).as("rel_err"))
       .orderBy($"day")
+  }
+
+  /** The 7-day rolling estimate off ANY (day, sk) sketch frame — one
+    * source for the batch query and the streaming sketch-store reader
+    * (the store the daily loop maintains serves windows through this
+    * exact algebra).
+    */
+  private[graft] def rollingEstFromSketches(sketches: DataFrame): DataFrame = {
+    import sketches.sparkSession.implicits._
+    val days = sketches.select($"day")
+    sketches
+      .select($"sk", explode(sequence(lit(0), lit(6))).as("off"), $"day")
+      .select($"sk", date_add($"day", $"off").as("day"))
+      .join(broadcast(days), Seq("day"))
+      .groupBy($"day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
   }
 
   /** Count-min sketch parameters: 4 independent hash rows × 1024

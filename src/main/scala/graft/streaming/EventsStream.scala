@@ -247,6 +247,40 @@ object EventsStream {
       }
       .start()
 
+  /** CONTINUOUS sketch-store maintenance — the streaming daily loop of
+    * q_distinct_rolling: each micro-batch's events aggregate to per-day
+    * HLL sketches (`hll_sketch_agg`) and MERGE into the persisted
+    * sketch table via `hll_union_agg` (HLL registers are max-merged, so
+    * a day's sketch built across many micro-batches is identical to a
+    * single-shot build — the mergeability the store exists for). A
+    * foreachBatch sink-hook like the cluster-maintenance loop: the
+    * merge is a read-modify-write of the store table reusing the batch
+    * algebra, with the localCheckpoint lineage cut before the
+    * overwrite. Store stays one row per day (KBs) forever; any
+    * trailing-window cardinality then reads through
+    * [[graft.operators.Corpus.rollingEstFromSketches]] without
+    * touching event history.
+    */
+  def sketchStoreStream(s: SparkSession, events: DataFrame,
+      sketchTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val daySk = batch
+          .select(col("user_id"),
+            to_date(date_trunc("DAY", col("ts"))).as("day"))
+          .groupBy(col("day"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        val merged = s.table(sketchTable).unionByName(daySk)
+          .groupBy(col("day"))
+          .agg(expr("hll_union_agg(sk)").as("sk"))
+          .localCheckpoint()
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(sketchTable)
+        s.catalog.refreshTable(sketchTable)
+        ()
+      }
+      .start()
+
   /** Stream-stream attribution join — the streaming twin of the batch
     * as-of join (Temporal.asofJoin): each click joined to purchases by
     * the same user within 30 minutes after it. Both sides carry

@@ -159,6 +159,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(copies.values.exists(_ >= 1) && copies.values.exists(_ <= 1))
   }
 
+  test("sketch-store loop: cross-batch merged sketches equal a single-shot build") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
+    // day 3 spans BOTH micro-batches — the merge case the store must get right
+    val batch1 = Seq((1L, day(1)), (2L, day(1)), (3L, day(2)), (4L, day(3)))
+    val batch2 = Seq((5L, day(3)), (6L, day(3)), (1L, day(4)), (7L, day(5)))
+    val tbl = "sketch_store_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Seq.empty[(java.sql.Date, Array[Byte])].toDF("day", "sk")
+      .write.format("parquet").saveAsTable(tbl)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventsStream.sketchStoreStream(
+      spark, mem.toDF().toDF("user_id", "ts"), tbl)
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val store = spark.table(tbl)
+    assert(store.count() == 5, "one sketch row per observed day")
+    // rolling estimates off the streamed store ≡ off a single-shot build
+    val streamedEst = graft.operators.Corpus
+      .rollingEstFromSketches(store)
+      .as[(java.sql.Date, Long)].collect().toMap
+    val singleShot = (batch1 ++ batch2).toDF("user_id", "ts")
+      .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+      .groupBy($"day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val wantEst = graft.operators.Corpus
+      .rollingEstFromSketches(singleShot)
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(streamedEst == wantEst)
+    // small cardinalities: HLL is exact here — pin the actual windows
+    assert(streamedEst(java.sql.Date.valueOf("2024-03-05")) == 7L,
+      "trailing week covers all 7 distinct users")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("stream-static anomaly gate flags the same events as the batch predicate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
