@@ -194,11 +194,36 @@ object Relational {
       |  AS bucket, count(*) AS n
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The CUSTOM-OPERATOR twin of [[windowTopK]] — same rows, same
+    * oracle, different physical plan: the declarative row_number window
+    * must fully SORT every customer's orders before ranking, while
+    * [[graft.plans.TopKPerKey]] (logical node → SparkStrategy →
+    * UnaryExecNode, SURVEY §4 path (c)) streams each shuffled group
+    * through a size-3 bounded heap — O(n log k), no sort buffer. At
+    * 100 TB that heap replaces the dominant per-group sort. The rank
+    * column the oracle expects is re-derived by a window over the
+    * ALREADY-REDUCED ≤3-rows-per-customer frame (trivial groups), so
+    * the oracle gate proves the custom operator invisible — the
+    * q_skew_join convention applied to a custom physical operator.
+    */
+  def windowTopKHeap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val top = graft.plans.TopKPerKey(base, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    top.withColumn("rk", row_number().over(w))
+      .orderBy($"o_custkey", $"rk")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_histogram", histogram, Some(histogramSql)),
     GraftQuery("q1_agg", q1Agg, Some(q1AggSql)),
     GraftQuery("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
     GraftQuery("q_window_topk", windowTopK, Some(windowTopKSql)),
+    GraftQuery("q_window_topk_heap", windowTopKHeap, Some(windowTopKSql)),
     GraftQuery("q_percentiles", percentiles, Some(percentilesSql)),
     GraftQuery("q_percentiles_approx", percentilesApprox, None),
     GraftQuery("q_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)))

@@ -42,4 +42,12 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and crucially: no Sort below the top-k (the point of the operator)
     assert(!plan.contains("Sort "))
   }
+
+  test("registered q_window_topk_heap actually runs through the custom exec") {
+    val df = SparkEntry.queries("q_window_topk_heap")(spark, dir)
+    // AQE wraps the plan, so collect() on the root won't traverse into
+    // the adaptive subtree — the string form shows the full plan
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "the heap twin lost its TopKPerKeyExec — it would re-sort per group")
+  }
 }
