@@ -44,21 +44,32 @@ object EventOps {
           "TIMESTAMP or TIMESTAMP_NTZ")
     }
 
+  /** Per-event session assignment (user_id, event_id, ts, extras...,
+    * session_id) — the pre-aggregation frame [[sessionize]] and the
+    * path miner share: lag + running sum of session starts, one
+    * shuffle on user_id.
+    */
+  private def sessionAssigned(s: SparkSession, dir: String,
+      extras: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(Seq($"user_id", $"event_id", $"ts") ++ extras: _*)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_sess").over(wRun))
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts — one shuffle on user_id, the canonical distributed
     * sessionize (streaming twin: EventsStream.sessionize).
     */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, dir)
-      .select($"user_id", $"event_id", $"ts", $"value")
-      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
-      .withColumn("new_sess",
-        when($"prev_us".isNull ||
-          unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1).otherwise(0))
-      .withColumn("session_id", sum($"new_sess").over(wRun))
+    sessionAssigned(s, dir, Seq(col("value")))
       .groupBy($"user_id", $"session_id")
       .agg(count(lit(1)).as("n_events"),
         min($"ts").as("start_ts"), max($"ts").as("end_ts"),
@@ -257,6 +268,53 @@ object EventOps {
       |SELECT day, dau, mau, round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
       |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin
 
+  /** Session PATH mining — the top-10 3-step event-type paths taken
+    * inside sessions (the "how do users actually move" query next to
+    * the funnel's prescribed order): within each gap-session, every
+    * consecutive event-type triple counts as one path occurrence.
+    * Scale shape: the triples come from two `lead()`s over the SAME
+    * (user_id)-partitioned window the sessionization itself uses — no
+    * second shuffle, no per-session collect — and the path count is
+    * one hash aggregation with TakeOrdered selection (ties break on
+    * the path string). ORACLE=sql (identical window algebra in
+    * DuckDB).
+    */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"ts", $"event_id")
+    sessionAssigned(s, dir, Seq(col("event_type")))
+      .withColumn("t1", lead($"event_type", 1).over(w))
+      .withColumn("t2", lead($"event_type", 2).over(w))
+      .where($"t1".isNotNull && $"t2".isNotNull)
+      .select(concat_ws(">", $"event_type", $"t1", $"t2").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(10)
+  }
+
+  val sessionPathsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g),
+      |tri AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w2 AS t1,
+      |    lead(event_type, 2) OVER w2 AS t2
+      |  FROM sess
+      |  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || t1 || '>' || t2 AS path, count(*) AS n
+      |FROM tri WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   /** Per-event-type z-score anomaly detection — the monitoring query of
     * an event pipeline (a value 3σ off its type's distribution is a
     * broken emitter or a fraud signal): two passes, per-type moment
@@ -326,5 +384,6 @@ object EventOps {
     GraftQuery("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     GraftQuery("q_events_retention", eventsRetention, Some(eventsRetentionSql)),
     GraftQuery("q_events_dau_mau", eventsDauMau, Some(eventsDauMauSql)),
-    GraftQuery("q_events_anomaly", eventsAnomaly, Some(eventsAnomalySql)))
+    GraftQuery("q_events_anomaly", eventsAnomaly, Some(eventsAnomalySql)),
+    GraftQuery("q_session_paths", sessionPaths, Some(sessionPathsSql)))
 }

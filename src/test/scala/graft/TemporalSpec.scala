@@ -91,6 +91,37 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == naiveMau.toLong, s"mau $got vs naive $naiveMau on $probe")
   }
 
+  test("session paths equal a driver recompute over the sessionized events") {
+    import spark.implicits._
+    val got = EventOps.sessionPaths(spark, dir)
+      .as[(String, Long)].collect()
+    assert(got.nonEmpty && got.length <= 10)
+    // recompute: order each user's events, split on 30-min gaps, count
+    // consecutive type triples within sessions
+    val ev = EventOps.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      var sess = Seq.empty[String]
+      var prevUs = Long.MinValue
+      def flush(): Unit = {
+        sess.sliding(3).filter(_.size == 3)
+          .foreach { t => val p = t.mkString(">")
+            counts(p) = counts.getOrElse(p, 0L) + 1 }
+        sess = Seq.empty
+      }
+      ordered.foreach { case (_, _, us, t) =>
+        if (prevUs != Long.MinValue && us - prevUs > 1800L * 1000000L) flush()
+        sess = sess :+ t; prevUs = us
+      }
+      flush()
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(got.toSeq == want)
+  }
+
   test("events anomaly flags exactly the naive |z|>3 set per event type") {
     import spark.implicits._
     val flagged = EventOps.eventsAnomaly(spark, dir)
