@@ -1242,6 +1242,105 @@ object TextAnalysis {
        |    / count(*), 6) AS pct_en
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  /** Heaps'-law vocabulary-growth fit — V(N) = k·N^β, the companion
+    * regularity to [[zipfFit]] (β ≈ 0.4–0.6 for natural text; a corpus
+    * whose vocabulary grows linearly is ID-like noise, one that
+    * plateaus hard is template spam): OLS through (ln cum_tokens,
+    * ln cum_types) sampled at 64 corpus positions. Scale shape — NO
+    * corpus-sized window anywhere: each token's FIRST document is one
+    * hash agg (min doc_id per token), per-doc new-type counts a
+    * second, then the corpus collapses to 64 doc_id-range buckets
+    * (exact integer bucketing off a broadcast bounds row) and the
+    * cumulative curve is a 64²-bounded broadcast self-join over BUCKET
+    * TOTALS — the growth curve is sampled at bucket boundaries, which
+    * is all a log-log fit needs. The ≤64-point OLS folds in bucket
+    * order (FloatFold).
+    */
+  def heapsFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.FloatFold.orderedSum
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+    val tok = base.select($"doc_id", explode($"toks").as("token"))
+    val newTypes = tok.groupBy($"token").agg(min($"doc_id").as("first_doc"))
+      .groupBy($"first_doc".as("doc_id")).agg(count(lit(1)).as("new_types"))
+    val per = base.select($"doc_id",
+        coalesce(size($"toks"), lit(0)).cast("long").as("n_toks"))
+      .join(newTypes, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_toks", coalesce($"new_types", lit(0L)).as("new_types"))
+    val bounds = per.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    val totals = per.crossJoin(broadcast(bounds))
+      .select(expr("CAST(least(((doc_id - lo) * 64) div (hi - lo + 1), 63) AS INT)")
+        .as("bkt"), $"n_toks", $"new_types")
+      .groupBy($"bkt")
+      .agg(sum($"n_toks").as("bt"), sum($"new_types").as("bv"))
+    val cum = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.bkt") <= col("a.bkt"))
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(sum(col("b.bt")).as("cum_toks"), sum(col("b.bv")).as("cum_types"))
+      .where($"cum_toks" > 0 && $"cum_types" > 0)
+      .select($"bkt", log($"cum_toks".cast("double")).as("x"),
+        log($"cum_types".cast("double")).as("y"))
+    val sums = cum.agg(
+      count(lit(1)).cast("double").as("n"),
+      orderedSum($"bkt", $"x").as("sx"),
+      orderedSum($"bkt", $"y").as("sy"),
+      orderedSum($"bkt", $"x" * $"y").as("sxy"),
+      orderedSum($"bkt", $"x" * $"x").as("sxx"),
+      orderedSum($"bkt", $"y" * $"y").as("syy"))
+    val cov = $"n" * $"sxy" - $"sx" * $"sy"
+    val varx = $"n" * $"sxx" - $"sx" * $"sx"
+    val vary = $"n" * $"syy" - $"sy" * $"sy"
+    // a saturated vocabulary (every type seen in the first bucket —
+    // the driver's tiny synthetic vocab does this) makes the type curve
+    // flat: beta = 0 and r² degenerates 0/0 → NULL, not NaN
+    sums.select(
+      $"n".cast("long").as("n_points"),
+      round(cov / varx, 6).as("beta"),
+      round(exp(($"sy" - (cov / varx) * $"sx") / $"n"), 6).as("k"),
+      when(vary > 0, round((cov * cov) / (varx * vary), 6)).as("r2"))
+  }
+
+  val heapsFitSql: String = {
+    def fold(term: String) =
+      s"list_reduce(list_prepend(0.0, list($term ORDER BY bkt)), (a, b) -> a + b)"
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS token FROM base),
+       |nt AS (
+       |  SELECT first_doc AS doc_id, count(*) AS new_types
+       |  FROM (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token) f
+       |  GROUP BY first_doc),
+       |per AS (
+       |  SELECT b.doc_id, len(b.toks) AS n_toks, coalesce(nt.new_types, 0) AS new_types
+       |  FROM base b LEFT JOIN nt ON b.doc_id = nt.doc_id),
+       |bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM per),
+       |totals AS (
+       |  SELECT CAST(least(((p.doc_id - o.lo) * 64) // (o.hi - o.lo + 1), 63) AS INT) AS bkt,
+       |    CAST(sum(p.n_toks) AS BIGINT) AS bt,
+       |    CAST(sum(p.new_types) AS BIGINT) AS bv
+       |  FROM per p CROSS JOIN bounds o GROUP BY 1),
+       |cum AS (
+       |  SELECT a.bkt, ln(CAST(sum(b.bt) AS DOUBLE)) AS x,
+       |    ln(CAST(sum(b.bv) AS DOUBLE)) AS y
+       |  FROM totals a JOIN totals b ON b.bkt <= a.bkt
+       |  GROUP BY a.bkt
+       |  HAVING sum(b.bt) > 0 AND sum(b.bv) > 0),
+       |sums AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    ${fold("x")} AS sx, ${fold("y")} AS sy, ${fold("x * y")} AS sxy,
+       |    ${fold("x * x")} AS sxx, ${fold("y * y")} AS syy
+       |  FROM cum)
+       |SELECT CAST(n AS BIGINT) AS n_points,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       |  round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n), 6) AS k,
+       |  CASE WHEN n * syy - sy * sy > 0 THEN
+       |    round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
+       |FROM sums""".stripMargin
+  }
+
   /** PMI collocations (Church & Hanks 1990) — the top-20 adjacent word
     * pairs by pointwise mutual information ln(p(w1w2)/(p(w1)p(w2))),
     * support-filtered at c12 ≥ 5: the phrase-mining / tokenizer-seeding
@@ -1405,5 +1504,6 @@ object TextAnalysis {
     GraftQuery("q_dsir_resample", dsirResample, Some(dsirResampleSql)),
     GraftQuery("q_token_pmi", tokenPmi, Some(tokenPmiSql)),
     GraftQuery("q_zipf_fit", zipfFit, Some(zipfFitSql)),
+    GraftQuery("q_heaps_fit", heapsFit, Some(heapsFitSql)),
     GraftQuery("q_source_stats", sourceStats, Some(sourceStatsSql)))
 }

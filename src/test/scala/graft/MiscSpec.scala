@@ -246,6 +246,47 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 == 0L).sortBy(_._4).map(_._2).toSeq == want)
   }
 
+  test("heaps fit reproduces a driver-side OLS over bucket-boundary growth points") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val Seq((n, beta, k, r2Opt)) = TextAnalysis.heapsFit(spark, dir)
+      .as[(Long, Double, Double, Option[Double])].collect().toSeq
+    // driver recompute: first-doc per token, 64 doc_id-range buckets,
+    // cumulative (tokens, types) at bucket boundaries, log-log OLS
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", TF.tokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect()
+    val lo = docs.map(_._1).min; val hi = docs.map(_._1).max
+    def bkt(id: Long) = math.min((id - lo) * 64 / (hi - lo + 1), 63L).toInt
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, ts) =>
+      ts.foreach(t => if (!firstDoc.contains(t)) firstDoc(t) = id) }
+    val bt = Array.fill(64)(0L); val bv = Array.fill(64)(0L)
+    docs.foreach { case (id, ts) => bt(bkt(id)) += ts.length }
+    firstDoc.values.foreach(id => bv(bkt(id)) += 1)
+    val pts = (0 until 64).map { b =>
+      (b, bt.take(b + 1).sum, bv.take(b + 1).sum)
+    }.filter(p => p._2 > 0 && p._3 > 0)
+      .map(p => (math.log(p._2.toDouble), math.log(p._3.toDouble)))
+    assert(n == pts.length)
+    val sn = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val cov = sn * sxy - sx * sy
+    val expBeta = cov / (sn * sxx - sx * sx)
+    assert(math.abs(beta - expBeta) < 1e-5)
+    assert(math.abs(k - math.exp((sy - expBeta * sx) / sn)) < 1e-4)
+    val vary = sn * syy - sy * sy
+    if (vary > 0)
+      assert(math.abs(r2Opt.get - cov * cov / ((sn * sxx - sx * sx) * vary)) < 1e-5)
+    else assert(r2Opt.isEmpty, "degenerate flat type-curve must yield NULL r2")
+    // sublinear growth; the synthetic corpus saturates its tiny vocab
+    // in bucket 0 (beta = 0, the flatline the statistic exists to show)
+    assert(beta >= 0.0 && beta < 1.0)
+  }
+
   test("source stats card agrees with the standalone quality and gopher operators") {
     import spark.implicits._
     val card = TextAnalysis.sourceStats(spark, dir).collect()
