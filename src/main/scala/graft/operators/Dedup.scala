@@ -660,6 +660,49 @@ object Dedup {
        |FROM fac f JOIN cand USING (bands) ORDER BY f.bands""".stripMargin
   }
 
+  /** Edit-distance VERIFICATION over the LSH candidates — the
+    * character-level precision stage of a fuzzy-dedup pipeline
+    * (shingle Jaccard is coarse on short docs: one word swapped in a
+    * 10-word doc destroys most of its 3-gram shingles while the
+    * Levenshtein similarity stays high — this stage catches what the
+    * token-level verify under-scores). Cost discipline: Levenshtein is
+    * O(len²) per pair, so it runs ONLY on the banded candidate set
+    * (never all-pairs — at 100 TB the candidate count, not the corpus,
+    * bounds this stage); both engines ship the identical integer
+    * `levenshtein`, so the scoreboard hash-checks. Emits every
+    * candidate with its distance, normalized similarity
+    * 1 − d/max(len), and the ≥0.8 gate — exact-integer compare
+    * (5·d ≤ max len) so the flag can't flip on a float boundary.
+    */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = minhashEst(s, dir).select($"id_a", $"id_b")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    cand
+      .join(docs.select($"doc_id".as("id_a"), $"text".as("ta")), "id_a")
+      .join(docs.select($"doc_id".as("id_b"), $"text".as("tb")), "id_b")
+      .select($"id_a", $"id_b",
+        levenshtein($"ta", $"tb").cast("long").as("dist"),
+        greatest(length($"ta"), length($"tb")).cast("long").as("mx"))
+      .select($"id_a", $"id_b", $"dist",
+        round(lit(1.0) - $"dist".cast("double") / $"mx", 6).as("edit_sim"),
+        ($"dist" * 5 <= $"mx").as("is_dup"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val editDistancePairsSql: String =
+    s"""WITH $minhashCtesSql
+       |SELECT e.id_a, e.id_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+       |  round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |    / greatest(length(a.text), length(b.text)), 6) AS edit_sim,
+       |  levenshtein(a.text, b.text) * 5
+       |    <= greatest(length(a.text), length(b.text)) AS is_dup
+       |FROM est e
+       |JOIN documents a ON a.doc_id = e.id_a
+       |JOIN documents b ON b.doc_id = e.id_b
+       |ORDER BY e.id_a, e.id_b""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_dedup_exact", exact, Some(exactSql)),
     GraftQuery("q_dedup_ngram_jaccard", ngramJaccardPrefix(_, _),
@@ -668,5 +711,6 @@ object Dedup {
     GraftQuery("q_dedup_simhash", simhash, Some(simhashSql)),
     GraftQuery("q_dedup_containment", containment, Some(containmentSql)),
     GraftQuery("q_lsh_plan", lshPlan, Some(lshPlanSql)),
-    GraftQuery("q_minhash_accuracy", minhashAccuracy, Some(minhashAccuracySql)))
+    GraftQuery("q_minhash_accuracy", minhashAccuracy, Some(minhashAccuracySql)),
+    GraftQuery("q_dedup_editdist", editDistancePairs, Some(editDistancePairsSql)))
 }

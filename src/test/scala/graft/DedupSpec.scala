@@ -116,6 +116,41 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("edit-distance verify covers the LSH candidates with consistent similarity") {
+    import spark.implicits._
+    val rows = Dedup.editDistancePairs(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    val cand = Dedup.minhashLsh(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == cand)
+    val texts = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.foreach { case (a, b, dist, sim, isDup) =>
+      val mx = math.max(texts(a).length, texts(b).length)
+      assert(sim >= 0.0 && sim <= 1.0)
+      assert(math.abs(sim - (1.0 - dist.toDouble / mx)) < 1e-5)
+      assert(isDup == (dist * 5 <= mx))
+      // spot-check the distance itself on the shorter pairs
+      if (texts(a).length + texts(b).length < 400) {
+        val d = {
+          val (s1, s2) = (texts(a), texts(b))
+          val dp = Array.tabulate(s2.length + 1)(identity)
+          for (i <- 1 to s1.length) {
+            var prev = dp(0); dp(0) = i
+            for (j <- 1 to s2.length) {
+              val t = dp(j)
+              dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+                prev + (if (s1(i - 1) == s2(j - 1)) 0 else 1))
+              prev = t
+            }
+          }
+          dp(s2.length)
+        }
+        assert(d.toLong == dist, s"pair ($a,$b)")
+      }
+    }
+  }
+
   test("containment prefix filter equals the unpruned inverted join") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
