@@ -553,8 +553,55 @@ object Multimodal {
       |  FROM documents WHERE len(text) > 0) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic ramp-pattern PNG for [[imageDedup]], built AT the
+    * dHash grid size (9×8) so the mask→hash map is injective by
+    * construction: doc_id picks an 8-bit mask, adjacent columns step
+    * ±12 in luminance per mask bit (dHash bit j IS mask bit j, every
+    * row), and a small uniform brightness shift distinguishes the
+    * bytes without moving a single hash bit. Same mask ⇒ perceptual
+    * duplicates with different payloads; masks differing in b bits
+    * sit at hamming 8·b ≥ 8 — far outside the ≤3 pair radius.
+    */
+  private[graft] def plantedStripePng(id: Long): Array[Byte] = {
+    val mask = (id % 256).toInt
+    val shift = ((id / 256) % 3).toInt * 15
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val lum = new Array[Int](9)
+    lum(0) = 120 + shift
+    for (j <- 0 until 8)
+      lum(j + 1) = lum(j) + (if (((mask >> j) & 1) == 1) 12 else -12)
+    for (y <- 0 until 8; x <- 0 until 9)
+      img.setRGB(x, y, (lum(x) << 16) | (lum(x) << 8) | lum(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REGISTERED image near-dup query — the real-codec dedup path run
+    * end-to-end over a deterministic planted image corpus (the driver
+    * tables carry no image column, so the corpus derives one real PNG
+    * per doc_id at the executors — same determinism discipline as the
+    * LCG samplers): decode → dHash through the per-partition codec
+    * boundary → hamming≤3 pairs via the 4×16-bit chunk equi-join
+    * (never all-pairs). Docs sharing a ramp mask are byte-DIFFERENT
+    * brightness variants of the same image and must pair at hamming 0;
+    * distinct masks sit at hamming ≥ 8 and must not pair — so the
+    * output is exactly the mask-collision graph (doc_id ≡ mod 256),
+    * which MultimodalSpec pins. ORACLE=rows (javax.imageio is not
+    * reproducible in DuckDB).
+    */
+  def imageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, plantedStripePng(id)))
+    imageDedupPairs(hashImages(payloads), 3)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     GraftQuery("q_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
-    GraftQuery("q_multimodal_resize", multimodalResize, Some(multimodalResizeSql)))
+    GraftQuery("q_multimodal_resize", multimodalResize, Some(multimodalResizeSql)),
+    GraftQuery("q_image_dedup", imageDedup, None))
 }

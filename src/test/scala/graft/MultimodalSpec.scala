@@ -215,6 +215,26 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     hashes.unpersist()
   }
 
+  test("registered image dedup returns exactly the mask-collision graph") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = Multimodal.imageDedup(spark, dir)
+      .as[(Long, Long, Int)].collect()
+    val ids = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long].collect().sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b && a % 256 == b % 256
+    } yield (a, b)).toSet
+    assert(got.map(r => (r._1, r._2)).toSet == want)
+    // brightness variants are byte-different but perceptually identical
+    assert(got.forall(_._3 == 0), "same-mask variants must sit at hamming 0")
+    val aPair = got.head
+    val bytesA = Multimodal.plantedStripePng(aPair._1)
+    val bytesB = Multimodal.plantedStripePng(aPair._2)
+    assert(!java.util.Arrays.equals(bytesA, bytesB),
+      "paired payloads must differ at the byte level (dedup is perceptual)")
+  }
+
   test("PNG decode round-trips through a many-partition frame") {
     import spark.implicits._
     // one payload per partition: the per-partition reader init path runs
