@@ -47,6 +47,18 @@ object Features {
     */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    tfidfFrame(s, dir)
+      .select($"doc_id", $"token", $"tf", $"w".as("tfidf"))
+      .orderBy($"doc_id", $"token")
+  }
+
+  /** The single source of the smoothed TF-IDF weight — (doc_id, token,
+    * tf, w) unsorted — consumed by the registered q_tfidf and the
+    * q_doc_knn retrieval weights, so the formula cannot diverge
+    * between them.
+    */
+  private def tfidfFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val dt = docTokens(s, dir)
     val tfDf = dt.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val dfDf = tfDf.groupBy($"token").agg(count(lit(1)).as("df"))
@@ -56,8 +68,7 @@ object Features {
       .crossJoin(broadcast(nDf))
       .select($"doc_id", $"token", $"tf",
         round($"tf" * (log((lit(1.0) + $"n") / (lit(1.0) + $"df")) + lit(1.0)), 6)
-          .as("tfidf"))
-      .orderBy($"doc_id", $"token")
+          .as("w"))
   }
 
   val tfidfSql: String =
@@ -286,21 +297,12 @@ object Features {
       .orderBy($"query_id", $"rank")
   }
 
-  /** The rounded TF-IDF weight frame (doc_id, token, w) shared with the
-    * registered q_tfidf (same expression, pre-rounded so downstream
-    * folds are engine-deterministic).
+  /** The rounded TF-IDF weight frame (doc_id, token, w) — the shared
+    * [[tfidfFrame]] minus the tf column.
     */
   private def tfidfWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dt = docTokens(s, dir)
-    val tfDf = dt.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val dfDf = tfDf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val nDf = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n"))
-    tfDf.join(broadcast(dfDf), "token")
-      .crossJoin(broadcast(nDf))
-      .select($"doc_id", $"token",
-        round($"tf" * (log((lit(1.0) + $"n") / (lit(1.0) + $"df")) + lit(1.0)), 6)
-          .as("w"))
+    tfidfFrame(s, dir).select($"doc_id", $"token", $"w")
   }
 
   val docKnnSql: String = {

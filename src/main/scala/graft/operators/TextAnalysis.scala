@@ -1291,14 +1291,17 @@ object TextAnalysis {
     val cov = $"n" * $"sxy" - $"sx" * $"sy"
     val varx = $"n" * $"sxx" - $"sx" * $"sx"
     val vary = $"n" * $"syy" - $"sy" * $"sy"
-    // a saturated vocabulary (every type seen in the first bucket —
-    // the driver's tiny synthetic vocab does this) makes the type curve
-    // flat: beta = 0 and r² degenerates 0/0 → NULL, not NaN
+    // degenerate curves REPORT instead of crashing (ANSI 0/0): a
+    // saturated vocabulary (flat type curve — the driver's synthetic
+    // corpus) gives beta = 0 with NULL r²; a single surviving point
+    // (varx = 0) leaves every coefficient undefined → NULL
     sums.select(
       $"n".cast("long").as("n_points"),
-      round(cov / varx, 6).as("beta"),
-      round(exp(($"sy" - (cov / varx) * $"sx") / $"n"), 6).as("k"),
-      when(vary > 0, round((cov * cov) / (varx * vary), 6)).as("r2"))
+      when(varx > 0, round(cov / varx, 6)).as("beta"),
+      when(varx > 0,
+        round(exp(($"sy" - (cov / varx) * $"sx") / $"n"), 6)).as("k"),
+      when(varx > 0 && vary > 0,
+        round((cov * cov) / (varx * vary), 6)).as("r2"))
   }
 
   val heapsFitSql: String = {
@@ -1333,9 +1336,12 @@ object TextAnalysis {
        |    ${fold("x * x")} AS sxx, ${fold("y * y")} AS syy
        |  FROM cum)
        |SELECT CAST(n AS BIGINT) AS n_points,
-       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
-       |  round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n), 6) AS k,
-       |  CASE WHEN n * syy - sy * sy > 0 THEN
+       |  CASE WHEN n * sxx - sx * sx > 0 THEN
+       |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS beta,
+       |  CASE WHEN n * sxx - sx * sx > 0 THEN
+       |    round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n), 6)
+       |  END AS k,
+       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
        |    round((n * sxy - sx * sy) * (n * sxy - sx * sy)
        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
        |FROM sums""".stripMargin
@@ -1445,11 +1451,18 @@ object TextAnalysis {
     val cov = $"n" * $"sxy" - $"sx" * $"sy"
     val varx = $"n" * $"sxx" - $"sx" * $"sx"
     val vary = $"n" * $"syy" - $"sy" * $"sy"
+    // degenerate corpora are the statistic's whole point, so they must
+    // REPORT, not crash: a single-token vocabulary (varx = 0) or a
+    // flat frequency profile (vary = 0) would make these divisions
+    // 0/0 — a DIVIDE_BY_ZERO under ANSI mode — so the undefined
+    // coefficients surface as NULL (matching the heapsFit convention)
     sums.select(
       $"n".cast("long").as("n_tokens"),
-      round((cov / varx), 6).as("slope"),
-      round(($"sy" - (cov / varx) * $"sx") / $"n", 6).as("intercept"),
-      round((cov * cov) / (varx * vary), 6).as("r2"))
+      when(varx > 0, round(cov / varx, 6)).as("slope"),
+      when(varx > 0,
+        round(($"sy" - (cov / varx) * $"sx") / $"n", 6)).as("intercept"),
+      when(varx > 0 && vary > 0,
+        round((cov * cov) / (varx * vary), 6)).as("r2"))
   }
 
   val zipfFitSql: String = {
@@ -1474,11 +1487,14 @@ object TextAnalysis {
        |    ${fold("y * y")} AS syy
        |  FROM ranked)
        |SELECT CAST(n AS BIGINT) AS n_tokens,
-       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-       |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-       |    AS intercept,
-       |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       |  CASE WHEN n * sxx - sx * sx > 0 THEN
+       |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+       |  CASE WHEN n * sxx - sx * sx > 0 THEN
+       |    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+       |  END AS intercept,
+       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+       |    round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
        |FROM sums""".stripMargin
   }
 

@@ -246,6 +246,24 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 == 0L).sortBy(_._4).map(_._2).toSeq == want)
   }
 
+  test("zipf and heaps fits report NULL coefficients on degenerate corpora") {
+    import spark.implicits._
+    // single doc, single repeated token: one log-log point each way —
+    // varx = 0, which must surface as NULL, not an ANSI 0/0 crash
+    val tmp = s"/tmp/graft_degenerate_${ProcessHandle.current().pid()}"
+    Seq((1L, "hello hello hello", "en", "web", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val z = TextAnalysis.zipfFit(spark, tmp).collect().head
+    assert(z.getLong(0) == 1L)
+    assert(z.isNullAt(1) && z.isNullAt(2) && z.isNullAt(3),
+      "single-point zipf fit must be all-NULL")
+    val h = TextAnalysis.heapsFit(spark, tmp).collect().head
+    assert(h.getLong(0) == 1L)
+    assert(h.isNullAt(1) && h.isNullAt(2) && h.isNullAt(3),
+      "single-point heaps fit must be all-NULL")
+  }
+
   test("heaps fit reproduces a driver-side OLS over bucket-boundary growth points") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
