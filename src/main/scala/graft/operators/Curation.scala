@@ -30,6 +30,76 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Curation FUNNEL — the stage-by-stage attrition report of
+    * [[curationPipeline]] (the number every curation run publishes:
+    * how many docs each gate removed): raw → exact-dedup survivors →
+    * +quality ≥ 0.35 → +lang = en, with per-stage retention. One
+    * corpus scan computes every per-doc flag row-locally (dedup
+    * survivorship via the same min-id semi-join frame), then FOUR
+    * conditional sums in ONE single-row aggregate — the funnel costs
+    * one pass however many stages it reports. Counts are exact
+    * integers; rates exact ratios vs the previous stage.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"lang", md5($"text".cast("binary")).as("h"))
+    val keep = docs.groupBy($"h").agg(min($"doc_id").as("keep_id"))
+    val flags = docs
+      .join(keep, docs("h") === keep("h") && docs("doc_id") === keep("keep_id"))
+      .select(docs("doc_id"), lit(1).as("kept"))
+    val staged = docs
+      .join(flags, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", coalesce($"kept", lit(0)).as("kept"),
+        TF.tokens($"text").as("toks"), $"text")
+      .select($"doc_id", $"lang", $"kept",
+        TextAnalysis.qualityFromToks($"toks", $"text").as("quality"))
+    val agg = staged.agg(
+      count(lit(1)).as("n_raw"),
+      sum($"kept").cast("long").as("n_dedup"),
+      sum(when($"kept" === 1 && $"quality" >= 0.35, 1).otherwise(0))
+        .cast("long").as("n_quality"),
+      sum(when($"kept" === 1 && $"quality" >= 0.35 && $"lang" === "en", 1)
+        .otherwise(0)).cast("long").as("n_lang"))
+    agg.select(
+      $"n_raw", $"n_dedup", $"n_quality", $"n_lang",
+      round($"n_dedup".cast("double") / $"n_raw", 6).as("dedup_rate"),
+      round($"n_quality".cast("double") / $"n_dedup", 6).as("quality_rate"),
+      round($"n_lang".cast("double") / $"n_quality", 6).as("lang_rate"),
+      round($"n_lang".cast("double") / $"n_raw", 6).as("overall_rate"))
+  }
+
+  val curationFunnelSql: String = {
+    val lst = TF.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, lang, md5(text) AS h FROM documents),
+       |keep AS (SELECT h, min(doc_id) AS keep_id FROM docs GROUP BY h),
+       |staged AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END AS kept,
+       |    ${TextAnalysis.qualitySqlExpr(
+            "len(toks)",
+            s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / len(toks)",
+            "CAST(len(regexp_extract_all(d.text, '[^a-z0-9\\s]')) AS DOUBLE) / len(d.text)")} AS quality
+       |  FROM (SELECT *, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |        FROM docs) d
+       |  LEFT JOIN keep k ON d.h = k.h AND d.doc_id = k.keep_id),
+       |agg AS (
+       |  SELECT count(*) AS n_raw,
+       |    CAST(sum(kept) AS BIGINT) AS n_dedup,
+       |    CAST(sum(CASE WHEN kept = 1 AND quality >= 0.35 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_quality,
+       |    CAST(sum(CASE WHEN kept = 1 AND quality >= 0.35 AND lang = 'en'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
+       |  FROM staged)
+       |SELECT n_raw, n_dedup, n_quality, n_lang,
+       |  round(CAST(n_dedup AS DOUBLE) / n_raw, 6) AS dedup_rate,
+       |  round(CAST(n_quality AS DOUBLE) / n_dedup, 6) AS quality_rate,
+       |  round(CAST(n_lang AS DOUBLE) / n_quality, 6) AS lang_rate,
+       |  round(CAST(n_lang AS DOUBLE) / n_raw, 6) AS overall_rate
+       |FROM agg""".stripMargin
+  }
+
   val curationPipelineSql: String = {
     val lst = TF.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH docs AS (
@@ -191,6 +261,7 @@ object Curation {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
+    GraftQuery("q_curation_funnel", curationFunnel, Some(curationFunnelSql)),
     GraftQuery("q_curation_model_gate", curationModelGate, None,
       singleShot = true),
     GraftQuery("q_distinct_counts", distinctCounts, Some(distinctCountsSql)))

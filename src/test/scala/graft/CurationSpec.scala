@@ -39,6 +39,18 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("curation funnel stages are monotone and the last equals the pipeline output") {
+    import spark.implicits._
+    val r = Curation.curationFunnel(spark, dir).collect().head
+    val (raw, ded, qual, lang) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(raw >= ded && ded >= qual && qual >= lang && lang > 0)
+    assert(raw == Tables.documents(spark, dir).count())
+    // the funnel's terminal stage IS the registered pipeline's output
+    assert(lang == Curation.curationPipeline(spark, dir).count())
+    assert(math.abs(r.getDouble(7) - lang.toDouble / raw) < 1e-6)
+  }
+
   test("dsir resample oversamples the target slice and is deterministic") {
     import spark.implicits._
     // planted strong signal: target (en) docs draw from vocab A, the
