@@ -323,7 +323,12 @@ object Dedup {
   }
 
   /** The unsorted (id_a, id_b, est_jaccard) estimate frame — one source
-    * for the registered pair query and the sketch-accuracy scoreboard.
+    * for the registered pair query, the sketch-accuracy scoreboard and
+    * the edit-distance verify. Deliberately NOT SessionCache-persisted:
+    * the frame is cheap to rebuild (~2 s at sf0.1) and each consumer's
+    * own downstream joins dominate its cost, so eager materialization
+    * buys little — the consumers recompute the narrow lineage instead,
+    * the jaccardPrefix second-pass convention.
     */
   private[graft] def minhashEst(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
