@@ -1498,6 +1498,83 @@ object TextAnalysis {
        |FROM sums""".stripMargin
   }
 
+  /** Signal names the correlation audit runs over — the numeric columns
+    * of the fused bundle (gopher_pass is a composite of the others and
+    * stays out).
+    */
+  private val corrSignals =
+    Seq("n_tokens", "quality", "dup_token_ratio", "lang_score", "n_pii")
+
+  /** Curation-signal CORRELATION matrix — the redundancy audit of the
+    * fused q_doc_signals bundle (two signals correlated at |r| ≈ 1
+    * measure the same thing; a gate stacking both double-counts it —
+    * the audit a pipeline runs before weighting its filters): pairwise
+    * Pearson r over every numeric signal pair, computed from ONE pass
+    * over the fused single-scan frame. Float discipline: signals are
+    * already 6-dp rounded, so their micro-unit integers are exact and
+    * all 16 moment sums (n, Σx, Σx², Σxy per pair) are
+    * order-independent decimal(38,0) aggregates in ONE single-row
+    * hash agg; each r is then two IEEE ops (√ per side — the variance
+    * PRODUCT would overflow decimal, so the sides root separately) and
+    * rounds to 6 dp; zero-variance pairs surface as NULL r, not a
+    * crash. Output is the 10-row upper triangle.
+    */
+  def signalCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val base = docSignals(s, dir).select(corrSignals.map(c =>
+      round(col(c).cast("double") * 1000000).cast("long").cast(dec).as(c)): _*)
+    val pairs = corrSignals.combinations(2).toSeq
+    val aggs = Seq(count(lit(1)).cast(dec).as("n")) ++
+      corrSignals.map(c => sum(col(c)).as(s"s_$c")) ++
+      corrSignals.map(c => sum(col(c) * col(c)).as(s"q_$c")) ++
+      pairs.map { case Seq(a, b) => sum(col(a) * col(b)).as(s"p_${a}__$b") }
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val pairRows = pairs.map { case Seq(a, b) =>
+      val cov = col("n") * col(s"p_${a}__$b") - col(s"s_$a") * col(s"s_$b")
+      val va = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")
+      val vb = col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")
+      struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+        when(va > 0 && vb > 0,
+          round(cov.cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double"))), 6)).as("r"))
+    }
+    row.select(explode(array(pairRows: _*)).as("p"))
+      .select($"p.sig_a", $"p.sig_b", $"p.r")
+      .orderBy($"sig_a", $"sig_b")
+  }
+
+  val signalCorrSql: String = {
+    val micro = (c: String) =>
+      s"CAST(CAST(round(CAST($c AS DOUBLE) * 1000000) AS BIGINT) AS HUGEINT) AS $c"
+    val pairs = corrSignals.combinations(2).toSeq
+    val sums = (corrSignals.map(c => s"sum($c) AS s_$c") ++
+      corrSignals.map(c => s"sum($c * $c) AS q_$c") ++
+      pairs.map { case Seq(a, b) => s"sum($a * $b) AS p_${a}__$b" })
+      .mkString(",\n    ")
+    val selects = pairs.map { case Seq(a, b) =>
+      val cov = s"(n * p_${a}__$b - s_$a * s_$b)"
+      val va = s"(n * q_$a - s_$a * s_$a)"
+      val vb = s"(n * q_$b - s_$b * s_$b)"
+      s"""SELECT '$a' AS sig_a, '$b' AS sig_b,
+         |  CASE WHEN $va > 0 AND $vb > 0 THEN
+         |    round(CAST($cov AS DOUBLE)
+         |      / (sqrt(CAST($va AS DOUBLE)) * sqrt(CAST($vb AS DOUBLE))), 6)
+         |  END AS r
+         |FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ds AS ($docSignalsSql),
+       |base AS (
+       |  SELECT ${corrSignals.map(micro).mkString(",\n    ")}
+       |  FROM ds),
+       |agg AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    $sums
+       |  FROM base)
+       |$selects
+       |ORDER BY sig_a, sig_b""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_lang_id", langId, Some(langIdSql)),
     GraftQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -1521,5 +1598,6 @@ object TextAnalysis {
     GraftQuery("q_token_pmi", tokenPmi, Some(tokenPmiSql)),
     GraftQuery("q_zipf_fit", zipfFit, Some(zipfFitSql)),
     GraftQuery("q_heaps_fit", heapsFit, Some(heapsFitSql)),
-    GraftQuery("q_source_stats", sourceStats, Some(sourceStatsSql)))
+    GraftQuery("q_source_stats", sourceStats, Some(sourceStatsSql)),
+    GraftQuery("q_signal_corr", signalCorr, Some(signalCorrSql)))
 }

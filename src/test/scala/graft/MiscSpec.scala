@@ -246,6 +246,33 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 == 0L).sortBy(_._4).map(_._2).toSeq == want)
   }
 
+  test("signal correlation matrix matches an independent pearson recompute") {
+    import spark.implicits._
+    val got = TextAnalysis.signalCorr(spark, dir)
+      .as[(String, String, Option[Double])].collect()
+    assert(got.length == 10, "upper triangle of 5 signals")
+    got.foreach { case (a, b, r) =>
+      assert(a != b)
+      r.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+    }
+    // independent recompute for (quality, dup_token_ratio) off the bundle
+    val sig = TextAnalysis.docSignals(spark, dir)
+      .select($"quality", $"dup_token_ratio")
+      .as[(Double, Double)].collect()
+      .map { case (q, d) => (math.round(q * 1e6), math.round(d * 1e6)) }
+    val n = BigInt(sig.length)
+    val sx = sig.map(s => BigInt(s._1)).sum
+    val sy = sig.map(s => BigInt(s._2)).sum
+    val sxx = sig.map(s => BigInt(s._1) * BigInt(s._1)).sum
+    val syy = sig.map(s => BigInt(s._2) * BigInt(s._2)).sum
+    val sxy = sig.map(s => BigInt(s._1) * BigInt(s._2)).sum
+    val want = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    val cell = got.find(r => r._1 == "quality" && r._2 == "dup_token_ratio").get
+    assert(math.abs(cell._3.get - want) < 1e-5)
+  }
+
   test("zipf and heaps fits report NULL coefficients on degenerate corpora") {
     import spark.implicits._
     // single doc, single repeated token: one log-log point each way —
