@@ -362,7 +362,7 @@ object Dedup {
   /** Shared oracle CTE chain ending in `est(id_a, id_b, est_jaccard)` —
     * one source for the pair query and the accuracy scoreboard.
     */
-  private val minhashCtesSql: String = {
+  private[operators] val minhashCtesSql: String = {
     val paramRows = hashParams.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
     s"""params(i, a, b) AS (VALUES $paramRows),
        |sh AS (SELECT doc_id, ${hash60Sql("shingle")} % ${P} AS x FROM $shinglesSql),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -239,4 +240,72 @@ object IncrementalDedup {
       .where($"n_shared" >= 2)
       .orderBy($"delta_id", $"store_id")
   }
+
+  /** The deterministic corpus split the REGISTERED daily-loop queries
+    * run on: docs with doc_id ≡ 3 (mod 4) play today's delta batch, the
+    * rest is yesterday's corpus. Both engines compute the split from
+    * doc_id alone, so the DuckDB oracle reproduces it exactly.
+    */
+  private def splitMod4(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    (docs.where($"doc_id" % 4 =!= 3), docs.where($"doc_id" % 4 === 3))
+  }
+
+  val SigTable = "q_inc_sig_store"
+  val LabelTable = "q_inc_label_store"
+
+  /** REGISTERED daily delta-vs-store near-dup screen: build the bucketed
+    * signature store from the store half ([[writeStore]] — at a real
+    * deployment this is yesterday's persisted table, rebuilt here so the
+    * query is self-contained and idempotent), then join the delta half
+    * against it ([[deltaAgainstStore]] — store side reads bucket-aligned
+    * with no Exchange, only the delta shuffles; IncrementalDedupSpec
+    * pins the plan shape). The ORACLE is the batch MinHash-LSH pair SQL
+    * over the FULL corpus restricted to pairs spanning the split — the
+    * equality IncrementalDedupSpec proves, promoted into the driver's
+    * hash gate (the q_window_topk_heap convention: an incremental plan
+    * checked against its batch twin's SQL).
+    */
+  def incrementalDelta(s: SparkSession, dir: String): DataFrame = {
+    val (store, delta) = splitMod4(s, dir)
+    writeStore(store, SigTable)
+    deltaAgainstStore(s, delta, SigTable)
+  }
+
+  val incrementalDeltaSql: String =
+    s"""WITH ${Dedup.minhashCtesSql}
+       |SELECT CASE WHEN id_a % 4 = 3 THEN id_a ELSE id_b END AS delta_id,
+       |  CASE WHEN id_a % 4 = 3 THEN id_b ELSE id_a END AS store_id,
+       |  est_jaccard
+       |FROM est
+       |WHERE (id_a % 4 = 3) <> (id_b % 4 = 3)
+       |ORDER BY delta_id, store_id""".stripMargin
+
+  /** REGISTERED incremental cluster maintenance: yesterday's labels are
+    * the star contraction over the store half's own pairs, persisted to
+    * the bucketed label store ([[writeLabels]]); the delta batch then
+    * updates them through [[updateClusters]] — contraction over the
+    * delta-touched quotient subgraph only, relabel via the bucket-aligned
+    * cluster_id equi-join. The ORACLE is the from-scratch recursive-CTE
+    * cluster SQL over the full merged corpus (Corpus.dedupClustersSql,
+    * shared verbatim with q_dedup_clusters): incremental maintenance is
+    * only correct if it lands on exactly the batch fixpoint, so the two
+    * queries sharing one oracle IS the statement being checked.
+    */
+  def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (store, delta) = splitMod4(s, dir)
+    writeStore(store, SigTable)
+    val storedLabels = Corpus.starContract(s,
+      pairsWithin(store).where($"est_jaccard" >= 0.5).select($"id_a", $"id_b"))
+    writeLabels(storedLabels, LabelTable)
+    updateClusters(s, delta, SigTable, s.table(LabelTable))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_incremental_delta", incrementalDelta, Some(incrementalDeltaSql)),
+    GraftQuery("q_incremental_clusters", incrementalClusters,
+      Some(Corpus.dedupClustersSql)))
 }

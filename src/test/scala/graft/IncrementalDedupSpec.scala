@@ -338,6 +338,61 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql(s"DROP TABLE IF EXISTS $labelTable")
   }
 
+  test("REGISTERED incremental queries: store side bucket-aligned, no exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path — at deployment scale neither side of
+      // the band join broadcasts, and the exchange question only shows
+      // in the SMJ shape
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val df = SparkEntry.queries("q_incremental_delta")(spark, dir)
+      val root: SparkPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val smj = root.collect {
+        case j: SortMergeJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "band_key")) => j
+      }
+      assert(smj.size == 1, s"expected one band-key sort-merge join:\n$root")
+      val storeSide = smj.head.right
+      assert(storeSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"registered plan re-shuffles the store side:\n$storeSide")
+      assert(storeSide.toString.contains("Bucketed: true"),
+        s"registered plan's store scan is not bucket-aligned:\n$storeSide")
+      assert(smj.head.left.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        "expected the delta side to shuffle into the store's bucketing")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("REGISTERED incremental queries reproduce the batch oracles' semantics") {
+    import spark.implicits._
+    // the delta rows must be exactly the full-corpus LSH pairs spanning
+    // the mod-4 split, oriented delta-first — the equality the oracle
+    // SQL re-states in DuckDB
+    val got = SparkEntry.queries("q_incremental_delta")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 4 == 3) != (b % 4 == 3) }
+      .map { case (a, b, j) => if (a % 4 == 3) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(expected.nonEmpty, "mod-4 split produced no spanning pairs")
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    // and the cluster update must land on the batch fixpoint
+    val gotC = SparkEntry.queries("q_incremental_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expC = SparkEntry.queries("q_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expC.nonEmpty && gotC == expC,
+      s"incremental ${gotC.size} rows vs batch ${expC.size}; " +
+        s"diff ${(gotC diff expC).take(5)} / ${(expC diff gotC).take(5)}")
+  }
+
   test("the signature-store side of the delta join plans without an exchange") {
     import spark.implicits._
     val (store, delta) = splitDocs
