@@ -433,18 +433,58 @@ object Corpus {
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
     val est = rollingEstFromSketches(sketches)
     val days = sketches.select($"day")
-    val exact = du
-      .select($"user_id", explode(sequence(lit(0), lit(6))).as("off"), $"day")
-      .select($"user_id", date_add($"day", $"off").as("day"))
-      .distinct()
-      .join(broadcast(days), Seq("day"))
-      .groupBy($"day").agg(countDistinct($"user_id").as("exact_users"))
+    val exact = rollingExactFrom(du, days)
     exact.join(est, "day")
       .select($"day", $"exact_users", $"est_users",
         round(abs($"est_users" - $"exact_users").cast("double")
           / $"exact_users", 6).as("rel_err"))
       .orderBy($"day")
   }
+
+  /** The exact trailing-7-day distinct-user recount off the distinct
+    * (user_id, day) frame — the q_events_dau_mau shape at window 7:
+    * each active day generates its 7 target-day contributions
+    * row-locally (bounded explode, no range BNLJ), one countDistinct
+    * hash aggregation per target day, target days filtered to the
+    * observed set. One source for [[distinctRolling]]'s verification
+    * twin and the REGISTERED [[distinctRollingExact]].
+    */
+  private def rollingExactFrom(du: DataFrame, days: DataFrame): DataFrame = {
+    import du.sparkSession.implicits._
+    du.select($"user_id", explode(sequence(lit(0), lit(6))).as("off"), $"day")
+      .select($"user_id", date_add($"day", $"off").as("day"))
+      .distinct()
+      .join(broadcast(days), Seq("day"))
+      .groupBy($"day").agg(countDistinct($"user_id").as("exact_users"))
+  }
+
+  /** The EXACT half of the rolling-distinct pair, registered on its own
+    * so the trailing-window algebra is hash-checked by the driver's
+    * DuckDB gate (plain SQL — the sketch estimate beside it in
+    * [[distinctRolling]] stays rows-only because the HLL binary is
+    * DataSketches-internal, not because the window algebra is
+    * uncheckable).
+    */
+  def distinctRollingExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = EventOps.events(s, dir)
+      .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+      .distinct()
+    val days = du.select($"day").distinct()
+    rollingExactFrom(du, days).orderBy($"day")
+  }
+
+  val distinctRollingExactSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::DATE AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |contrib AS (
+      |  SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS day
+      |  FROM du, (SELECT unnest(generate_series(0, 6)) AS o) oo)
+      |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS exact_users
+      |FROM contrib c JOIN days USING (day)
+      |GROUP BY c.day ORDER BY c.day""".stripMargin
 
   /** The 7-day rolling estimate off ANY (day, sk) sketch frame — one
     * source for the batch query and the streaming sketch-store reader
@@ -1153,6 +1193,8 @@ object Corpus {
     GraftQuery("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     GraftQuery("q_distinct_approx", distinctApprox, None),
     GraftQuery("q_distinct_rolling", distinctRolling, None),
+    GraftQuery("q_distinct_rolling_exact", distinctRollingExact,
+      Some(distinctRollingExactSql)),
     GraftQuery("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     GraftQuery("q_span_dedup", spanDedup, Some(spanDedupSql)),
     GraftQuery("q_novelty", novelty, Some(noveltySql)),

@@ -61,12 +61,17 @@ object Curation {
         .cast("long").as("n_quality"),
       sum(when($"kept" === 1 && $"quality" >= 0.35 && $"lang" === "en", 1)
         .otherwise(0)).cast("long").as("n_lang"))
+    // every denominator is a prior stage's count, so a degenerate funnel
+    // (empty corpus, or no doc passing a gate) hits 0/0 — which ANSI
+    // mode throws on; the zipfFit/heapsFit guard: NULL, not a crash
+    def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      round(when(den > 0, num.cast("double") / den), 6)
     agg.select(
       $"n_raw", $"n_dedup", $"n_quality", $"n_lang",
-      round($"n_dedup".cast("double") / $"n_raw", 6).as("dedup_rate"),
-      round($"n_quality".cast("double") / $"n_dedup", 6).as("quality_rate"),
-      round($"n_lang".cast("double") / $"n_quality", 6).as("lang_rate"),
-      round($"n_lang".cast("double") / $"n_raw", 6).as("overall_rate"))
+      rate($"n_dedup", $"n_raw").as("dedup_rate"),
+      rate($"n_quality", $"n_dedup").as("quality_rate"),
+      rate($"n_lang", $"n_quality").as("lang_rate"),
+      rate($"n_lang", $"n_raw").as("overall_rate"))
   }
 
   val curationFunnelSql: String = {
@@ -93,10 +98,14 @@ object Curation {
        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
        |  FROM staged)
        |SELECT n_raw, n_dedup, n_quality, n_lang,
-       |  round(CAST(n_dedup AS DOUBLE) / n_raw, 6) AS dedup_rate,
-       |  round(CAST(n_quality AS DOUBLE) / n_dedup, 6) AS quality_rate,
-       |  round(CAST(n_lang AS DOUBLE) / n_quality, 6) AS lang_rate,
-       |  round(CAST(n_lang AS DOUBLE) / n_raw, 6) AS overall_rate
+       |  round(CASE WHEN n_raw > 0
+       |    THEN CAST(n_dedup AS DOUBLE) / n_raw END, 6) AS dedup_rate,
+       |  round(CASE WHEN n_dedup > 0
+       |    THEN CAST(n_quality AS DOUBLE) / n_dedup END, 6) AS quality_rate,
+       |  round(CASE WHEN n_quality > 0
+       |    THEN CAST(n_lang AS DOUBLE) / n_quality END, 6) AS lang_rate,
+       |  round(CASE WHEN n_raw > 0
+       |    THEN CAST(n_lang AS DOUBLE) / n_raw END, 6) AS overall_rate
        |FROM agg""".stripMargin
   }
 

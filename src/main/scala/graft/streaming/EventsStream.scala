@@ -255,9 +255,16 @@ object EventsStream {
     * single-shot build — the mergeability the store exists for). A
     * foreachBatch sink-hook like the cluster-maintenance loop: the
     * merge is a read-modify-write of the store table reusing the batch
-    * algebra, with the localCheckpoint lineage cut before the
-    * overwrite. Store stays one row per day (KBs) forever; any
-    * trailing-window cardinality then reads through
+    * algebra. The merged frame lands in a STAGING table that swaps in
+    * via a metastore rename (the [[graft.operators.IncrementalDedup
+    * .compactStore]] shadow-table discipline) — an in-place Overwrite
+    * of the table being read would truncate the store first and a crash
+    * mid-write would lose the entire sketch history the store is
+    * documented to keep forever; with the swap, a crash before the
+    * rename leaves yesterday's table intact, and staging to a different
+    * table also removes the need for a lineage cut through non-reliable
+    * executor-local checkpoint storage. Store stays one row per day
+    * (KBs) forever; any trailing-window cardinality then reads through
     * [[graft.operators.Corpus.rollingEstFromSketches]] without
     * touching event history.
     */
@@ -273,9 +280,11 @@ object EventsStream {
         val merged = s.table(sketchTable).unionByName(daySk)
           .groupBy(col("day"))
           .agg(expr("hll_union_agg(sk)").as("sk"))
-          .localCheckpoint()
+        val tmp = sketchTable + "__staging"
         merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .format("parquet").saveAsTable(sketchTable)
+          .format("parquet").saveAsTable(tmp)
+        s.sql(s"DROP TABLE $sketchTable")
+        s.sql(s"ALTER TABLE $tmp RENAME TO $sketchTable")
         s.catalog.refreshTable(sketchTable)
         ()
       }

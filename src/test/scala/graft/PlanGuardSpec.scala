@@ -273,6 +273,21 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the rank window would be corpus-sized")
   }
 
+  test("doc-knn weight frame carries the hot-posting df cap") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // the cap must survive optimization as a real filter on the df
+    // aggregate — without it, one stopword's posting list joins against
+    // essentially the whole corpus per query doc
+    val plan = SparkEntry.queries("q_doc_knn")(spark, dir)
+      .queryExecution.optimizedPlan
+    val capFilters = plan.collect {
+      case f: Filter if f.condition.references.exists(_.name == "df") => f
+    }
+    assert(capFilters.nonEmpty,
+      "q_doc_knn lost its df <= DocKnnMaxDf hot-posting cap — " +
+        "corpus-sized candidate lists at scale")
+  }
+
   test("jaccard plan computes the shingle expression at most once per branch") {
     val plan = operators.Dedup.ngramJaccard(spark, dir)
       .queryExecution.executedPlan.toString
