@@ -98,7 +98,24 @@ object Bench {
     // failed names ride the JSON line: a swallowed exception otherwise
     // reads as a suspiciously fast query instead of a broken one
     val errs = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"cold":$colds,"spread":$spread,"single_shot":$oneShot,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"cold":$colds,"spread":$spread,"single_shot":$oneShot,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the complete line as a machine-readable artifact: the
+    // driver's BENCH_r<N>.json captures only a truncated stdout tail, so
+    // per-query medians would otherwise be invisible to a reader. Round
+    // number = 1 + the highest committed BENCH_r<N>.json (this run IS
+    // that round's bench); best-effort — a bench must never fail on a
+    // repo-layout surprise.
+    try {
+      val repo = new java.io.File("/root/repo")
+      val rounds = Option(repo.list()).toSeq.flatten
+        .flatMap { n => "^BENCH_r0*([0-9]+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }
+      val next = if (rounds.isEmpty) 0 else rounds.max + 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/root/repo/bench_full_r$next.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -12,7 +12,7 @@ object SparkEntry {
       Evaluation.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries ++
       TypoCorrection.queries ++ Extras.queries ++ Temporal.queries ++ Curation.queries ++
-      Corpus.queries ++ Bpe.queries ++ SkewJoin.queries ++
+      Corpus.queries ++ Bpe.queries ++ Ulm.queries ++ SkewJoin.queries ++
       IncrementalDedup.queries ++
       graft.ml.Classifiers.queries ++ graft.ml.CrossVal.queries ++
       graft.ml.MeanRoc.queries ++ graft.ml.ModelEval.queries ++

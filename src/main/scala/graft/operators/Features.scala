@@ -259,7 +259,10 @@ object Features {
        |GROUP BY token ORDER BY train_cnt DESC, token ASC LIMIT 50""".stripMargin
 
   /** Sparse "more-like-this" retrieval: top-5 cosine-nearest documents
-    * per query doc (doc_id < 5) in smoothed TF-IDF space — the lexical
+    * per query doc (doc_id < 50 — wide enough that the capped
+    * vocabulary still reaches several query docs on the degenerate
+    * test corpus; queries broadcast, so the panel width is not a scale
+    * lever) in smoothed TF-IDF space — the lexical
     * neighbor search next to q_bm25_search's term retrieval and the
     * dense q_ann_* family (near-duplicate triage, related-document
     * panels, label propagation seeds). Scale shape: the classic
@@ -293,7 +296,7 @@ object Features {
     val w = tfidfWeights(s, dir)
     val norms = w.groupBy($"doc_id")
       .agg(sqrt(orderedSum($"token", $"w" * $"w")).as("nrm"))
-    val q = w.where($"doc_id" < 5)
+    val q = w.where($"doc_id" < 50)
       .select($"doc_id".as("qid"), $"token", $"w".as("wq"))
     val dots = q.join(
         w.select($"doc_id".as("did"), $"token", $"w".as("wd")), "token")
@@ -342,7 +345,7 @@ object Features {
        |    list_reduce(list_prepend(0.0, list(q.w * d.w ORDER BY q.token)),
        |      (a, b) -> a + b) AS dot
        |  FROM w q JOIN w d ON q.token = d.token AND d.doc_id <> q.doc_id
-       |  WHERE q.doc_id < 5
+       |  WHERE q.doc_id < 50
        |  GROUP BY q.doc_id, d.doc_id),
        |scored AS (
        |  SELECT qid, did, round(dot / (nq.nrm * nd.nrm), 6) AS cos

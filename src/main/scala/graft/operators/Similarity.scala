@@ -326,47 +326,56 @@ object Similarity {
   }
 
   /** IVF with a REAL coarse quantizer — the production scale path: a
-    * seeded MLlib KMeans (k=16, deterministic for a fixed input layout)
-    * fits the corpus, its centroids feed the same inverted-list search as
-    * [[annIvf]]. Rows-only for the gate (a k-means fit is not
-    * SQL-expressible); SimilaritySpec pins recall against the brute-force
-    * top-5 on sf0.001.
+    * TRAINED k=16 quantizer partitions the corpus and its centroids
+    * feed the same inverted-list search as [[annIvf]]. The fit is the
+    * DETERMINISTIC Lloyd loop ([[trainCoarse]]: lowest-vec_id init,
+    * row-local 6-dp argmin assignment, exact-integer re-means), so the
+    * whole query is hash-checked — DuckDB re-derives the training
+    * round by round ([[annIvfKmeansSql]]); the MLlib seeded fit stays
+    * beside it as the quality cross-check twin (SimilaritySpec).
     */
   def annIvfKmeans(s: SparkSession, dir: String): DataFrame =
     // the fit is session-memoized (the ml/ fitted-model precedent): a
     // session running several registered queries — the recall
     // scoreboard plus this query — pays the k-means training once
-    SessionCache.getOrCompute(s, s"sim.ivfKmeans:$dir") {
-      annIvfKmeansUncached(s, dir)
-    }
+    ivfSearch(s, vecs(s, dir), cachedCoarseCents(s, dir, 16))
 
-  /** The fit itself — the determinism spec drives THIS entry twice so
-    * memoization can't mask a nondeterministic training run.
+  /** The fit itself, uncached — the determinism spec drives THIS entry
+    * twice so memoization can't mask a nondeterministic training run
+    * (order-independence is now BY CONSTRUCTION: the re-mean sums are
+    * exact integers, but the spec keeps the end-to-end assertion).
     */
   private[graft] def annIvfKmeansUncached(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val v = vecs(s, dir)
-    val model = new KMeans().setK(16).setSeed(26062019L).setMaxIter(10)
-      .setFeaturesCol("fv")
-      .fit(v.select(array_to_vector($"v").as("fv")))
-    val cents = s.createDataFrame(
-        model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("cent_id", "cv")
-      .select($"cent_id", transform($"cv", _.cast("double")).as("cv"))
-      .withColumn("cnrm", sqrt(arrayDot($"cv", $"cv")))
-    ivfSearch(s, v, cents)
+    ivfSearch(s, v, coarseCentFrame(s, trainCoarse(s, v, 16)))
   }
 
-  val annIvfSql: String = {
-    def dotE(x: String, y: String) =
-      s"list_reduce([$x[i] * $y[i] for i in generate_series(1, len($x))], (x, y) -> x + y)"
-    def cosE(x: String, xn: String, y: String, yn: String) =
-      s"round(${dotE(x, y)} / ($xn * $yn), 6)"
+  /** The MLlib twin of the deterministic k=16 fit — the seeded KMeans
+    * this engine would use where hash-checkability is not required;
+    * kept for SimilaritySpec's quality cross-check (both quantizers
+    * must clear the same recall floor over the same search).
+    */
+  private[graft] def annIvfKmeansMllib(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, dir)
+    ivfSearch(s, v, fitCentroids(s, v, 16))
+  }
+
+  private def dotESql(x: String, y: String) =
+    s"list_reduce([$x[i] * $y[i] for i in generate_series(1, len($x))], (x, y) -> x + y)"
+  private def cosESql(x: String, xn: String, y: String, yn: String) =
+    s"round(${dotESql(x, y)} / ($xn * $yn), 6)"
+
+  /** The [[ivfSearch]] oracle parameterized over the centroid CTE chain
+    * (which must end in cents(cent_id, cv, cnrm)) — one search SQL for
+    * the fixed-centroid q_ann_ivf and the trained q_ann_ivf_kmeans.
+    */
+  private def ivfSearchSqlFrom(centsCtes: String): String = {
+    def dotE(x: String, y: String) = dotESql(x, y)
+    def cosE(x: String, xn: String, y: String, yn: String) = cosESql(x, xn, y, yn)
     s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
        |vn AS (SELECT vec_id, v, sqrt(${dotE("v", "v")}) AS nrm FROM vv),
-       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM vn WHERE vec_id < 8),
+       |$centsCtes,
        |assign AS (
        |  SELECT vec_id, v, nrm, cent_id FROM (
        |    SELECT a.vec_id, a.v, a.nrm, c.cent_id,
@@ -393,6 +402,15 @@ object Similarity {
        |  WHERE a.vec_id <> p.q_id) z
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
+
+  val annIvfSql: String = ivfSearchSqlFrom(
+    "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM vn WHERE vec_id < 8)")
+
+  /** ORACLE for the trained-quantizer IVF: the same search SQL over the
+    * centroids DuckDB re-derives by unrolling the deterministic Lloyd
+    * rounds ([[coarseCtesSql]], k = 16).
+    */
+  def annIvfKmeansSql: String = ivfSearchSqlFrom(coarseCtesSql("SELECT 16 AS k"))
 
   /** k-NN label agreement — the standard embedding-space label-noise /
     * mislabel diagnostic a training-data pipeline runs over labeled
@@ -870,27 +888,27 @@ object Similarity {
     * deployment runs on a sample before picking its index: the
     * scoreboard is bounded no matter the corpus. Split across two
     * registered queries by oracle strength: THIS one covers the
-    * deterministic-quantizer methods (lsh / ivf / pq), fully reproduced
-    * in DuckDB ([[annRecallSql]]) and hash-checked; [[annRecallTrained]]
-    * covers the k-means-trained methods (rows-only by nature).
-    * SimilaritySpec pins the floor each method must clear on this
-    * corpus across both halves.
+    * DuckDB-reproducible methods — lsh / ivf / pq AND (since the
+    * coarse quantizer went deterministic) the trained ivf_kmeans —
+    * hash-checked end-to-end ([[annRecallSql]]); [[annRecallTrained]]
+    * covers ivf_pq, whose residual codebooks still train through
+    * order-dependent float means. SimilaritySpec pins the floor each
+    * method must clear on this corpus across both halves.
     */
   def annRecall(s: SparkSession, dir: String): DataFrame =
     recallScoreboard(s, dir, Seq(
       "lsh" -> lshTopK(s, dir),
       "ivf" -> annIvf(s, dir),
+      "ivf_kmeans" -> annIvfKmeans(s, dir),
       "pq" -> annPq(s, dir)))
 
-  /** The trained half of the scoreboard — the two methods whose
-    * quantizers are k-means FITS (not SQL-expressible, so rows-only by
-    * nature); same brute-force truth frame and recall algebra as
-    * [[annRecall]], split out so the deterministic-quantizer half can be
-    * hash-checked against the DuckDB oracle.
+  /** The residual-PQ half of the scoreboard — the one method whose
+    * quantizer training is still not SQL-reproducible (Lloyd means over
+    * raw floats); same brute-force truth frame and recall algebra as
+    * [[annRecall]], split out so everything else can be hash-checked.
     */
   def annRecallTrained(s: SparkSession, dir: String): DataFrame =
     recallScoreboard(s, dir, Seq(
-      "ivf_kmeans" -> annIvfKmeans(s, dir),
       "ivf_pq" -> annIvfPq(s, dir)))
 
   /** The brute-force truth frame, persisted once per (session, dir) —
@@ -925,15 +943,18 @@ object Similarity {
     * q_ann_ivf / q_ann_pq twins), intersected with the brute-force top-5
     * in SQL.
     */
-  val annRecallSql: String =
+  def annRecallSql: String =
     s"""WITH brute AS (SELECT q_id, neighbor_id FROM ($annCosineTopKSql)),
       |lshr AS (SELECT q_id, neighbor_id FROM ($lshTopKSql)),
       |ivfr AS (SELECT q_id, neighbor_id FROM ($annIvfSql)),
+      |ivfk AS (SELECT q_id, neighbor_id FROM ($annIvfKmeansSql)),
       |pqr AS (SELECT q_id, neighbor_id FROM ($annPqSql)),
       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM brute),
       |hits AS (
       |  SELECT 'ivf' AS method, count(*) AS hits
       |  FROM ivfr JOIN brute USING (q_id, neighbor_id)
+      |  UNION ALL
+      |  SELECT 'ivf_kmeans', count(*) FROM ivfk JOIN brute USING (q_id, neighbor_id)
       |  UNION ALL
       |  SELECT 'lsh', count(*) FROM lshr JOIN brute USING (q_id, neighbor_id)
       |  UNION ALL
@@ -947,6 +968,150 @@ object Similarity {
     */
   private[graft] def withNorms(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
+
+  /** DETERMINISTIC coarse-quantizer training — Lloyd's k-means made
+    * hash-checkable, the discipline that let the PQ codebooks into the
+    * oracle gate applied to the full-vector coarse quantizer. Init is
+    * the k lowest vec_ids' vectors; each of [[CoarseIters]] rounds
+    *
+    *  1. assigns every vector ROW-LOCALLY against the packed centroid
+    *     array (argmin of the 6-dp-rounded L2², ties to the lower
+    *     cent_id) — zero shuffle, the corpus never moves;
+    *  2. re-means each cluster with ORDER-INDEPENDENT exact integer
+    *     sums (coordinates in micro-units summed as decimal(38,0) —
+    *     the embedNormOutliers idiom), so the updated centroid is the
+    *     same double on any partitioning AND in DuckDB's unrolled
+    *     re-derivation ([[coarseCtesSql]]); new coordinates round to
+    *     6 dp (cross-engine round parity), empty clusters keep their
+    *     previous centroid.
+    *
+    * Driver state per round is the k×d codebook (KBs at any corpus
+    * size; the trainPqCodebooks bounded-driver-work contract); cluster
+    * shuffle per round is one k-group aggregate with map-side partial
+    * aggregation. MLlib's seeded KMeans remains beside this as the
+    * quality cross-check twin ([[fitCentroids]], SimilaritySpec) — the
+    * deterministic fit exists so the k-means consumers can be CHECKED,
+    * not because MLlib's is wrong.
+    */
+  val CoarseIters = 4
+
+  /** 64 = [[PqM]]·[[PqD]] — the embedding store's dimension, pinned by
+    * TablesSpec; the oracle's per-dimension re-mean unrolls over it.
+    */
+  val EmbedDim: Int = PqM * PqD
+
+  /** Row-local argmin-L2² assignment of `vcol` against a driver-side
+    * codebook: fold each centroid's distance inside one projection —
+    * no join, no shuffle, the packed-centroid twin of ivfSearch's
+    * broadcast assignment.
+    */
+  private def coarseAssignExpr(cents: Seq[(Int, Seq[Double])], vcol: Column): Column = {
+    val packed = array(cents.map { case (j, c) =>
+      struct(typedLit(c).as("cv"), lit(j).as("j"))
+    }: _*)
+    element_at(array_sort(transform(packed, cs => struct(
+      round(aggregate(zip_with(vcol, cs("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6).as("d2"),
+      cs("j").as("j")))), 1)("j")
+  }
+
+  private[graft] def trainCoarse(s: SparkSession, v: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
+    import s.implicits._
+    var cents: Seq[(Int, Seq[Double])] = v.select($"vec_id", $"v")
+      .orderBy($"vec_id").limit(k)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, c), j) => (j, c) }.toSeq
+    val dim = cents.head._2.size
+    for (_ <- 0 until CoarseIters) {
+      val assigned = v.select(coarseAssignExpr(cents, $"v").as("j"), $"v")
+      val sums = assigned.groupBy($"j").agg(
+        count(lit(1)).as("n"),
+        (0 until dim).map(i =>
+          sum(round($"v"(i) * 1e6).cast("long").cast("decimal(38,0)")).as(s"s$i")): _*)
+      // the division + final round run as Spark expressions so the
+      // rounding semantics are BY CONSTRUCTION the engine's own
+      val moved = sums.select(($"j" +: (0 until dim).map(i =>
+          round(col(s"s$i").cast("double") / 1e6 / $"n", 6).as(s"c$i"))): _*)
+        .collect().map { r =>
+          r.getInt(0) -> (0 until dim).map(i => r.getDouble(1 + i)).toSeq
+        }.toMap
+      cents = cents.map { case (j, c) => (j, moved.getOrElse(j, c)) }
+    }
+    cents
+  }
+
+  /** The trained codebook as the (cent_id, cv, cnrm) frame the IVF /
+    * SemDeDup consumers take — a driver-local relation, broadcast by
+    * every consumer join.
+    */
+  private[graft] def coarseCentFrame(s: SparkSession, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    s.createDataFrame(cents).toDF("cent_id", "cv")
+      .withColumn("cnrm", sqrt(arrayDot(col("cv"), col("cv"))))
+  }
+
+  /** Session-memoized fit: every consumer of the same (dir, k) coarse
+    * quantizer — IVF search, SemDeDup, the corpus map, the recall
+    * scoreboard — pays the 4-round training once per session.
+    */
+  private def cachedCoarseCents(s: SparkSession, dir: String, k: Int): DataFrame =
+    SessionCache.getOrCompute(s, s"sim.coarseCents:$dir:$k") {
+      coarseCentFrame(s, trainCoarse(s, vecs(s, dir), k))
+    }
+
+  private def l2RoundSql(x: String, y: String): String =
+    s"round(list_reduce([($x[i] - $y[i]) * ($x[i] - $y[i]) " +
+      s"for i in generate_series(1, len($x))], (a, b) -> a + b), 6)"
+
+  /** DuckDB re-derivation of [[trainCoarse]]: kk defines k, c0 the
+    * lowest-vec_id init, then per round r an assignment CTE (a_r), the
+    * exact-integer per-dimension re-mean (m_r), and the coalesced
+    * codebook (c_r, empty clusters inheriting c_{r-1}); ends in
+    * cents(cent_id, cv, cnrm). Assumes vn(vec_id, v, nrm) is defined
+    * by the enclosing WITH.
+    */
+  private def coarseCtesSql(kSql: String): String = {
+    val rounds = (1 to CoarseIters).map { r =>
+      s"""a$r AS (
+         |  SELECT vec_id, v, j FROM (
+         |    SELECT t.vec_id, t.v, c.j,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${l2RoundSql("t.v", "c.c")} ASC, c.j ASC) AS rk
+         |    FROM vn t CROSS JOIN c${r - 1} c) z
+         |  WHERE rk = 1),
+         |m$r AS (
+         |  SELECT j, d.i AS dim,
+         |    round(CAST(sum(CAST(round(v[d.i] * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 / count(*), 6) AS cd
+         |  FROM a$r, (SELECT unnest(generate_series(1, $EmbedDim)) AS i) d
+         |  GROUP BY j, d.i),
+         |c$r AS (
+         |  SELECT p.j, coalesce(mm.c, p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN (
+         |    SELECT j, list(cd ORDER BY dim) AS c FROM m$r GROUP BY j) mm
+         |    USING (j))""".stripMargin
+    }.mkString(",\n")
+    s"""kk AS ($kSql),
+       |c0 AS (
+       |  SELECT CAST(z.rn - 1 AS INT) AS j, z.v AS c
+       |  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+       |        FROM vn) z CROSS JOIN kk
+       |  WHERE z.rn <= kk.k),
+       |$rounds,
+       |cents AS (
+       |  SELECT j AS cent_id, c AS cv,
+       |    sqrt(list_reduce([c[i] * c[i] for i in generate_series(1, len(c))],
+       |      (a, b) -> a + b)) AS cnrm
+       |  FROM c$CoarseIters)""".stripMargin
+  }
+
+  /** The corpus-grounded k as a SQL scalar — [[semDedupK]]'s
+    * max(2, ceil(n/target)) re-stated over vn. A `def`: it reads vals
+    * declared later in the object, and a val here would initialize
+    * before them.
+    */
+  private def semDedupKSql: String =
+    s"SELECT greatest(2, CAST(ceil(count(*) / $SemDedupTargetClusterSize.0) AS INT)) AS k FROM vn"
 
   /** SemDeDup cosine threshold (the paper sweeps 0.93-0.999 on real
     * near-dup data; 0.4 reaches this corpus's qualifying tail — the
@@ -1028,7 +1193,8 @@ object Similarity {
     * agg; the cohesion fold orders by vec_id and each cluster is
     * bounded at ~[[SemDedupTargetClusterSize]] members BY CONSTRUCTION
     * of the grounded k, so no fold buffers more than the target size.
-    * Rows-only (k-means fit); SimilaritySpec pins invariants +
+    * HASH-CHECKED since the quantizer went deterministic
+    * ([[embedClustersSql]]); SimilaritySpec pins invariants +
     * determinism.
     */
   def embedClusters(s: SparkSession, dir: String): DataFrame = {
@@ -1036,9 +1202,7 @@ object Similarity {
     import graft.functions.FloatFold.orderedSum
     val v = vecs(s, dir)
     val k = semDedupK(v.count())
-    val cents = SessionCache.getOrCompute(s, s"sim.semdedupCents:$dir:$k") {
-      fitCentroids(s, v, k)
-    }
+    val cents = cachedCoarseCents(s, dir, k)
     val labels = Tables.embeddings(s, dir).select($"vec_id", $"label")
     val assign = assignToCentroids(v, cents)
       .select($"vec_id", $"cent_id", $"ccos")
@@ -1062,8 +1226,49 @@ object Similarity {
       .orderBy($"cluster_id")
   }
 
-  /** Seeded k-means fit at a given k, returned as the (cent_id, cv,
-    * cnrm) frame [[semDedupOn]] consumes.
+  /** ORACLE for the corpus map: trained-centroid chain, argmax-cosine
+    * assignment keeping the winning ccos, cohesion as the vec_id-ordered
+    * fold, modal label via the same (count desc, label asc) ordering.
+    */
+  def embedClustersSql: String =
+    s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |vn AS (SELECT vec_id, v, sqrt(${dotESql("v", "v")}) AS nrm FROM vv),
+       |${coarseCtesSql(semDedupKSql)},
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos FROM (
+       |    SELECT t.vec_id, c.cent_id,
+       |      ${cosESql("t.v", "t.nrm", "c.cv", "c.cnrm")} AS ccos,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${cosESql("t.v", "t.nrm", "c.cv", "c.cnrm")} DESC,
+       |          c.cent_id ASC) AS rk
+       |    FROM vn t CROSS JOIN cents c) z
+       |  WHERE rk = 1),
+       |coh AS (
+       |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    round(${graft.functions.FloatFold.orderedSumSql("ccos", "vec_id")}
+       |      / count(*), 6) AS cohesion
+       |  FROM asg GROUP BY cent_id),
+       |lab AS (
+       |  SELECT a.cent_id, e.label, count(*) AS ln
+       |  FROM asg a JOIN embeddings e USING (vec_id)
+       |  GROUP BY a.cent_id, e.label),
+       |top AS (
+       |  SELECT cent_id, label AS top_label, CAST(ln AS BIGINT) AS top_label_n
+       |  FROM (
+       |    SELECT cent_id, label, ln,
+       |      row_number() OVER (PARTITION BY cent_id
+       |        ORDER BY ln DESC, label ASC) AS rk
+       |    FROM lab) z
+       |  WHERE rk = 1)
+       |SELECT c.cent_id AS cluster_id, c.n_vecs, c.cohesion,
+       |  t.top_label, t.top_label_n
+       |FROM coh c JOIN top t USING (cent_id)
+       |ORDER BY cluster_id""".stripMargin
+
+  /** Seeded MLlib k-means fit at a given k, returned as the (cent_id,
+    * cv, cnrm) frame [[semDedupOn]] consumes — since round 15 the
+    * registered queries train through [[trainCoarse]] (hash-checkable);
+    * this twin remains as SimilaritySpec's quality cross-check.
     */
   private def fitCentroids(s: SparkSession, v: DataFrame, k: Int): DataFrame = {
     import s.implicits._
@@ -1089,19 +1294,42 @@ object Similarity {
     * an equi-join on cluster_id, and k is GROUNDED in the corpus
     * ([[semDedupK]]: one cluster per [[SemDedupTargetClusterSize]]
     * items) so per-cluster work stays constant as the corpus grows.
-    * Rows-only (k-means fit); SimilaritySpec proves pair equality with
-    * the exact sweep restricted to co-clustered pairs and that a
-    * planted duplicate is pruned.
+    * HASH-CHECKED since the quantizer went deterministic
+    * ([[semDedupSql]] re-derives fit + assignment + prune in DuckDB);
+    * SimilaritySpec additionally proves pair equality with the exact
+    * sweep restricted to co-clustered pairs and that a planted
+    * duplicate is pruned.
     */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = vecs(s, dir)
     val k = semDedupK(v.count())
-    val cents = SessionCache.getOrCompute(s, s"sim.semdedupCents:$dir:$k") {
-      fitCentroids(s, v, k)
-    }
-    semDedupOn(s, v, cents, SemDedupTau)
+    semDedupOn(s, v, cachedCoarseCents(s, dir, k), SemDedupTau)
   }
+
+  /** ORACLE for SemDeDup: the trained-centroid chain (k re-derived from
+    * the corpus), argmax-cosine assignment, within-cluster pair prune
+    * at τ, keep-min-id — the [[semDedupOn]] algebra verbatim.
+    */
+  def semDedupSql: String =
+    s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |vn AS (SELECT vec_id, v, sqrt(${dotESql("v", "v")}) AS nrm FROM vv),
+       |${coarseCtesSql(semDedupKSql)},
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cent_id FROM (
+       |    SELECT t.vec_id, t.v, t.nrm, c.cent_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${cosESql("t.v", "t.nrm", "c.cv", "c.cnrm")} DESC,
+       |          c.cent_id ASC) AS rk
+       |    FROM vn t CROSS JOIN cents c) z
+       |  WHERE rk = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id AS vid
+       |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE ${cosESql("a.v", "a.nrm", "b.v", "b.nrm")} >= $SemDedupTau)
+       |SELECT t.vec_id, t.cent_id AS cluster_id, (d.vid IS NULL) AS kept
+       |FROM asg t LEFT JOIN dups d ON t.vec_id = d.vid
+       |ORDER BY t.vec_id""".stripMargin
 
   /** The SemDeDup k planner — the q_lsh_plan template applied to
     * cluster-then-prune: for candidate k around the grounded choice
@@ -1117,26 +1345,20 @@ object Similarity {
     */
   def semDedupPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val v = vecs(s, dir)
+    val v = vecs(s, dir).persist()
     val n = v.count()
     val kStar = semDedupK(n)
     val candidates =
       Seq(kStar / 4, kStar / 2, kStar, kStar * 2, kStar * 4)
         .map(math.max(2, _)).distinct
-    val fv = v.select(array_to_vector($"v").as("fv")).persist()
+    // each exploratory fit is the same deterministic trainer the
+    // production queries use (the planner must measure the quantizer
+    // actually deployed, and the fits stay the bounded 4-round budget);
+    // cluster sizes come from one row-local assignment pass per k
     val perK = candidates.map { k =>
-      // planner fits stop at 4 Lloyd rounds: the cluster-SIZE
-      // distribution (all the planner measures) stabilizes rounds
-      // before the centroids do, and the production fit for the chosen
-      // k (q_semdedup's cached centroids) still runs the full budget —
-      // 5 exploratory fits × 10 iters was the bench's single most
-      // expensive line for a what-if table
-      val m = new KMeans().setK(k).setSeed(26062019L).setMaxIter(4)
-        .setFeaturesCol("fv").fit(fv)
-      m.transform(fv)
-        .groupBy($"prediction").agg(count(lit(1)).as("c"))
+      val cents = trainCoarse(s, v, k)
+      v.select(coarseAssignExpr(cents, $"v").as("cent_id"))
+        .groupBy($"cent_id").agg(count(lit(1)).as("c"))
         .agg(
           lit(k).as("k"),
           count(lit(1)).cast("int").as("clusters_used"),
@@ -1149,7 +1371,7 @@ object Similarity {
         (lit(n) * $"k").as("assign_dots"),
         ($"k" === kStar).as("chosen"))
       .orderBy($"k")
-    fv.unpersist(blocking = false)
+    v.unpersist(blocking = false)
     out
   }
 
@@ -1224,14 +1446,16 @@ object Similarity {
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
     GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)),
     GraftQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
-    GraftQuery("q_ann_ivf_kmeans", annIvfKmeans, None),
+    GraftQuery("q_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql),
+      singleShot = true),
     GraftQuery("q_ann_pq", annPq, Some(annPqSql)),
     GraftQuery("q_ann_ivf_pq", annIvfPq, None),
     GraftQuery("q_embed_label_knn", labelKnn, Some(labelKnnSql)),
-    GraftQuery("q_semdedup", semDedup, None),
+    GraftQuery("q_semdedup", semDedup, Some(semDedupSql), singleShot = true),
     GraftQuery("q_semdedup_plan", semDedupPlan, None, singleShot = true),
     GraftQuery("q_ann_recall", annRecall, Some(annRecallSql)),
     GraftQuery("q_ann_recall_trained", annRecallTrained, None, singleShot = true),
     GraftQuery("q_embed_norm_outliers", embedNormOutliers, Some(embedNormOutliersSql)),
-    GraftQuery("q_embed_clusters", embedClusters, None, singleShot = true))
+    GraftQuery("q_embed_clusters", embedClusters, Some(embedClustersSql),
+      singleShot = true))
 }

@@ -214,36 +214,51 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slope < 0.0 && r2 >= 0.0 && r2 <= 1.0)
   }
 
-  test("doc knn reproduces a brute-force tfidf cosine ranking for one query") {
+  test("doc knn reproduces a brute-force CAPPED tfidf cosine ranking") {
     import spark.implicits._
     val got = Features.docKnn(spark, dir)
       .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
     val perQ = got.groupBy(_._1)
-    assert(perQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // the query panel is doc_id < 50; only docs carrying capped-vocab
+    // tokens can return rows (the df cap drops near-stopwords from the
+    // weight frame — on this corpus that is most of the vocabulary)
+    assert(perQ.keySet.forall(_ < 50L))
     perQ.values.foreach { rows =>
-      assert(rows.map(_._4).sorted.sameElements(1 to 5))
+      assert(rows.map(_._4).sorted.sameElements(1 to rows.length))
+      assert(rows.length <= 5)
       val byRank = rows.sortBy(_._4).map(_._3)
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
-    // brute-force check for query 0 off the registered tfidf weights
+    // brute-force recompute off the registered tfidf weights WITH the
+    // hot-posting cap applied (df over distinct docs per token)
     val w = Features.tfidf(spark, dir)
       .select($"doc_id", $"token", $"tfidf")
       .as[(Long, String, Double)].collect()
-    val byDoc = w.groupBy(_._1).view
+    val df = w.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    val capped = w.filter(r => df(r._2) <= Features.DocKnnMaxDf)
+    val byDoc = capped.groupBy(_._1).view
       .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val q0 = byDoc(0L)
-    def cos(d: Map[String, Double]): Double = {
-      val dot = q0.keysIterator.toSeq.sorted
-        .map(t => q0(t) * d.getOrElse(t, 0.0)).sum
-      r6(dot / (math.sqrt(q0.values.map(x => x * x).sum) *
-        math.sqrt(d.values.map(x => x * x).sum)))
+    def top5(qid: Long): Seq[Long] = {
+      val q = byDoc(qid)
+      def cos(d: Map[String, Double]): Option[Double] = {
+        val shared = q.keysIterator.toSeq.sorted
+          .map(t => q(t) * d.getOrElse(t, 0.0)).sum
+        if (q.keySet.intersect(d.keySet).isEmpty) None
+        else Some(r6(shared / (math.sqrt(q.values.map(x => x * x).sum) *
+          math.sqrt(d.values.map(x => x * x).sum))))
+      }
+      byDoc.collect { case (id, m) if id != qid => cos(m).map(c => (id, c)) }
+        .flatten.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
     }
-    val want = byDoc.collect { case (id, m) if id != 0L => (id, cos(m)) }
-      .filter(_._2 != 0.0).toSeq
-      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
-    assert(got.filter(_._1 == 0L).sortBy(_._4).map(_._2).toSeq == want)
+    // every returned query's neighbor list must equal the brute-force
+    // capped top-5 (candidates = docs sharing a surviving token)
+    perQ.foreach { case (qid, rows) =>
+      assert(rows.sortBy(_._4).map(_._2).toSeq == top5(qid), s"query $qid")
+    }
   }
 
   test("signal correlation matrix matches an independent pearson recompute") {

@@ -36,6 +36,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(truth.size == 10 && mean >= 0.4, s"mean recall $mean")
   }
 
+  test("deterministic coarse quantizer clears the same recall floor as the MLlib twin") {
+    // the hash-checkable trainer exists for the oracle gate, not at the
+    // price of quality: both quantizers drive the identical search and
+    // both must clear the corpus floor
+    val truth = neighborSets(Similarity.annCosineTopK(spark, dir))
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = neighborSets(df)
+      val rs = truth.map { case (q, ts) =>
+        got.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
+      }
+      rs.sum / rs.size
+    }
+    val det = meanRecall(Similarity.annIvfKmeansUncached(spark, dir))
+    val mllib = meanRecall(Similarity.annIvfKmeansMllib(spark, dir))
+    assert(det >= 0.4, s"deterministic-quantizer recall $det below floor")
+    assert(mllib >= 0.4, s"MLlib-quantizer recall $mllib below floor")
+  }
+
   test("k-means IVF is run-to-run deterministic") {
     // the UNCACHED entry: two genuinely independent trainings must
     // agree (the session memo would trivially make them equal)
