@@ -304,8 +304,43 @@ object IncrementalDedup {
       .orderBy($"doc_id")
   }
 
+  val WinnowTable = "q_inc_winnow_store"
+
+  /** REGISTERED daily winnow screen: build the bucketed postings store
+    * from the store half (hot fingerprints capped at build —
+    * [[writeWinnowStore]]), screen the delta half against it
+    * ([[winnowDeltaAgainstStore]]). The ORACLE mirrors the INCREMENTAL
+    * cap semantics declaratively — store-half postings capped at
+    * store-half df, delta postings uncapped, ≥2-shared gate — so the
+    * hash check is robust to a corpus where a fingerprint's full-corpus
+    * df crosses the cap while its store-half df does not (the batch
+    * q_winnow_pairs equivalence across the split is the separate,
+    * corpus-conditional statement IncrementalDedupSpec proves).
+    */
+  def incrementalWinnow(s: SparkSession, dir: String): DataFrame = {
+    val (store, delta) = splitMod4(s, dir)
+    writeWinnowStore(store, WinnowTable)
+    winnowDeltaAgainstStore(s, delta, WinnowTable)
+  }
+
+  val incrementalWinnowSql: String =
+    s"""WITH ${TextAnalysis.winnowPostingsCtesSql},
+       |sp AS (SELECT doc_id, fp FROM postings WHERE doc_id % 4 <> 3),
+       |keep AS (
+       |  SELECT fp FROM sp GROUP BY fp
+       |  HAVING count(*) <= ${TextAnalysis.WinnowMaxPostings}),
+       |st AS (SELECT doc_id, fp FROM sp JOIN keep USING (fp)),
+       |d AS (SELECT doc_id, fp FROM postings WHERE doc_id % 4 = 3)
+       |SELECT d.doc_id AS delta_id, st.doc_id AS store_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM d JOIN st USING (fp)
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY delta_id, store_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_incremental_delta", incrementalDelta, Some(incrementalDeltaSql)),
     GraftQuery("q_incremental_clusters", incrementalClusters,
-      Some(Corpus.dedupClustersSql)))
+      Some(Corpus.dedupClustersSql)),
+    GraftQuery("q_incremental_winnow", incrementalWinnow,
+      Some(incrementalWinnowSql)))
 }

@@ -336,8 +336,12 @@ object TextAnalysis {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val winnowPairsSql: String =
-    s"""WITH toks AS (
+  /** The winnow postings CTE chain ending in `postings(doc_id, fp)` —
+    * one source for the batch pair oracle and the incremental
+    * delta-vs-store oracle (IncrementalDedup).
+    */
+  private[operators] val winnowPostingsCtesSql: String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
        |  FROM documents),
        |g AS (
@@ -349,7 +353,10 @@ object TextAnalysis {
        |  SELECT DISTINCT doc_id,
        |    unnest([list_min(gh[t:least(t + ${WinnowW - 1}, m)])
        |      for t in generate_series(1, greatest(m - ${WinnowW - 1}, 1))]) AS fp
-       |  FROM g WHERE m >= 1),
+       |  FROM g WHERE m >= 1)""".stripMargin
+
+  val winnowPairsSql: String =
+    s"""WITH $winnowPostingsCtesSql,
        |rare AS (
        |  SELECT fp FROM postings GROUP BY fp
        |  HAVING count(*) <= ${WinnowMaxPostings} AND count(*) >= 2)
