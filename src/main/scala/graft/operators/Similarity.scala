@@ -588,12 +588,16 @@ object Similarity {
     * [[PqM]] subspaces SIMULTANEOUSLY (one assign + one re-mean job per
     * iteration covers every subspace — at 100 TB that is `iters` bounded
     * shuffle rounds total, vs. M independent single-subspace fits each
-    * paying its own passes). Determinism without a seed: init is the
-    * subvectors of the [[PqK]] lowest vec_ids (the fixed-codebook
-    * precedent), and every Lloyd step is argmin/avg algebra with
-    * explicit tiebreaks. Per-iteration driver state is the codebook
-    * itself (M·K·D doubles — KBs at any corpus size); empty clusters
-    * keep their previous codeword.
+    * paying its own passes). FULLY DETERMINISTIC since round 15 — not
+    * just seedless but partitioning-independent and SQL-reproducible
+    * (the [[trainCoarse]] discipline): init is the subvectors of the
+    * [[PqK]] lowest vec_ids, assignment is argmin of the 6-dp-rounded
+    * L2² with (d2, j) tiebreaks, and re-means are exact micro-unit
+    * integer sums in decimal(38,0) divided and 6-dp-rounded as Spark
+    * expressions — the same doubles on any partitioning AND in DuckDB's
+    * unrolled re-derivation ([[residualCodebookCtesSql]]). Empty
+    * clusters keep their previous codeword; per-iteration driver state
+    * is the codebook itself (M·K·D doubles — KBs at any corpus size).
     *
     * Input `subs`: (vec_id, m, sv) subvector rows. Returns the codebook
     * as (m, j, c) rows ready to broadcast, plus the final total
@@ -605,7 +609,7 @@ object Similarity {
     import s.implicits._
     val d2 = (sv: Column, c: Column) => {
       val diff = zip_with(sv, c, (x, y) => x - y)
-      round(dot(diff, diff), 9)
+      round(dot(diff, diff), 6)
     }
     // deterministic init: subvectors of the PqK lowest vec_ids per subspace
     val initIds = subs.select($"vec_id").distinct()
@@ -626,13 +630,18 @@ object Similarity {
         .agg(min(struct($"d2", $"j", $"sv")).as("best"))
         .select($"m", $"best.j".as("j"), $"best.d2".as("d2"),
           $"best.sv".as("sv"))
-      // re-mean: per-dimension avg per (subspace, codeword) + the total
-      // quantization error, in ONE pass (PqD fixed avg columns — no
-      // per-element explode)
-      val aggCols = sum($"d2").as("qerr") +:
-        (0 until PqD).map(i => avg($"sv"(i)).as(s"a$i"))
+      // re-mean: ORDER-INDEPENDENT exact micro-unit integer sums per
+      // (subspace, codeword, dimension) + the total quantization error,
+      // in ONE pass (PqD fixed sum columns — no per-element explode);
+      // the division + 6-dp round run as Spark expressions so the
+      // rounding semantics are the engine's own
+      val aggCols = sum($"d2").as("qerr") +: count(lit(1)).as("n") +:
+        (0 until PqD).map(i =>
+          sum(round($"sv"(i) * 1e6).cast("long").cast("decimal(38,0)")).as(s"s$i"))
       val stats = assign.groupBy($"m", $"j")
         .agg(aggCols.head, aggCols.tail: _*)
+        .select(($"m" +: $"j" +: $"qerr" +: (0 until PqD).map(i =>
+          round(col(s"s$i").cast("double") / 1e6 / $"n", 6).as(s"c$i"))): _*)
         .collect()
       err = stats.map(_.getDouble(2)).sum
       val moved = stats.map { r =>
@@ -673,28 +682,24 @@ object Similarity {
   private[graft] def ivfPqTopK(s: SparkSession, vnIn: DataFrame,
       qPred: Column): DataFrame = {
     import s.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
     val vn = vnIn.select($"vec_id", $"vn")
-    // coarse quantizer: seeded k-means on the unit sphere (min-L2 on
-    // unit vectors ⇔ max cosine)
-    val model = new KMeans().setK(IvfPqNList).setSeed(26062019L).setMaxIter(10)
-      .setFeaturesCol("fv")
-      .fit(vn.select(array_to_vector($"vn").as("fv")))
-    val cents = broadcast(s.createDataFrame(
-        model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
-      .toDF("cent_id", "cv"))
+    // coarse quantizer: the DETERMINISTIC Lloyd trainer on the unit
+    // sphere (min-L2 on unit vectors ⇔ max cosine) — SQL-reproducible
+    // like every other stage of this index since round 15
+    val cents = broadcast(coarseCentFrame(s,
+        trainCoarse(s, vn.select($"vec_id", $"vn".as("v")), IvfPqNList))
+      .select($"cent_id", $"cv"))
     // assign each vector to its nearest list; carry the RESIDUAL
     // localCheckpoint (eager) truncates the lineage: the Lloyd loop,
     // the encode pass, and the init collect all re-read the assignment
-    // instead of re-deriving the k-means DAG per job; the materialized
-    // partitions are reclaimed by the ContextCleaner when this frame
-    // goes out of scope
+    // instead of re-deriving the quantizer DAG per job; the
+    // materialized partitions are reclaimed by the ContextCleaner when
+    // this frame goes out of scope
     val assign = vn.crossJoin(cents)
       .select($"vec_id", $"vn", $"cent_id",
         round(dot(zip_with($"vn", $"cv", (x, y) => x - y),
-          zip_with($"vn", $"cv", (x, y) => x - y)), 9).as("d2"))
+          zip_with($"vn", $"cv", (x, y) => x - y)), 6).as("d2"))
       .groupBy($"vec_id")
       .agg(min(struct($"d2", $"cent_id", $"vn")).as("best"))
       .select($"vec_id", $"best.cent_id".as("cent_id"), $"best.vn".as("vn"))
@@ -717,7 +722,7 @@ object Similarity {
       rsubs.where(pmod($"vec_id", lit(4)) === 0), IvfPqIters)
     val enc = rsubs.join(cb, "m")
       .withColumn("diff", zip_with($"sv", $"c", (x, y) => x - y))
-      .withColumn("d2", round(dot($"diff", $"diff"), 9))
+      .withColumn("d2", round(dot($"diff", $"diff"), 6))
       .groupBy($"vec_id", $"m")
       .agg(min(struct($"d2", $"j")).as("best"))
       .select($"vec_id", $"m", $"best.j".as("code"))
@@ -783,6 +788,146 @@ object Similarity {
       .select($"vec_id", transform($"v", x => x / $"nrm").as("vn"))
     ivfPqTopK(s, vn, col("vec_id") < 10)
   }
+
+  /** DuckDB re-derivation of the RESIDUAL codebook training
+    * ([[trainPqCodebooks]] at [[IvfPqIters]] unrolled): pcb0 init from
+    * the 16 lowest sample vec_ids' residual subvectors, then per
+    * iteration an assignment CTE, the exact-integer per-dimension
+    * re-mean, and the coalesced codebook. Assumes rsubs(vec_id, m, sv)
+    * and samp (its ¼-sample) are defined by the enclosing WITH; ends in
+    * pcb[[IvfPqIters]](m, j, c).
+    */
+  private def residualCodebookCtesSql: String = {
+    // MATERIALIZED throughout — the coarseCtesSql inlining-blowup note,
+    // squared: pcb_{t-1} is referenced twice per iteration on top of an
+    // already-chained coarse quantizer
+    val iters = (1 to IvfPqIters).map { t =>
+      s"""pa$t AS MATERIALIZED (
+         |  SELECT m, vec_id, sv, j FROM (
+         |    SELECT s.m, s.vec_id, s.sv, c.j,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${l2RoundSql("s.sv", "c.c")} ASC, c.j ASC) AS rk
+         |    FROM samp s JOIN pcb${t - 1} c USING (m)) z
+         |  WHERE rk = 1),
+         |pm$t AS MATERIALIZED (
+         |  SELECT m, j, d.i AS dim,
+         |    round(CAST(sum(CAST(round(sv[d.i] * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 / count(*), 6) AS cd
+         |  FROM pa$t, (SELECT unnest(generate_series(1, $PqD)) AS i) d
+         |  GROUP BY m, j, d.i),
+         |pcb$t AS MATERIALIZED (
+         |  SELECT p.m, p.j, coalesce(mm.c, p.c) AS c
+         |  FROM pcb${t - 1} p LEFT JOIN (
+         |    SELECT m, j, list(cd ORDER BY dim) AS c FROM pm$t GROUP BY m, j) mm
+         |    USING (m, j))""".stripMargin
+    }.mkString(",\n")
+    s"""sampids AS MATERIALIZED (
+       |  SELECT vec_id, j FROM (
+       |    SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+       |    FROM (SELECT DISTINCT vec_id FROM samp) ids) z
+       |  WHERE j < $PqK),
+       |pcb0 AS MATERIALIZED (
+       |  SELECT s.m, si.j, s.sv AS c FROM samp s JOIN sampids si USING (vec_id)),
+       |$iters""".stripMargin
+  }
+
+  /** ORACLE for the composed IVF-PQ index — since round 15 EVERY stage
+    * is deterministic, so DuckDB re-derives the whole architecture:
+    * the unrolled coarse Lloyd chain on the unit sphere, min-L2 list
+    * assignment + residuals, the unrolled residual codebook training on
+    * the ¼ sample, full-corpus encoding, probes with the q·c base term,
+    * the broadcast-LUT ADC fold, the 20-candidate shortlist, and the
+    * exact refine.
+    */
+  def annIvfPqSql: String = {
+    s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |vr AS (SELECT vec_id, v, sqrt(${dotESql("v", "v")}) AS nrm FROM vv),
+       |vn AS MATERIALIZED (
+       |  SELECT vec_id, [v[i] / nrm for i in generate_series(1, len(v))] AS v,
+       |    1.0 AS nrm
+       |  FROM vr),
+       |${coarseCtesSql(s"SELECT $IvfPqNList AS k")},
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT t.vec_id, t.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${l2RoundSql("t.v", "c.cv")} ASC, c.cent_id ASC) AS rk
+       |    FROM vn t CROSS JOIN cents c) z
+       |  WHERE rk = 1),
+       |res AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cent_id,
+       |    [a.v[i] - c.cv[i] for i in generate_series(1, len(a.v))] AS r
+       |  FROM asg a JOIN cents c USING (cent_id)),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |rsubs AS MATERIALIZED (
+       |  SELECT vec_id, m, [r[m * $PqD + i] for i in generate_series(1, $PqD)] AS sv
+       |  FROM res, ms),
+       |samp AS MATERIALIZED (SELECT * FROM rsubs WHERE vec_id % 4 = 0),
+       |$residualCodebookCtesSql,
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT s.vec_id, s.m, c.j,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2RoundSql("s.sv", "c.c")} ASC, c.j ASC) AS rk
+       |    FROM rsubs s JOIN pcb$IvfPqIters c USING (m)) z
+       |  WHERE rk = 1),
+       |encc AS (
+       |  SELECT e.vec_id, e.m, e.code, a.cent_id
+       |  FROM enc e JOIN asg a USING (vec_id)),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM vn WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, cent_id, qc FROM (
+       |    SELECT q.q_id, c.cent_id, round(${dotESql("q.qv", "c.cv")}, 6) AS qc,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(${dotESql("q.qv", "c.cv")}, 6) DESC,
+       |          c.cent_id ASC) AS rk
+       |    FROM qs q CROSS JOIN cents c) z
+       |  WHERE rk <= $IvfPqNProbe),
+       |qsubs AS (
+       |  SELECT q_id, m, [qv[m * $PqD + i] for i in generate_series(1, $PqD)] AS sv
+       |  FROM qs, ms),
+       |lut AS (
+       |  SELECT s.q_id, s.m, c.j, ${dotESql("s.sv", "c.c")} AS pdot
+       |  FROM qsubs s JOIN pcb$IvfPqIters c USING (m)),
+       |adc AS (
+       |  SELECT p.q_id, e.vec_id AS neighbor_id,
+       |    round(max(p.qc) +
+       |      ${graft.functions.FloatFold.orderedSumSql("l.pdot", "e.m")}, 6)
+       |      AS approx_cos
+       |  FROM encc e JOIN probes p USING (cent_id)
+       |  JOIN lut l ON l.q_id = p.q_id AND l.m = e.m AND l.j = e.code
+       |  WHERE e.vec_id <> p.q_id
+       |  GROUP BY p.q_id, e.vec_id),
+       |short AS (
+       |  SELECT q_id, neighbor_id, approx_cos FROM (
+       |    SELECT adc.*, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_cos DESC, neighbor_id ASC) AS rk
+       |    FROM adc) z
+       |  WHERE rk <= $IvfPqShortlist)
+       |SELECT q_id, neighbor_id, approx_cos, cos, rank FROM (
+       |  SELECT s.q_id, s.neighbor_id, s.approx_cos,
+       |    round(${dotESql("q.qv", "n.v")}, 6) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY round(${dotESql("q.qv", "n.v")}, 6) DESC,
+       |        s.neighbor_id ASC) AS INT) AS rank
+       |  FROM short s JOIN qs q USING (q_id) JOIN vn n ON n.vec_id = s.neighbor_id) z
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** ORACLE for the residual-PQ recall row: the IVF-PQ chain's top-k
+    * intersected with the brute-force top-5, same shape as
+    * [[annRecallSql]].
+    */
+  def annRecallTrainedSql: String =
+    s"""WITH brute AS (SELECT q_id, neighbor_id FROM ($annCosineTopKSql)),
+      |pqv AS (SELECT q_id, neighbor_id FROM ($annIvfPqSql)),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM brute),
+      |hits AS (
+      |  SELECT 'ivf_pq' AS method, count(*) AS hits
+      |  FROM pqv JOIN brute USING (q_id, neighbor_id))
+      |SELECT method, CAST(hits AS BIGINT) AS hits, n_truth,
+      |  round(CAST(hits AS DOUBLE) / n_truth, 4) AS recall_at_5
+      |FROM hits CROSS JOIN nt ORDER BY method""".stripMargin
 
   /** τ floor of the LSH route: at τ ≥ 0.7 (θ ≤ 45.6°) a 16-band × 4-bit
     * sign-LSH candidate filter has ≥ 0.997 per-pair recall, so
@@ -1071,34 +1216,39 @@ object Similarity {
     * by the enclosing WITH.
     */
   private def coarseCtesSql(kSql: String): String = {
+    // every chained CTE is MATERIALIZED: c_{r-1} is referenced twice per
+    // round (assignment + the empty-cluster coalesce), so DuckDB's
+    // default CTE inlining would grow the expression tree 2^rounds —
+    // measured as a hung oracle once the residual-PQ chain stacked on
+    // top of this one
     val rounds = (1 to CoarseIters).map { r =>
-      s"""a$r AS (
+      s"""a$r AS MATERIALIZED (
          |  SELECT vec_id, v, j FROM (
          |    SELECT t.vec_id, t.v, c.j,
          |      row_number() OVER (PARTITION BY t.vec_id
          |        ORDER BY ${l2RoundSql("t.v", "c.c")} ASC, c.j ASC) AS rk
          |    FROM vn t CROSS JOIN c${r - 1} c) z
          |  WHERE rk = 1),
-         |m$r AS (
+         |m$r AS MATERIALIZED (
          |  SELECT j, d.i AS dim,
          |    round(CAST(sum(CAST(round(v[d.i] * 1000000) AS BIGINT)) AS DOUBLE)
          |      / 1000000.0 / count(*), 6) AS cd
          |  FROM a$r, (SELECT unnest(generate_series(1, $EmbedDim)) AS i) d
          |  GROUP BY j, d.i),
-         |c$r AS (
+         |c$r AS MATERIALIZED (
          |  SELECT p.j, coalesce(mm.c, p.c) AS c
          |  FROM c${r - 1} p LEFT JOIN (
          |    SELECT j, list(cd ORDER BY dim) AS c FROM m$r GROUP BY j) mm
          |    USING (j))""".stripMargin
     }.mkString(",\n")
-    s"""kk AS ($kSql),
-       |c0 AS (
+    s"""kk AS MATERIALIZED ($kSql),
+       |c0 AS MATERIALIZED (
        |  SELECT CAST(z.rn - 1 AS INT) AS j, z.v AS c
        |  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
        |        FROM vn) z CROSS JOIN kk
        |  WHERE z.rn <= kk.k),
        |$rounds,
-       |cents AS (
+       |cents AS MATERIALIZED (
        |  SELECT j AS cent_id, c AS cv,
        |    sqrt(list_reduce([c[i] * c[i] for i in generate_series(1, len(c))],
        |      (a, b) -> a + b)) AS cnrm
@@ -1449,12 +1599,13 @@ object Similarity {
     GraftQuery("q_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql),
       singleShot = true),
     GraftQuery("q_ann_pq", annPq, Some(annPqSql)),
-    GraftQuery("q_ann_ivf_pq", annIvfPq, None),
+    GraftQuery("q_ann_ivf_pq", annIvfPq, Some(annIvfPqSql), singleShot = true),
     GraftQuery("q_embed_label_knn", labelKnn, Some(labelKnnSql)),
     GraftQuery("q_semdedup", semDedup, Some(semDedupSql), singleShot = true),
     GraftQuery("q_semdedup_plan", semDedupPlan, None, singleShot = true),
     GraftQuery("q_ann_recall", annRecall, Some(annRecallSql)),
-    GraftQuery("q_ann_recall_trained", annRecallTrained, None, singleShot = true),
+    GraftQuery("q_ann_recall_trained", annRecallTrained, Some(annRecallTrainedSql),
+      singleShot = true),
     GraftQuery("q_embed_norm_outliers", embedNormOutliers, Some(embedNormOutliersSql)),
     GraftQuery("q_embed_clusters", embedClusters, Some(embedClustersSql),
       singleShot = true))
