@@ -1525,6 +1525,58 @@ object Similarity {
     out
   }
 
+  /** ORACLE for the k planner — five instantiations of the unrolled
+    * deterministic training chain (one per candidate k, each its own
+    * nested WITH scope), the final argmin assignment, cluster-size
+    * aggregation, and the planner row; candidate k values that
+    * coincide at small corpora produce identical rows that plain UNION
+    * collapses, mirroring the engine's `.distinct` on the candidate
+    * list.
+    */
+  def semDedupPlanSql: String = {
+    val kStar =
+      s"greatest(2, CAST(ceil(count(*) / $SemDedupTargetClusterSize.0) AS INT))"
+    def inst(kOfStar: String => String): String = {
+      val kSel = s"SELECT ${kOfStar(kStar)} AS k FROM vn"
+      s"""(WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+         |vn AS MATERIALIZED (
+         |  SELECT vec_id, v, sqrt(${dotESql("v", "v")}) AS nrm FROM vv),
+         |${coarseCtesSql(kSel)},
+         |fin AS MATERIALIZED (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT t.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${l2RoundSql("t.v", "c.cv")} ASC, c.cent_id ASC) AS rk
+         |    FROM vn t CROSS JOIN cents c) z
+         |  WHERE rk = 1),
+         |sizes AS (SELECT cent_id, count(*) AS c FROM fin GROUP BY cent_id),
+         |nn AS (SELECT count(*) AS n FROM vn),
+         |ks AS (SELECT $kStar AS kstar FROM vn)
+         |SELECT CAST(kk.k AS INT) AS k, CAST(nn.n AS BIGINT) AS n_vecs,
+         |  CAST(count(*) AS INT) AS clusters_used,
+         |  CAST(max(s.c) AS BIGINT) AS max_cluster,
+         |  CAST(sum((s.c * (s.c - 1)) // 2) AS BIGINT) AS candidate_pairs,
+         |  round(CAST(sum((s.c * (s.c - 1)) // 2) AS DOUBLE) / nn.n, 2)
+         |    AS pairs_per_vec,
+         |  CAST(nn.n * kk.k AS BIGINT) AS assign_dots,
+         |  (kk.k = ks.kstar) AS chosen
+         |FROM sizes s CROSS JOIN kk CROSS JOIN nn CROSS JOIN ks
+         |GROUP BY kk.k, nn.n, ks.kstar)""".stripMargin
+    }
+    // each WITH-scoped instantiation wraps as a derived table: DuckDB
+    // 1.0's binder rejects a bare parenthesized WITH node inside a set
+    // operation (INTERNAL "query node type mismatch")
+    Seq[String => String](
+      ks => s"greatest(2, $ks // 4)",
+      ks => s"greatest(2, $ks // 2)",
+      ks => ks,
+      ks => s"$ks * 2",
+      ks => s"$ks * 4")
+      .map(inst).zipWithIndex
+      .map { case (sql, i) => s"SELECT * FROM (\n$sql\n) inst$i" }
+      .mkString("", "\nUNION\n", "\nORDER BY k")
+  }
+
   /** Embedding-store hygiene: per-vector L2 norm with a corpus z-score
     * and a 3σ outlier flag — degenerate norms (zeros, near-zeros,
     * blow-ups) are embedding-pipeline failures that poison every
@@ -1602,7 +1654,8 @@ object Similarity {
     GraftQuery("q_ann_ivf_pq", annIvfPq, Some(annIvfPqSql), singleShot = true),
     GraftQuery("q_embed_label_knn", labelKnn, Some(labelKnnSql)),
     GraftQuery("q_semdedup", semDedup, Some(semDedupSql), singleShot = true),
-    GraftQuery("q_semdedup_plan", semDedupPlan, None, singleShot = true),
+    GraftQuery("q_semdedup_plan", semDedupPlan, Some(semDedupPlanSql),
+      singleShot = true),
     GraftQuery("q_ann_recall", annRecall, Some(annRecallSql)),
     GraftQuery("q_ann_recall_trained", annRecallTrained, Some(annRecallTrainedSql),
       singleShot = true),
