@@ -1150,14 +1150,51 @@ object Similarity {
     * no join, no shuffle, the packed-centroid twin of ivfSearch's
     * broadcast assignment.
     */
-  private def coarseAssignExpr(cents: Seq[(Int, Seq[Double])], vcol: Column): Column = {
-    val packed = array(cents.map { case (j, c) =>
-      struct(typedLit(c).as("cv"), lit(j).as("j"))
-    }: _*)
-    element_at(array_sort(transform(packed, cs => struct(
-      round(aggregate(zip_with(vcol, cs("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 6).as("d2"),
-      cs("j").as("j")))), 1)("j")
+  /** Spark's own Round(double, 6) semantics, replicated exactly —
+    * java.math.BigDecimal.valueOf (the canonical Double.toString path)
+    * + HALF_UP, the same function the SQL expression compiles to, so a
+    * driver/executor-side Scala loop computes bit-identical values to
+    * the declarative round() and to DuckDB's round.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Row-local argmin-L2² assignment against a broadcast codebook,
+    * through the declared mapPartitions codec boundary (the BPE
+    * encodeWord precedent): per row one primitive-loop scan of the k
+    * centroids — zero shuffle, the corpus never moves, and ~100×
+    * faster than the equivalent higher-order-function expression
+    * (nested lambdas are CodegenFallback, so the fold interpreted
+    * k×dim expression nodes PER ROW — measured as the planner's wall
+    * time at k=128). The arithmetic is the oracle's, step for step:
+    * left-to-right (x−y)² accumulation from 0.0, [[round6]] = the
+    * engine round, ties to the lower cent_id.
+    */
+  private def assignIds(s: SparkSession, v: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents.sortBy(_._1).map(_._2.toArray).toArray)
+    v.select($"vec_id", $"v").as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vec) =>
+          val a = vec.toArray
+          var bestJ = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cs.length) {
+            val c = cs(j)
+            var acc = 0.0
+            var i = 0
+            while (i < a.length) { val d = a(i) - c(i); acc += d * d; i += 1 }
+            val d2 = round6(acc)
+            if (d2 < bestD) { bestD = d2; bestJ = j } // strict <: ties keep lower j
+            j += 1
+          }
+          (id, bestJ, vec)
+        }
+      }.toDF("vec_id", "j", "v")
   }
 
   private[graft] def trainCoarse(s: SparkSession, v: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
@@ -1168,19 +1205,27 @@ object Similarity {
       .zipWithIndex.map { case ((_, c), j) => (j, c) }.toSeq
     val dim = cents.head._2.size
     for (_ <- 0 until CoarseIters) {
-      val assigned = v.select(coarseAssignExpr(cents, $"v").as("j"), $"v")
-      val sums = assigned.groupBy($"j").agg(
-        count(lit(1)).as("n"),
-        (0 until dim).map(i =>
-          sum(round($"v"(i) * 1e6).cast("long").cast("decimal(38,0)")).as(s"s$i")): _*)
-      // the division + final round run as Spark expressions so the
-      // rounding semantics are BY CONSTRUCTION the engine's own
-      val moved = sums.select(($"j" +: (0 until dim).map(i =>
-          round(col(s"s$i").cast("double") / 1e6 / $"n", 6).as(s"c$i"))): _*)
-        .collect().map { r =>
-          r.getInt(0) -> (0 until dim).map(i => r.getDouble(1 + i)).toSeq
-        }.toMap
-      cents = cents.map { case (j, c) => (j, moved.getOrElse(j, c)) }
+      val assigned = assignIds(s, v, cents)
+      // re-mean in the EXPLODED (j, dim, micro-int) shape — one generic
+      // 3-column aggregate instead of 64 wide decimal-sum columns whose
+      // generated code dominated the planner's wall time (measured 29 s
+      // → the codegen, not the arithmetic; the shuffle still collapses
+      // map-side to k×dim rows per task, so the shape is scale-neutral).
+      // The division + final round run as Spark expressions so the
+      // rounding semantics are BY CONSTRUCTION the engine's own.
+      val moved = assigned
+        .select($"j", posexplode(transform($"v", x =>
+          round(x * 1e6).cast("long"))).as(Seq("dim", "mi")))
+        .groupBy($"j", $"dim")
+        .agg(count(lit(1)).as("n"), sum($"mi".cast("decimal(38,0)")).as("s"))
+        .select($"j", $"dim",
+          round($"s".cast("double") / 1e6 / $"n", 6).as("cd"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents = cents.map { case (j, c) =>
+        if (moved.contains((j, 0)))
+          (j, (0 until dim).map(i => moved((j, i))): Seq[Double])
+        else (j, c)
+      }
     }
     cents
   }
@@ -1507,7 +1552,7 @@ object Similarity {
     // cluster sizes come from one row-local assignment pass per k
     val perK = candidates.map { k =>
       val cents = trainCoarse(s, v, k)
-      v.select(coarseAssignExpr(cents, $"v").as("cent_id"))
+      assignIds(s, v, cents).select($"j".as("cent_id"))
         .groupBy($"cent_id").agg(count(lit(1)).as("c"))
         .agg(
           lit(k).as("k"),
