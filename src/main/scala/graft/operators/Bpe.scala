@@ -328,6 +328,43 @@ object Bpe {
       .orderBy($"source")
   }
 
+  /** ROW-LOCAL per-document encoding — the STREAMING-composable form of
+    * [[bpeEncode]]: each arriving doc tokenizes (the TokenizeWs
+    * semantics exactly), greedy-encodes every word against the
+    * broadcast merge table, and emits the same (n_words, bpe_tokens,
+    * tokens_md5) columns inside ONE mapPartitions pass — no distinct,
+    * no join, no aggregation, so it drops into a Structured Streaming
+    * pipeline as a stateless stage (docs with zero words emit no row,
+    * matching the batch groupBy's behavior). At ingest scale this is
+    * what stamps real token budgets on documents as they arrive; the
+    * trained merge table is the daily batch artifact, refreshed like
+    * the mixture weight table. StreamingSpec proves streamed rows ≡
+    * the batch [[bpeEncode]] rows for the same documents.
+    */
+  private[graft] def encodeDocsRowLocal(docs: DataFrame,
+      rank: Map[(String, String), Int]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rankBc = docs.sparkSession.sparkContext.broadcast(rank)
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = rankBc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val words = ws.split(text, -1).filter(_.nonEmpty)
+          if (words.isEmpty) None
+          else {
+            val toks = words.flatMap(w => encodeWord(w, rk))
+            md.reset()
+            val digest = md.digest(
+              toks.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            Some((id, words.length.toLong, toks.length.toLong,
+              digest.map("%02x".format(_)).mkString))
+          }
+        }
+      }.toDF("doc_id", "n_words", "bpe_tokens", "tokens_md5")
+  }
+
   /** Sequence packing re-based on TRAINED subword counts — what an LLM
     * pipeline actually budgets (a 512-subword pack is a model's real
     * context slice; whitespace counts under-fill it). Same

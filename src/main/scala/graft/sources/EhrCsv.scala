@@ -30,4 +30,13 @@ object EhrCsv {
   def writePredictions(df: DataFrame, path: String): Unit =
     df.write.option("sep", "|").option("header", "true")
       .mode("overwrite").csv(path)
+
+  /** Write the reference's `;`-separated EHR shape — the sink half of
+    * the round-trip the registered q_source_ehr_roundtrip hash-checks
+    * (quoting handles embedded separators; [[readEhr]]'s explicit
+    * schema reads it back typed).
+    */
+  def writeEhr(df: DataFrame, path: String): Unit =
+    df.write.option("sep", ";").option("header", "true")
+      .mode("overwrite").csv(path)
 }

@@ -84,8 +84,69 @@ object SourceQueries {
     """SELECT doc_id, text, lang, source, n_chars FROM documents
       |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
 
+  /** The REFERENCE'S OWN interchange format round-tripped: documents
+    * re-shaped to the `;`-separated EHR schema (PATNR double,
+    * annotation boolean, text — notebook cell 4's dummydata.csv),
+    * written through [[EhrCsv.writeEhr]] and read back through
+    * [[EhrCsv.readEhr]]'s explicit schema — CSV quoting, the double
+    * and boolean encodings, and the single-pass schema-first read all
+    * proven value-exact by the hash gate.
+    */
+  def ehrRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = scratch("ehr")
+    EhrCsv.writeEhr(
+      Tables.documents(s, dir).select(
+        $"doc_id".cast("double").as("PATNR"),
+        ($"lang" === "en").as("annotation"),
+        $"text"),
+      path)
+    EhrCsv.readEhr(s, path)
+      .select($"PATNR", $"annotation", $"text")
+      .orderBy($"PATNR")
+  }
+
+  val ehrRoundtripSql: String =
+    """SELECT CAST(doc_id AS DOUBLE) AS PATNR, (lang = 'en') AS annotation, text
+      |FROM documents ORDER BY PATNR""".stripMargin
+
+  /** Bucketed CO-LOCATED join REGISTERED: orders and customer land as
+    * bucketed+sorted tables on the join key (the pre-shuffle), the
+    * revenue rollup joins them exchange-free on the fact sides — and
+    * the ORACLE IS THE PLAIN JOIN SQL, so the hash gate proves the
+    * physical bucketing invisible (the q_skew_join convention for
+    * physical optimizations). SourcesSpec pins the exchange-free SMJ
+    * under a forced no-broadcast conf; revenue aggregates as DECIMAL
+    * so bucket-parallel accumulation cannot move a double ulp.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("q_bkt_orders")
+    Tables.customer(s, dir)
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("q_bkt_customer")
+    s.table("q_bkt_orders")
+      .join(s.table("q_bkt_customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        sum($"o_totalprice".cast("decimal(28,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_source_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),
     GraftQuery("q_source_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
-    GraftQuery("q_partitioned_prune", partitionedPrune, Some(partitionedPruneSql)))
+    GraftQuery("q_partitioned_prune", partitionedPrune, Some(partitionedPruneSql)),
+    GraftQuery("q_source_ehr_roundtrip", ehrRoundtrip, Some(ehrRoundtripSql)),
+    GraftQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)))
 }

@@ -87,6 +87,46 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scan read $readFiles files; expected the $enFiles en files of $totalFiles")
   }
 
+  test("registered bucketed join: fact sides read exchange-free under forced SMJ") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val df = SparkEntry.queries("q_bucketed_join")(spark, dir)
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => unwrap(a.initialPlan)
+        case q: QueryStageExec => unwrap(q.plan)
+        case other => other
+      }
+      val root = unwrap(df.queryExecution.executedPlan)
+      val smj = root.collect { case j: SortMergeJoinExec => j }
+      assert(smj.size == 1, s"expected one sort-merge join:\n$root")
+      // NEITHER side shuffles: both tables were written bucketed on the
+      // join key — the pre-shuffle the layout exists for
+      smj.foreach { j =>
+        assert(j.left.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+          j.right.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"bucketed join side re-shuffles:\n$j")
+      }
+      assert(root.toString.contains("Bucketed: true"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("registered EHR round-trip preserves types through the reference CSV shape") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_source_ehr_roundtrip")(spark, dir)
+    assert(got.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("PATNR", "double"), ("annotation", "boolean"), ("text", "string")))
+    val rows = got.as[(Double, Boolean, String)].collect()
+    val want = Tables.documents(spark, dir)
+      .select($"doc_id".cast("double"), $"lang" === "en", $"text")
+      .as[(Double, Boolean, String)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.sortBy(_._1).sameElements(want))
+  }
+
   test("jsonl quarantine isolates malformed lines without failing the scan") {
     val out = "/tmp/graft_jsonl_bad"
     val d = new java.io.File(out)

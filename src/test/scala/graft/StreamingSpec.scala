@@ -71,6 +71,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("neardup_out").count() == 2)
   }
 
+  test("streaming row-local BPE encode equals the batch encoding per document") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Bpe
+    val dir = "/root/testdata/sf0.001"
+    // the trained merge table is the daily batch artifact the stream
+    // broadcasts (the mixture-weight-table refresh pattern)
+    val rank = Bpe.merges(spark, dir).map(m => (m.left, m.right) -> m.rank).toMap
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").limit(20).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.toIndexedSeq: _*)
+    val q = Bpe.encodeDocsRowLocal(mem.toDF().toDF("doc_id", "text"), rank)
+      .writeStream.format("memory").queryName("bpe_stream_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bpe_stream_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val ids = docs.map(_._1).toSet
+    val batch = Bpe.bpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .filter(t => ids(t._1)).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("stream-static winnowing match flags substring overlap against the store") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
