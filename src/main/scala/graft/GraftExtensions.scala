@@ -30,6 +30,19 @@ import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
   * with qualityScore / langId / the piiRedact fold).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
+}
+
+/** The function catalog itself lives on the companion so it can ALSO be
+  * registered imperatively into an already-built session
+  * ([[GraftExtensions.registerInto]]) — the path the REGISTERED
+  * q_sql_surface query uses, since the driver's Verify/Bench sessions
+  * are constructed without the extensions conf.
+  */
+object GraftExtensions {
 
   /** Parse an expression template and substitute the caller's argument
     * for the `__t` placeholder — expression-level composition without
@@ -72,48 +85,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     s"CASE (array_max(array($structs))).ni $cases END"
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    def info(name: String, usage: String) =
-      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
-    ext.injectFunction((
-      FunctionIdentifier("stem_dutch"),
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  /** Every SQL function this library exposes, as the injectFunction
+    * triple. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("stem_dutch"),
       info("stem_dutch", "stem_dutch(str) - Snowball Dutch stem per token"),
-      (args: Seq[Expression]) => StemDutch(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("strip_accents"),
+      (args: Seq[Expression]) => StemDutch(args.head)),
+    (FunctionIdentifier("strip_accents"),
       info("strip_accents", "strip_accents(str) - NFD accent strip + ascii"),
-      (args: Seq[Expression]) => StripAccents(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("damerau_levenshtein"),
+      (args: Seq[Expression]) => StripAccents(args.head)),
+    (FunctionIdentifier("damerau_levenshtein"),
       info("damerau_levenshtein",
         "damerau_levenshtein(a, b) - OSA restricted Damerau-Levenshtein"),
-      (args: Seq[Expression]) => DamerauLevenshtein(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("array_dot"),
+      (args: Seq[Expression]) => DamerauLevenshtein(args(0), args(1))),
+    (FunctionIdentifier("array_dot"),
       info("array_dot", "array_dot(a, b) - double-array dot product"),
-      (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("tokenize_ws"),
+      (args: Seq[Expression]) => ArrayDot(args(0), args(1))),
+    (FunctionIdentifier("tokenize_ws"),
       info("tokenize_ws",
         "tokenize_ws(str) - whitespace tokens, empties dropped"),
-      (args: Seq[Expression]) => TokenizeWs(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("pii_redact"),
+      (args: Seq[Expression]) => TokenizeWs(args.head)),
+    (FunctionIdentifier("pii_redact"),
       info("pii_redact",
         "pii_redact(str) - mask emails, IPv4s, long digit runs with typed placeholders"),
       (args: Seq[Expression]) => TextAnalysis.piiPatterns.foldLeft(args.head) {
         case (e, (_, pat, rep)) => new RegExpReplace(e, Literal(pat), Literal(rep))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("quality_score"),
+      }),
+    (FunctionIdentifier("quality_score"),
       info("quality_score",
         "quality_score(str) - stopword/length/punctuation composite in [0, 1]"),
-      (args: Seq[Expression]) => template(qualityTemplate, args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("lang_id"),
+      (args: Seq[Expression]) => template(qualityTemplate, args.head)),
+    (FunctionIdentifier("lang_id"),
       info("lang_id",
         "lang_id(str) - argmax stopword-profile density language code"),
       (args: Seq[Expression]) => template(langIdTemplate, args.head)))
-    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
-  }
+
+  /** Register the catalog into an existing session's function registry
+    * — idempotent (registerFunction overwrites), so registered queries
+    * can call it unconditionally.
+    */
+  def registerInto(s: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, fi, builder) =>
+      s.sessionState.functionRegistry.registerFunction(id, fi, builder)
+    }
 }

@@ -143,7 +143,63 @@ object SourceQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** The SQL SURFACE itself REGISTERED: the graft function catalog
+    * (GraftExtensions) drives a plain spark.sql query — tokenize_ws,
+    * the composed quality_score / lang_id curation scalars, and the
+    * pii_redact fold (PII planted on doc_id < 5, the q_pii_redact
+    * convention, so the rules fire) — and the ORACLE re-derives every
+    * column in DuckDB, so the SQL-registered expressions are
+    * hash-checked end-to-end, not just spec-compared to their batch
+    * twins. Functions register imperatively (idempotent) because the
+    * driver's session is built without the extensions conf.
+    */
+  def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.registerInto(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_docs_sql")
+    s.sql(s"""
+      SELECT doc_id,
+        CAST(size(tokenize_ws(text)) AS BIGINT) AS n_tokens,
+        quality_score(text) AS quality,
+        lang_id(text) AS lang_pred,
+        pii_redact(CASE WHEN doc_id < 5
+          THEN concat(text, '${graft.operators.TextAnalysis.plantedPii}')
+          ELSE text END) AS redacted
+      FROM graft_docs_sql ORDER BY doc_id""")
+  }
+
+  val sqlSurfaceSql: String = {
+    import graft.operators.TextAnalysis
+    val redact = TextAnalysis.piiPatterns.scanLeft("t") { case (e, (_, pat, rep)) =>
+      s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }.last
+    val langUnions = TextAnalysis.langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, '$lang' AS cand,
+         |  CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE)
+         |    / len(toks) AS score FROM qd""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${TextAnalysis.qualityCtesSql},
+       |pt AS (
+       |  SELECT doc_id,
+       |    text || (CASE WHEN doc_id < 5
+       |      THEN '${TextAnalysis.plantedPii}' ELSE '' END) AS t
+       |  FROM documents),
+       |sc AS ($langUnions),
+       |lp AS (
+       |  SELECT doc_id, cand AS lang_pred FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cand ASC) AS INT) AS rk FROM sc) z
+       |  WHERE rk = 1)
+       |SELECT qm.doc_id, qm.n_tokens,
+       |  ${TextAnalysis.qualitySqlExpr("qm.n_tokens", "qm.stop_ratio", "qm.punct_ratio")}
+       |    AS quality,
+       |  lp.lang_pred, $redact AS redacted
+       |FROM qm JOIN lp USING (doc_id) JOIN pt USING (doc_id)
+       |ORDER BY qm.doc_id""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     GraftQuery("q_source_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),
     GraftQuery("q_source_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     GraftQuery("q_partitioned_prune", partitionedPrune, Some(partitionedPruneSql)),
