@@ -55,6 +55,26 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon.count() == 8)
   }
 
+  test("documents and embeddings carry the schemas the oracle SQL is written against") {
+    // the source round-trip and quantizer oracles are STATIC SQL over
+    // these columns — a driver-side regeneration that drops or retypes
+    // one must fail HERE with a named column, not as a cryptic
+    // correctness-row error (the r13 events-drift lesson, applied to
+    // the other two load-bearing tables)
+    val docs = Tables.documents(spark, dir).schema
+      .map(f => f.name -> f.dataType.typeName).toMap
+    assert(docs.get("doc_id").contains("long") &&
+      docs.get("text").contains("string") &&
+      docs.get("lang").contains("string") &&
+      docs.get("source").contains("string") &&
+      docs.get("n_chars").contains("long"), s"documents schema drifted: $docs")
+    val emb = Tables.embeddings(spark, dir).schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    assert(emb.get("vec_id").contains("bigint") &&
+      emb.get("embedding").exists(_.startsWith("array<float")) &&
+      emb.contains("label"), s"embeddings schema drifted: $emb")
+  }
+
   test("canonicalTs is a no-op on an already-canonical frame") {
     val canon = EventOps.events(spark, dir)
     assert(EventOps.canonicalTs(canon).schema("ts").dataType == TimestampType)
