@@ -1122,6 +1122,89 @@ object Corpus {
        |  FROM scored) z
        |WHERE rn <= $SourceCap ORDER BY source, rank""".stripMargin
 
+  /** Vocabulary bound of the pairwise source-divergence statistic —
+    * the BPE-trainer frequency-truncation discipline: distributions
+    * compare over the global top-[[JsdVocab]] tokens, so the grid and
+    * every per-pair fold stay bounded at any corpus size (tail tokens
+    * carry negligible probability mass by construction of the cut).
+    */
+  val JsdVocab = 4096
+
+  /** Pairwise SOURCE DIVERGENCE — Jensen-Shannon divergence between
+    * every pair of per-source unigram distributions, the
+    * mixture-design statistic (how different are my slices?) read
+    * before weighting sources (nearly-identical sources are mixture
+    * redundancy; an outlier source is the one to inspect — the
+    * domain-distance signal of the data-mixing literature, e.g. DSIR's
+    * importance weights are the per-document face of the same
+    * comparison). JSD(p, q) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)) ∈
+    * [0, ln 2], symmetric, finite even on disjoint supports. Scale
+    * shape: ONE corpus token scan collapses to the (source, token)
+    * frame; the top-[[JsdVocab]] vocabulary, the dense grid
+    * (|vocab|·|sources| rows) and the sources²-bounded pair join never
+    * touch the corpus again; each pair's sum is a token-ORDERED
+    * FloatFold (≤ vocab terms) with both KL halves guarded so an
+    * absent token contributes exactly its closed-form limit (0).
+    * ORACLE=sql.
+    */
+  def sourceJsd(s: SparkSession, dir: String): DataFrame =
+    sourceJsdOf(Tables.documents(s, dir))
+
+  private[graft] def sourceJsdOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.FloatFold.orderedSum
+    val tf = docs
+      .select($"source", explode(TF.tokens($"text")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("cnt"))
+    val vocab = tf.groupBy($"token").agg(sum($"cnt").as("g"))
+      .orderBy($"g".desc, $"token".asc).limit(JsdVocab)
+      .select($"token")
+    val tft = tf.join(broadcast(vocab), "token")
+    val tot = tft.groupBy($"source").agg(sum($"cnt").as("tot"))
+    val grid = vocab.crossJoin(broadcast(tot))
+      .join(tft, Seq("source", "token"), "left")
+      .select($"source", $"token",
+        (coalesce($"cnt", lit(0L)).cast("double") / $"tot".cast("double"))
+          .as("p"))
+    val contrib =
+      when($"a.p" > 0,
+        $"a.p" * log(lit(2.0) * $"a.p" / ($"a.p" + $"b.p"))).otherwise(lit(0.0)) +
+      when($"b.p" > 0,
+        $"b.p" * log(lit(2.0) * $"b.p" / ($"a.p" + $"b.p"))).otherwise(lit(0.0))
+    grid.as("a").join(grid.as("b"),
+        $"a.token" === $"b.token" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(round(lit(0.5) * orderedSum($"a.token", contrib), 6).as("jsd"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val sourceJsdSql: String = {
+    val contrib =
+      """(CASE WHEN a.p > 0 THEN a.p * ln(2 * a.p / (a.p + b.p)) ELSE 0.0 END) +
+        |     (CASE WHEN b.p > 0 THEN b.p * ln(2 * b.p / (a.p + b.p)) ELSE 0.0 END)""".stripMargin
+    s"""WITH tf AS (
+       |  SELECT source, token, count(*) AS cnt FROM (
+       |    SELECT source, ${TF.tokensSqlSelect("text")} AS token FROM documents) t
+       |  WHERE token <> '' GROUP BY source, token),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, sum(cnt) AS g FROM tf GROUP BY token
+       |    ORDER BY g DESC, token LIMIT $JsdVocab) z),
+       |tft AS (SELECT tf.* FROM tf JOIN vocab USING (token)),
+       |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM tft GROUP BY source),
+       |grid AS (
+       |  SELECT t.source, v.token,
+       |    CAST(coalesce(x.cnt, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+       |  FROM vocab v CROSS JOIN tot t
+       |  LEFT JOIN tft x ON x.source = t.source AND x.token = v.token)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  round(0.5 * list_reduce(list_prepend(0.0, list(
+       |    $contrib
+       |    ORDER BY a.token)), (x, y) -> x + y), 6) AS jsd
+       |FROM grid a JOIN grid b ON a.token = b.token AND a.source < b.source
+       |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** Per-source discriminative terms via class-based TF-IDF (the
     * c-TF-IDF of Grootendorst 2022 / BERTopic's topic representation,
     * with source as the class): score(t, c) = tf_{t,c} · ln(1 + A/f_t)
@@ -1178,6 +1261,7 @@ object Corpus {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_ctfidf_source", ctfidfSource, Some(ctfidfSourceSql)),
+    GraftQuery("q_source_jsd", sourceJsd, Some(sourceJsdSql)),
     GraftQuery("q_bm25_search", bm25Search, Some(bm25SearchSql)),
     GraftQuery("q_source_caps", sourceCaps, Some(sourceCapsSql)),
     // the registered plan is the O(log n) star-contraction scale path;

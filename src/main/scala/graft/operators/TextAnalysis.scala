@@ -159,6 +159,62 @@ object TextAnalysis {
       |  len(text) AS n_chars_actual
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-document TOKEN ENTROPY — the Shannon-entropy curation signal
+    * next to the repetition ratio and the compression proxy (low
+    * entropy = templated/repetitive text, the same regime a deflate
+    * ratio flags but as a closed-form statistic with no codec):
+    * H = ln n − (Σ_t tf_t·ln tf_t)/n over the doc's token frequencies,
+    * plus the [0, 1]-normalized H/ln(n_distinct) (NULL for
+    * single-distinct-token docs — 0/0 under ANSI otherwise, the
+    * zipfFit guard). Float discipline: tf are exact integers and the
+    * Σ tf·ln tf fold runs token-ORDERED (FloatFold) so both engines
+    * accumulate identically; everything else is scalar IEEE off exact
+    * counts. One tf hash agg + a per-doc fold bounded by the doc's
+    * distinct-token count — no window, no join. ORACLE=sql.
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    tokenEntropyOf(Tables.documents(s, dir))
+
+  private[graft] def tokenEntropyOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.FloatFold.orderedSum
+    docs
+      .select($"doc_id", explode(TF.tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"tf").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        orderedSum($"token", $"tf" * log($"tf".cast("double"))).as("s"))
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        round(log($"n_tokens".cast("double")) - $"s" / $"n_tokens", 6)
+          .as("entropy"),
+        round(when($"n_distinct" > 1,
+          (log($"n_tokens".cast("double")) - $"s" / $"n_tokens") /
+            log($"n_distinct".cast("double"))), 6).as("norm_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenEntropySql: String = {
+    val fold = graft.functions.FloatFold
+      .orderedSumSql("tf * ln(CAST(tf AS DOUBLE))", "token")
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, ${TF.tokensSqlSelect("text")} AS token FROM documents) t
+       |  WHERE token <> '' GROUP BY doc_id, token),
+       |d AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    $fold AS s
+       |  FROM tf GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  round(ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS entropy,
+       |  round(CASE WHEN n_distinct > 1
+       |    THEN (ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens)
+       |      / ln(CAST(n_distinct AS DOUBLE)) END, 6) AS norm_entropy
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   /** Rolling-hash document fingerprint over the 2³¹-ish prime field:
     * fp = Σ_i (h60(tok_i) mod p)·w_i mod p, with position weights
     * w_i = i·2654435761 mod p — an order-sensitive content signature.
@@ -1587,6 +1643,7 @@ object TextAnalysis {
     GraftQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
     GraftQuery("q_token_stats", tokenStats, Some(tokenStatsSql)),
     GraftQuery("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    GraftQuery("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     GraftQuery("q_winnow_fingerprint", winnowFingerprint, Some(winnowFingerprintSql)),
     GraftQuery("q_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     GraftQuery("q_pii_redact", piiRedact, Some(piiRedactSql)),

@@ -214,6 +214,50 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slope < 0.0 && r2 >= 0.0 && r2 <= 1.0)
   }
 
+  test("token entropy matches closed forms on constant, uniform and mixed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),        // constant: H = 0, norm undefined (1 distinct)
+      (2L, "a b c d"),        // uniform over 4: H = ln 4, norm = 1
+      (3L, "a a b"))          // H = ln 3 − (2 ln 2)/3
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropyOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L)._3 == 0.0 && got(1L)._4.isEmpty)
+    assert(math.abs(got(2L)._3 - math.log(4)) < 1e-6)
+    assert(got(2L)._4.exists(v => math.abs(v - 1.0) < 1e-6))
+    assert(math.abs(got(3L)._3 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-6)
+    // and on the real corpus: 0 <= H <= ln(n_distinct) everywhere
+    // 1e-6 slack: the registered value is rounded to 6 dp, which can
+    // sit half an ulp-of-6dp above the exact ln(n_distinct) bound
+    TextAnalysis.tokenEntropy(spark, dir).collect().foreach { r =>
+      val h = r.getDouble(3); val nd = r.getLong(2)
+      assert(h >= -1e-6 && h <= math.log(nd.toDouble) + 1e-6, r.toString)
+    }
+  }
+
+  test("source JSD: zero for identical slices, ln 2 for disjoint, bounded on the corpus") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val planted = Seq(
+      (1L, "s1", "x y z"), (2L, "s1", "x y"),
+      (3L, "s2", "x y z"), (4L, "s2", "x y"),   // s2 ≡ s1 → JSD 0
+      (5L, "s3", "q q q"))                      // disjoint from s1 → JSD ln 2
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.sourceJsdOf(planted).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got(("s1", "s2"))) < 1e-9)
+    assert(math.abs(got(("s1", "s3")) - math.log(2)) < 1e-6)
+    assert(got(("s2", "s3")) == got(("s1", "s3")), "JSD must respect slice identity")
+    val real = SparkEntry.queries("q_source_jsd")(spark, dir).collect()
+    assert(real.length == 190) // C(20, 2) source pairs
+    real.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= -1e-9 && v <= math.log(2) + 1e-9, r.toString)
+    }
+  }
+
   test("doc knn reproduces a brute-force CAPPED tfidf cosine ranking") {
     import spark.implicits._
     val got = Features.docKnn(spark, dir)
