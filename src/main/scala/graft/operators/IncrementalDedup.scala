@@ -77,8 +77,26 @@ object IncrementalDedup {
         .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
         .mode("overwrite").saveAsTable(tmp)
     } finally s.conf.set(scanConf, prev)
-    s.sql(s"DROP TABLE $table")
-    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    swapInStagedTable(s, table, tmp)
+  }
+
+  /** Crash-safe staged-table swap shared by every store-maintenance
+    * loop (compaction here, the streaming HLL sketch store): the old
+    * table renames ASIDE first, then staging renames IN, then the old
+    * copy drops — so a crash at ANY point leaves a complete table under
+    * a predictable name. Recovery contract: if `table` is missing on
+    * restart, rename `table__old` back (the crash hit the
+    * aside→in window); a leftover `table__old` next to a live `table`
+    * just re-drops. The previous DROP→RENAME order had a window where
+    * a crash left NO table at the canonical name and readers failed
+    * with table-not-found.
+    */
+  def swapInStagedTable(s: SparkSession, table: String, staging: String): Unit = {
+    val old = table + "__old"
+    s.sql(s"DROP TABLE IF EXISTS $old")
+    s.sql(s"ALTER TABLE $table RENAME TO $old")
+    s.sql(s"ALTER TABLE $staging RENAME TO $table")
+    s.sql(s"DROP TABLE $old")
   }
 
   /** Candidate near-dup matches of a DELTA batch against the store:

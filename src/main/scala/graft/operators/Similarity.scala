@@ -1154,7 +1154,16 @@ object Similarity {
     * java.math.BigDecimal.valueOf (the canonical Double.toString path)
     * + HALF_UP, the same function the SQL expression compiles to, so a
     * driver/executor-side Scala loop computes bit-identical values to
-    * the declarative round() and to DuckDB's round.
+    * the declarative round(). DuckDB's round agrees on every value
+    * observed in the gate, with one KNOWN midpoint caveat: DuckDB
+    * rounds the BINARY double half-away-from-zero, while this decimal-
+    * string path rounds the shortest DECIMAL rendering — on a double
+    * whose decimal rendering is an exact 6-dp midpoint the two can
+    * differ by one ulp of the 6th place. The L2² sums feeding argmin
+    * assignment would hit this only if a distance lands exactly on
+    * such a midpoint AND the two candidate centroids are that close;
+    * the hash gate would surface it as a one-row assignment diff, and
+    * the fix would be comparing scaled-integer distances instead.
     */
   private def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x)

@@ -103,9 +103,14 @@ case class TopKPerKeyExec(
           .iterator
 
       def spill(): Unit = {
-        // a production build would route this through the block
-        // manager's DiskBlockManager; the format is the same either way
-        val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+        // spill through the DiskBlockManager so runs land on Spark's
+        // configured local dirs (spill-space placement, cleanup
+        // sweeps); outside a live SparkEnv (bare unit contexts) fall
+        // back to java.io.tmpdir — the run format is identical
+        val f = Option(org.apache.spark.SparkEnv.get) match {
+          case Some(env) => env.blockManager.diskBlockManager.createTempLocalBlock()._2
+          case None => java.io.File.createTempFile("graft-topk-spill", ".bin")
+        }
         val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(f)))
         try sortedGroups().foreach { case (kb, rows) =>
@@ -167,12 +172,21 @@ object TopKPerKey {
   val SpillBytesKey = "spark.graft.topk.spill.bytes"
 
   /** Read one spilled run back as its (keyBytes, rows) groups, in the
-    * key-byte order the run was written in.
+    * key-byte order the run was written in. The stream closes on EOF
+    * AND via a task-completion listener — a merge iterator abandoned
+    * early (e.g. under a LIMIT) would otherwise hold the file handle
+    * until executor GC; listeners run LIFO, so these closes land
+    * before the partition's spill-file delete registered at task
+    * start.
     */
   private[plans] def readRun(f: java.io.File, numFields: Int): Iterator[(Array[Byte], Array[UnsafeRow])] =
     new Iterator[(Array[Byte], Array[UnsafeRow])] {
       private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
         new java.io.FileInputStream(f)))
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: java.io.IOException => () }
+        })
       private var nextGroup: (Array[Byte], Array[UnsafeRow]) = advance()
       private def advance(): (Array[Byte], Array[UnsafeRow]) = {
         val klen = try in.readInt() catch {

@@ -17,12 +17,19 @@ object EhrCsv {
     StructField("text", StringType)))
 
   /** Read the reference's EHR CSV shape. An explicit schema keeps the
-    * read single-pass (no sampling job) and parallel per file-split.
+    * read single-pass (no sampling job); multiLine handles document
+    * text with embedded newlines — [[writeEhr]] quotes them, and
+    * without the option the line-oriented reader would mis-parse the
+    * quoted record into malformed rows (silent NULLs under PERMISSIVE).
+    * The cost is per-FILE instead of per-line-split parallelism, the
+    * standard trade for quoted-newline CSV; at scale the ingest lands
+    * in many files, so parallelism comes from file count.
     */
   def readEhr(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("sep", ";")
       .option("header", "true")
+      .option("multiLine", "true")
       .schema(ehrSchema)
       .csv(path)
 

@@ -256,12 +256,14 @@ object EventsStream {
     * foreachBatch sink-hook like the cluster-maintenance loop: the
     * merge is a read-modify-write of the store table reusing the batch
     * algebra. The merged frame lands in a STAGING table that swaps in
-    * via a metastore rename (the [[graft.operators.IncrementalDedup
-    * .compactStore]] shadow-table discipline) — an in-place Overwrite
-    * of the table being read would truncate the store first and a crash
-    * mid-write would lose the entire sketch history the store is
-    * documented to keep forever; with the swap, a crash before the
-    * rename leaves yesterday's table intact, and staging to a different
+    * via [[graft.operators.IncrementalDedup.swapInStagedTable]]
+    * (rename-old-aside → rename-staging-in → drop-old) — an in-place
+    * Overwrite of the table being read would truncate the store first
+    * and a crash mid-write would lose the entire sketch history the
+    * store is documented to keep forever; with the ordered swap, a
+    * crash at any point leaves a complete table under a predictable
+    * name (the canonical one, or `__old` during the rename window —
+    * see the helper's recovery contract), and staging to a different
     * table also removes the need for a lineage cut through non-reliable
     * executor-local checkpoint storage. Store stays one row per day
     * (KBs) forever; any trailing-window cardinality then reads through
@@ -283,8 +285,7 @@ object EventsStream {
         val tmp = sketchTable + "__staging"
         merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .format("parquet").saveAsTable(tmp)
-        s.sql(s"DROP TABLE $sketchTable")
-        s.sql(s"ALTER TABLE $tmp RENAME TO $sketchTable")
+        graft.operators.IncrementalDedup.swapInStagedTable(s, sketchTable, tmp)
         s.catalog.refreshTable(sketchTable)
         ()
       }
