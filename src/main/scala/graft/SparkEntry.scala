@@ -13,7 +13,8 @@ object SparkEntry {
       TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries ++
       TypoCorrection.queries ++ Extras.queries ++ Temporal.queries ++ Curation.queries ++
       Corpus.queries ++ Bpe.queries ++ Ulm.queries ++ SkewJoin.queries ++
-      IncrementalDedup.queries ++ graft.sources.SourceQueries.queries ++
+      IncrementalDedup.queries ++ graft.streaming.StreamQueries.queries ++
+      graft.sources.SourceQueries.queries ++
       graft.ml.Classifiers.queries ++ graft.ml.CrossVal.queries ++
       graft.ml.MeanRoc.queries ++ graft.ml.ModelEval.queries ++
       graft.ml.NamedFeatures.queries ++ graft.ml.GridSearch.queries

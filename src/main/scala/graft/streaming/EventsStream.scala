@@ -19,9 +19,47 @@ object EventsStream {
       event_type: String, value: Double)
 
   case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
-      n_events: Long, sum_value: Double)
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
-  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  /** Keyed session state. The value total accumulates in exact integer
+    * MICRO-UNITS (the long of the decimal(28,6) the batch operator
+    * sums), not a running double — float accumulation in arrival order
+    * would drift a last ulp from the batch plan's order-independent
+    * decimal sum and the stream could never be proven value-equal to
+    * its batch oracle.
+    */
+  case class SessionState(start: Long, lastTs: Long, n: Long, totalMicros: Long)
+
+  /** Double → exact decimal(28,6) micro-units, Spark's own Cast path:
+    * BigDecimal.valueOf (the canonical Double.toString rendering) then
+    * HALF_UP at scale 6 — per-value identical to the batch plan's
+    * `value.cast(decimal(28,6))`.
+    */
+  private[streaming] def micros(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Micro-units → double, Spark's Decimal.toDouble (correctly-rounded
+    * BigDecimal→double) — identical to the batch `sum(...).cast(double)`.
+    */
+  private[streaming] def microsToDouble(m: Long): Double =
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(m), 6).doubleValue()
+
+  /** Timestamp → epoch MICROSECONDS (Spark's fromJavaTimestamp
+    * algebra). `getTime` alone is millisecond-truncated — session
+    * bounds computed from it would drop the sub-millisecond digits the
+    * batch plan keeps and diverge from the oracle.
+    */
+  private[streaming] def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Epoch microseconds → Timestamp, exact inverse of [[tsMicros]]. */
+  private[streaming] def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Tumbling 1-hour windowed counts/sums per event type with a 2-hour
     * watermark — the streaming form of EventOps.streamWindowAgg. Partial
@@ -329,40 +367,49 @@ object EventsStream {
   def sessionize(events: Dataset[Event],
       watermarkDelay: String = "2 hours"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
-    val gapMs = 30L * 60 * 1000
+    // state runs in epoch MICROSECONDS (the events table's resolution;
+    // getTime-millis would truncate session bounds — see tsMicros)
+    val gapUs = 30L * 60 * 1000 * 1000
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def emit(st: SessionState): SessionAgg =
+            SessionAgg(userId, microsTs(st.start), microsTs(st.lastTs),
+              st.n, microsToDouble(st.totalMicros))
           if (state.hasTimedOut) {
             // watermark passed the gap after the last event: flush + clear
             val st = state.get
             state.remove()
-            Iterator.single(
-              SessionAgg(userId, new java.sql.Timestamp(st.start), st.n, st.total))
+            Iterator.single(emit(st))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
             var st = state.getOption.orNull
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               if (st == null) {
-                st = SessionState(t, t, 1L, e.value)
-              } else if (t - st.lastTs > gapMs) {
-                out += SessionAgg(userId, new java.sql.Timestamp(st.start), st.n, st.total)
-                st = SessionState(t, t, 1L, e.value)
+                st = SessionState(t, t, 1L, micros(e.value))
+              } else if (t - st.lastTs > gapUs) {
+                out += emit(st)
+                st = SessionState(t, t, 1L, micros(e.value))
               } else {
-                st = st.copy(lastTs = t, n = st.n + 1, total = st.total + e.value)
+                st = st.copy(lastTs = t, n = st.n + 1,
+                  totalMicros = st.totalMicros + micros(e.value))
               }
             }
             if (st != null) {
               state.update(st)
-              // fire once event time passes the inactivity gap (the
-              // timeout must sit strictly beyond the current watermark)
-              state.setTimeoutTimestamp(
-                math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+              // fire once event time passes the inactivity gap: the
+              // timeout API is millisecond-domain, so CEIL the micro
+              // deadline (floor could fire a sub-millisecond early and
+              // split a session an in-gap straggler would extend) and
+              // sit strictly beyond the current watermark
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(st.lastTs + gapUs + 999L, 1000L),
+                state.getCurrentWatermarkMs() + 1))
             } else state.remove()
             out.iterator
           }

@@ -1,0 +1,257 @@
+package graft.streaming
+
+import graft.{GraftQuery, Tables}
+import graft.operators.{Corpus, EventOps}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** REGISTERED streaming queries (SURVEY §2.H promoted into the oracle
+  * gate): each drives the REAL Structured Streaming operator from
+  * [[EventsStream]] through an in-process `MemoryStream` feed split
+  * into time-ordered micro-batches, then returns the sink table for
+  * the driver's DuckDB compare — the oracle is the BATCH plan's SQL,
+  * so the gate hash-checks the stream/batch equivalence the
+  * StreamingSpec proves (the IncrementalDedup promotion convention:
+  * q_incremental_* :: batch LSH SQL as q_stream_* :: batch event SQL).
+  *
+  * The MemoryStream + collect feed is the HARNESS, not the operator:
+  * it stands in for `readStream.format("kafka"|"parquet")`, which has
+  * the identical downstream topology (watermark → stateful operator →
+  * sink). Everything the driver grades — watermark semantics, keyed
+  * state, exact micro-unit arithmetic, first-arrival dedup — executes
+  * in the streaming engine itself.
+  */
+object StreamQueries {
+
+  import EventsStream.Event
+
+  /** Run one streaming plan to completion over pre-chunked arrivals:
+    * fresh MemoryStream, one micro-batch per chunk (each addData call
+    * is one source block, so a chunk arrives as ONE ordered input
+    * partition — what makes first-arrival stateful dedup deterministic
+    * in the feed order), memory sink, stop, return the sink table.
+    */
+  private def runStream[A: Encoder](s: SparkSession, chunks: Seq[Seq[A]],
+      build: Dataset[A] => DataFrame, sink: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[A]
+    val q = build(mem.toDS()).writeStream.format("memory")
+      .queryName(sink).outputMode(OutputMode.Append).start()
+    try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    s.table(sink)
+  }
+
+  /** The events table as time-ordered arrival batches: three chunks cut
+    * at ts boundaries (equal-ts rows never split across chunks — the
+    * within-batch (ts, event_id) processing order must cover each
+    * timestamp completely), so no event ever arrives behind the
+    * watermark and the stream sees the same total order the batch
+    * window sort uses.
+    */
+  private def eventChunks(s: SparkSession, dir: String): Seq[Seq[Event]] = {
+    import s.implicits._
+    val evs = EventOps.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(e => (EventsStream.tsMicros(e.ts), e.event_id))
+    val times = evs.map(e => EventsStream.tsMicros(e.ts))
+    val cut1 = times(times.length / 3)
+    val cut2 = times(2 * times.length / 3)
+    def us(e: Event) = EventsStream.tsMicros(e.ts)
+    Seq(evs.filter(us(_) < cut1).toSeq,
+      evs.filter(e => us(e) >= cut1 && us(e) < cut2).toSeq,
+      evs.filter(us(_) >= cut2).toSeq).filter(_.nonEmpty)
+  }
+
+  /** Two far-future sentinel batches (user_id −1, filtered from every
+    * result): batch n's data sets the watermark batch n+1 runs under,
+    * so two pushes move the watermark past every real event's
+    * gap/window and flush all remaining state — the in-process stand-in
+    * for a live stream's later traffic.
+    */
+  private def sentinels(chunks: Seq[Seq[Event]]): Seq[Seq[Event]] = {
+    val maxTs = chunks.last.last.ts.getTime
+    Seq(
+      Seq(Event(-1L, new java.sql.Timestamp(maxTs + 86400000L), -1L, "__wm__", 0.0)),
+      Seq(Event(-2L, new java.sql.Timestamp(maxTs + 90000000L), -1L, "__wm__", 0.0)))
+  }
+
+  /** q_stream_sessionize — the real `flatMapGroupsWithState` gap
+    * sessionization ([[EventsStream.sessionize]]: keyed SessionState,
+    * event-time timeout flush, exact micro-unit value sums) driven over
+    * the events table in three arrival batches. Sessions are re-keyed
+    * after the sink by per-user start-time order (`row_number`), which
+    * is exactly the batch plan's running-sum session numbering — so the
+    * ORACLE IS the batch q_events_sessionize SQL, and the gate
+    * hash-checks that the streamed state machine lands on the batch
+    * fixpoint row for row (ids, bounds, counts, and decimal-exact value
+    * sums).
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = eventChunks(s, dir)
+    val sink = runStream[Event](s, chunks ++ sentinels(chunks),
+      ds => EventsStream.sessionize(ds).toDF(), "graft_stream_sessionize")
+    val w = Window.partitionBy($"user_id").orderBy($"session_start")
+    sink.where($"user_id" >= 0)
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select($"user_id", $"session_id", $"n_events",
+        $"session_start".as("start_ts"), $"session_end".as("end_ts"),
+        $"sum_value")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** q_stream_window_live — the real watermarked tumbling-window
+    * aggregation ([[EventsStream.windowedAgg]]) over the same arrival
+    * batches; the sentinels push the watermark past every real window's
+    * close so Append mode emits the complete finalized set. Oracle =
+    * the batch q_stream_window_agg SQL: the streamed per-window
+    * decimal-exact sums must equal the batch group-by's exactly.
+    */
+  def streamWindowLive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = eventChunks(s, dir)
+    val sink = runStream[Event](s, chunks ++ sentinels(chunks),
+      ds => EventsStream.windowedAgg(ds.toDF()), "graft_stream_window_live")
+    sink.where($"event_type" =!= "__wm__")
+      .orderBy($"event_type", $"window_start")
+  }
+
+  /** q_stream_curate — the live ingest-curation pipeline
+    * ([[EventsStream.curateStream]]: PII mask → stateless quality gate
+    * → watermarked first-arrival fingerprint dedup) over the documents
+    * table arriving in doc_id order across two micro-batches. The feed
+    * order makes the stateful dedup's survivor the MIN doc_id of each
+    * fingerprint class (each chunk is one ordered input partition and
+    * the state store keeps first arrivals), which is exactly what the
+    * declarative oracle selects — so the masked text, the 6-dp quality
+    * score, the gate decision, AND the survivor choice are all
+    * hash-checked against batch SQL.
+    */
+  def streamCurate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    // synthetic monotone arrival times (doc_id seconds from a fixed
+    // epoch): the documents table has no event time, and the dedup
+    // state horizon only needs SOME watermark to bound it
+    val rows = docs.map { case (id, text) =>
+      (id, new java.sql.Timestamp(1700000000000L + id * 1000L), text)
+    }
+    val half = rows.length / 2
+    val sink = runStream[(Long, java.sql.Timestamp, String)](
+      s, Seq(rows.take(half).toSeq, rows.drop(half).toSeq),
+      ds => EventsStream.curateStream(ds.toDF("doc_id", "ts", "text")),
+      "graft_stream_curate")
+    sink.select($"doc_id", $"text", $"quality").orderBy($"doc_id")
+  }
+
+  /** Oracle twin of [[streamCurate]]: the same mask → quality → keep
+    * min-doc_id-per-fingerprint pipeline as batch SQL (PII stage chain
+    * from TextAnalysis.piiPatterns, quality composite from
+    * TextAnalysis.qualitySqlExpr, fingerprint = md5 of the sorted
+    * distinct token bag — all the already-hash-checked twins composed).
+    */
+  val streamCurateSql: String = {
+    import graft.operators.TextAnalysis
+    import graft.functions.{TextFunctions => TF}
+    val masked = TextAnalysis.piiPatterns.foldLeft("text") {
+      case (e, (_, pat, rep)) => s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
+    val lst = TF.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH masked AS (
+       |  SELECT doc_id, $masked AS text FROM documents),
+       |tk AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM masked),
+       |q AS (
+       |  SELECT doc_id, text,
+       |    ${TextAnalysis.qualitySqlExpr(
+             "len(toks)",
+             s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / len(toks)",
+             "CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE) / len(text)")} AS quality,
+       |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag
+       |  FROM tk),
+       |gated AS (SELECT * FROM q WHERE quality >= 0.35),
+       |kept AS (
+       |  SELECT doc_id, text, quality,
+       |    row_number() OVER (PARTITION BY bag ORDER BY doc_id) AS rn
+       |  FROM gated)
+       |SELECT doc_id, text, quality FROM kept WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_stream_sketch_store — the continuous HLL sketch-store loop
+    * ([[EventsStream.sketchStoreStream]]: per-micro-batch day sketches
+    * union-merged into the persisted store through the crash-safe
+    * staged-table swap) driven over the events table split into two
+    * micro-batches, with the split boundary inside a day so the store
+    * MUST merge partial day sketches. The result row per day carries
+    * the exact trailing-7-day recount (plain SQL — the oracle) plus
+    * two gated booleans computed from the live store: the streamed
+    * estimate inside the 5% envelope (integer-exact predicate
+    * 20·|est − exact| ≤ exact), and the split-day merge identity —
+    * streamed store estimate == single-shot batch sketch estimate
+    * (identical HLL registers ⇒ identical estimate; max-merge
+    * mergeability is the property the store exists for). A false
+    * anywhere breaks the hash, so the daily-loop merge discipline is
+    * now oracle-checked, not just spec'd.
+    */
+  def streamSketchStore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val tbl = "graft_stream_hll_store"
+    Seq(tbl, tbl + "__staging", tbl + "__old")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq.empty[(java.sql.Date, Array[Byte])].toDF("day", "sk")
+      .write.format("parquet").saveAsTable(tbl)
+    val evs = EventOps.events(s, dir)
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+      .collect().sortBy(_._2.getTime)
+    val half = evs.length / 2
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventsStream.sketchStoreStream(s, mem.toDF().toDF("user_id", "ts"), tbl)
+    try {
+      mem.addData(evs.take(half).toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(evs.drop(half).toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Corpus.rollingEstFromSketches(s.table(tbl))
+      .select($"day", $"est_users".as("streamed_est"))
+    val du = EventOps.events(s, dir)
+      .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+    val single = Corpus.rollingEstFromSketches(
+        du.groupBy($"day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk")))
+      .select($"day", $"est_users".as("single_est"))
+    Corpus.distinctRollingExact(s, dir)
+      .join(streamed, "day").join(single, "day")
+      .select($"day", $"exact_users",
+        (abs($"streamed_est" - $"exact_users") * 20 <= $"exact_users")
+          .as("est_within_5pct"),
+        ($"streamed_est" === $"single_est").as("merge_exact"))
+      .orderBy($"day")
+  }
+
+  /** Oracle twin of [[streamSketchStore]]: the exact trailing-window
+    * recount (q_distinct_rolling_exact's SQL) with the two gate booleans
+    * pinned TRUE — a sketch outside the envelope or a merge divergence
+    * flips a boolean and breaks the hash.
+    */
+  val streamSketchStoreSql: String =
+    s"""SELECT day, exact_users, TRUE AS est_within_5pct, TRUE AS merge_exact
+       |FROM (${Corpus.distinctRollingExactSql}) t
+       |ORDER BY day""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_stream_sessionize", streamSessionize,
+      Some(EventOps.sessionizeSql)),
+    GraftQuery("q_stream_window_live", streamWindowLive,
+      Some(EventOps.streamWindowAggSql)),
+    GraftQuery("q_stream_curate", streamCurate, Some(streamCurateSql)),
+    GraftQuery("q_stream_sketch_store", streamSketchStore,
+      Some(streamSketchStoreSql)))
+}

@@ -333,6 +333,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set((1L, 10L)))
   }
 
+  test("registered stream queries land on their batch twins row-for-row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // q_stream_sessionize ≡ batch q_events_sessionize (the oracle pair)
+    val streamedSess = graft.streaming.StreamQueries.streamSessionize(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batchSess = graft.operators.EventOps.sessionize(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamedSess.nonEmpty && streamedSess == batchSess)
+    // q_stream_window_live ≡ batch q_stream_window_agg
+    val streamedWin = graft.streaming.StreamQueries.streamWindowLive(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batchWin = graft.operators.EventOps.streamWindowAgg(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamedWin.nonEmpty && streamedWin == batchWin)
+    // q_stream_sketch_store: every envelope and merge-identity gate holds
+    val gates = graft.streaming.StreamQueries.streamSketchStore(spark, dir)
+      .select($"est_within_5pct", $"merge_exact").as[(Boolean, Boolean)]
+      .collect()
+    assert(gates.nonEmpty && gates.forall(g => g._1 && g._2))
+  }
+
   test("streaming sessionize emits closed sessions with gap semantics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
