@@ -148,6 +148,39 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** The REGISTERED q_percentiles_by_source — the scale swap-in AS the
+    * plan: per-source document-length quantiles via `percentile_approx`
+    * (Greenwald-Khanna, bounded per-group sketch — O(groups × sketch)
+    * memory at any corpus size, where the exact `percentile` would
+    * buffer every group's values). Hash-checked, not rows-only: at
+    * accuracy 10000 ≫ group size the GK summary retains every sample
+    * and its rank rule returns exactly the discrete quantile — the
+    * smallest element with rank ≥ ⌈p·n⌉ — which is DuckDB's
+    * `quantile_disc` (verified across sizes, duplicates, and all four
+    * percentiles). So the 100 TB plan shape is what the gate checks; at
+    * corpus scale only the accuracy/exactness trade moves, never the
+    * plan.
+    */
+  def percentilesBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(
+        expr("percentile_approx(n_chars, 0.25, 10000)").as("chars_p25"),
+        expr("percentile_approx(n_chars, 0.5, 10000)").as("chars_p50"),
+        expr("percentile_approx(n_chars, 0.75, 10000)").as("chars_p75"),
+        expr("percentile_approx(n_chars, 0.95, 10000)").as("chars_p95"))
+      .orderBy($"source")
+  }
+
+  val percentilesBySourceSql: String =
+    """SELECT source,
+      |  quantile_disc(n_chars, 0.25) AS chars_p25,
+      |  quantile_disc(n_chars, 0.5) AS chars_p50,
+      |  quantile_disc(n_chars, 0.75) AS chars_p75,
+      |  quantile_disc(n_chars, 0.95) AS chars_p95
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Region → nation revenue rollup with subtotals (GROUPING SETS):
     * one pass producing all aggregation levels.
     */
@@ -226,5 +259,7 @@ object Relational {
     GraftQuery("q_window_topk_heap", windowTopKHeap, Some(windowTopKSql)),
     GraftQuery("q_percentiles", percentiles, Some(percentilesSql)),
     GraftQuery("q_percentiles_approx", percentilesApprox, None),
+    GraftQuery("q_percentiles_by_source", percentilesBySource,
+      Some(percentilesBySourceSql)),
     GraftQuery("q_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)))
 }

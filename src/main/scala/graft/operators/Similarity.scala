@@ -78,6 +78,13 @@ object Similarity {
     * corpus-sized broadcast, no BroadcastNestedLoopJoin (PlanGuardSpec
     * asserts). Same result set as [[cosineDedup]]; the approximate scale
     * paths for high-similarity regimes are the registered q_ann_* family.
+    *
+    * SCALE POSTURE: this is the SMALL-SF EXACT TWIN. The compare count
+    * is inherently O(n²) at exact low-τ semantics, so at corpus scale a
+    * pipeline runs the registered q_embed_cosine_dedup_lsh route
+    * ([[cosineDedupLshTop]] / [[cosineDedupRouted]]) instead; the
+    * router refuses this sweep above sub-corpus scale without an
+    * explicit opt-in.
     */
   def cosineDedupBlocked(s: SparkSession, dir: String): DataFrame =
     blockedPairs(s, vecs(s, dir), 0.4)
@@ -957,8 +964,10 @@ object Similarity {
     *    so the router REFUSES rather than silently going quadratic.
     *
     * The registered q_embed_cosine_dedup stays the τ=0.4 blocked sweep
-    * (the driver's embeddings have no high-cos pairs to route); this
-    * entry point is the library surface, spec'd on planted
+    * (the driver's embeddings have no high-cos pairs to route) as the
+    * small-SF exact twin; the LSH leg itself is hash-checked as the
+    * registered q_embed_cosine_dedup_lsh ([[cosineDedupLshTop]]), and
+    * this entry point is the library surface, spec'd on planted
     * near-duplicates (SimilaritySpec).
     */
   def cosineDedupRouted(s: SparkSession, dir: String, tau: Double,
@@ -1005,6 +1014,18 @@ object Similarity {
     */
   private[graft] def lshVerified(s: SparkSession, vin: DataFrame, tau: Double): DataFrame = {
     import s.implicits._
+    lshVerifiedCandidates(s, vin)
+      .where($"cos" >= tau)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** The LSH route's verified candidate frame — banded sign-LSH bucket
+    * collisions with their EXACT rounded cosines, before any τ filter;
+    * one source for [[lshVerified]] and the registered
+    * [[cosineDedupLshTop]].
+    */
+  private[graft] def lshVerifiedCandidates(s: SparkSession, vin: DataFrame): DataFrame = {
+    import s.implicits._
     val sig = vin.select($"vec_id", signSignature($"v").as("sig"))
     val bands = sig.select($"vec_id", explode(array((0 until 16).map { k =>
         struct(lit(k).as("band"),
@@ -1020,9 +1041,72 @@ object Similarity {
     cand.join(va, "id_a").join(vb, "id_b")
       .select($"id_a", $"id_b",
         round(dot($"va", $"vb") / ($"na" * $"nb"), 6).as("cos"))
-      .where($"cos" >= tau)
-      .orderBy($"id_a", $"id_b")
   }
+
+  /** The REGISTERED q_embed_cosine_dedup_lsh — the 100 TB cosine-dedup
+    * ROUTE itself ([[lshVerified]], the τ ≥ [[TauLshFloor]] leg of
+    * [[cosineDedupRouted]]) hash-checked end-to-end: the top-20
+    * verified candidate pairs by exact cosine, each carrying the τ
+    * gate's decision as a boolean. The driver's embeddings top out at
+    * cos ≈ 0.51, so the τ = 0.7 filter itself would return zero rows —
+    * the rank-limited shortlist keeps the oracle check NON-TRIVIAL
+    * (every stage — 64-plane signature, banding, bucket join, exact
+    * verify, ranking — must agree pair-for-pair) while `pass_tau`
+    * encodes exactly what the route would emit. With this in the gate,
+    * the registered q_embed_cosine_dedup (τ=0.4 blocked sweep) is the
+    * documented small-SF EXACT twin; this query is the plan that runs
+    * at corpus scale.
+    */
+  def cosineDedupLshTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lshVerifiedCandidates(s, vecs(s, dir))
+      .select($"id_a", $"id_b", $"cos",
+        ($"cos" >= TauLshFloor).as("pass_tau"))
+      .orderBy($"cos".desc, $"id_a", $"id_b")
+      .limit(20)
+  }
+
+  /** Oracle twin of [[cosineDedupLshTop]]: the 64 LCG hyperplanes
+    * re-derived in HUGEINT (the annLshSql arithmetic extended to 64
+    * planes), 4-bit band keys from the plane signs, bucket-join
+    * candidates, exact left-to-right-fold cosine verify, top-20 with
+    * the τ-gate boolean.
+    */
+  val cosineDedupLshSql: String =
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(0, 63), d ->
+       |      (CAST(((CAST(p * 64 + d AS HUGEINT) * 6364136223846793005
+       |          + 1442695040888963407) % 18446744073709551616) // 2048 AS DOUBLE)
+       |        / 9007199254740992.0) * 2.0 - 1.0) AS plane
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS p)),
+       |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_prepend(0.0,
+       |      [plane[i] * v[i] for i in generate_series(1, len(v))]),
+       |      (x, y) -> x + y) AS dot
+       |  FROM v, planes),
+       |bands AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END)
+       |      AS BIGINT) AS bits
+       |  FROM dots GROUP BY vec_id, p // 4),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bits = y.bits
+       |  WHERE x.vec_id < y.vec_id),
+       |vn AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
+       |      (x, y) -> x + y)) AS nrm
+       |  FROM v),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))],
+       |      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos
+       |  FROM cand c JOIN vn a ON c.id_a = a.vec_id JOIN vn b ON c.id_b = b.vec_id)
+       |SELECT id_a, id_b, cos, cos >= 0.7 AS pass_tau
+       |FROM scored ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
 
   /** The ANN recall scoreboard — measured recall@5 against the
     * brute-force truth: ONE persisted brute-force frame (50 rows) and
@@ -1699,6 +1783,7 @@ object Similarity {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_embed_cosine_dedup", cosineDedupBlocked, Some(cosineDedupSql)),
+    GraftQuery("q_embed_cosine_dedup_lsh", cosineDedupLshTop, Some(cosineDedupLshSql)),
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
     GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)),
     GraftQuery("q_ann_ivf", annIvf, Some(annIvfSql)),

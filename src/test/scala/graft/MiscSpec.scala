@@ -126,6 +126,25 @@ class MiscSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("per-source approx percentiles equal the driver-side discrete quantile exactly") {
+    import spark.implicits._
+    // independent recompute: sort each source's lengths, pick the
+    // smallest value with rank >= ceil(p*n) — the discrete-quantile
+    // rule the GK sketch reduces to at full retention
+    val vals = Tables.documents(spark, dir)
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    def disc(xs: Array[Long], p: Double): Long =
+      xs(math.max(0, math.ceil(p * xs.length).toInt - 1))
+    val got = graft.operators.Relational.percentilesBySource(spark, dir)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(got.keySet == vals.keySet && got.nonEmpty)
+    vals.foreach { case (src, xs) =>
+      val want = Seq(0.25, 0.5, 0.75, 0.95).map(disc(xs, _))
+      assert(got(src) == want, s"$src: ${got(src)} vs $want")
+    }
+  }
+
   test("perplexity buckets are ordered tertiles covering every doc") {
     import spark.implicits._
     val b = TextAnalysis.perplexityBuckets(spark, dir).cache()

@@ -183,6 +183,25 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(routed == exact && routed.nonEmpty)
   }
 
+  test("registered LSH shortlist: candidate cosines exact, ranking right, tau gate honest") {
+    val top = Similarity.cosineDedupLshTop(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(top.length == 20)
+    // descending-cos ranking with id tiebreaks
+    assert(top.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)))
+    })
+    // each pair's cosine equals the brute-force sweep's for that pair
+    // (the shortlist is a SUBSET of true pair cosines, never invented)
+    val brute = Similarity.cosineDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    top.filter(_._3 >= 0.4).foreach { case (a, b, c, _) =>
+      assert(brute((a, b)) == c, s"pair ($a,$b)")
+    }
+    // the tau gate matches the cosine it rides on
+    assert(top.forall(t => t._4 == (t._3 >= Similarity.TauLshFloor)))
+  }
+
   test("PQ ADC retrieves each planted twin's base as its top neighbor") {
     import spark.implicits._
     import org.apache.spark.sql.functions.transform
