@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scale-up for the scale-evidence bench: replicate
+  * every sf0.1 table `factor`× with structure-preserving perturbations,
+  * so per-replica statistics (dup classes, session shapes, source mix,
+  * cosine structure) match the base corpus and the IDEAL scaling of a
+  * linear operator is ~factor×.
+  *
+  *  - documents: ids offset per replica; replica r>0 prefixes every
+  *    token with a replica tag — WITHIN a replica the near-dup/shingle
+  *    structure is exactly the base corpus's (a uniform token map), and
+  *    ACROSS replicas no shingle collides, so dup pair counts scale
+  *    linearly instead of exploding quadratically in the replica count
+  *    (byte-identical replicas would fabricate ×factor² pair volume and
+  *    measure a data artifact, not the plan). Vocabulary grows ×factor
+  *    (pessimistic vs Heaps-law growth — fine for an upper-bound run).
+  *  - embeddings: ids offset; replica r's vectors circularly rotated by
+  *    7r dims — pairwise cosines are invariant under a common
+  *    permutation, so each replica's similarity structure is identical
+  *    to the base corpus's, while cross-replica cosines decorrelate.
+  *  - events: event/user ids offset, timestamps kept — factor× users
+  *    over the same days (organic-growth shape; per-user sessions
+  *    unchanged).
+  *  - TPC-H tables: all keys offset consistently (joins land within a
+  *    replica); region/nation stay the bounded dimensions they are.
+  */
+object ScaleData {
+
+  private val Off = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/root/repo/scaledata/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val reps = spark.range(factor).select($"id".cast("int").as("r"))
+    def scaled(table: String)(tf: DataFrame => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val parts = math.max(4, math.min(32, (base.count() * factor / 50000).toInt))
+      tf(base.crossJoin(broadcast(reps)))
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scaledata] $table x$factor -> $out")
+    }
+
+    scaled("documents") { df =>
+      df.withColumn("text", when($"r" === 0, $"text").otherwise(
+          concat_ws(" ", transform(
+            filter(split($"text", "\\s+"), t => t =!= ""),
+            t => concat(lit("r"), $"r", lit("q"), t)))))
+        .select(($"doc_id" + $"r" * Off).as("doc_id"), $"text", $"lang",
+          $"source", length($"text").cast("long").as("n_chars"))
+    }
+    scaled("embeddings") { df =>
+      val k = pmod($"r" * 7, lit(64))
+      df.select(($"vec_id" + $"r" * Off).as("vec_id"),
+        concat(slice($"embedding", k + 1, lit(64) - k),
+          slice($"embedding", lit(1), k)).as("embedding"),
+        $"label")
+    }
+    scaled("events") { df =>
+      df.select(($"event_id" + $"r" * Off).as("event_id"), $"ts",
+        ($"user_id" + $"r" * Off).as("user_id"), $"event_type", $"value",
+        $"props")
+    }
+    scaled("lineitem") { df =>
+      df.select(($"l_orderkey" + $"r" * Off).as("l_orderkey"),
+        ($"l_partkey" + $"r" * Off).as("l_partkey"),
+        ($"l_suppkey" + $"r" * Off).as("l_suppkey"),
+        $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount",
+        $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate")
+    }
+    scaled("orders") { df =>
+      df.select(($"o_orderkey" + $"r" * Off).as("o_orderkey"),
+        ($"o_custkey" + $"r" * Off).as("o_custkey"), $"o_orderstatus",
+        $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+    }
+    scaled("customer") { df =>
+      df.select(($"c_custkey" + $"r" * Off).as("c_custkey"), $"c_name",
+        $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+    }
+    scaled("part") { df =>
+      df.select(($"p_partkey" + $"r" * Off).as("p_partkey"), $"p_name",
+        $"p_brand", $"p_type", $"p_size", $"p_retailprice")
+    }
+    scaled("supplier") { df =>
+      df.select(($"s_suppkey" + $"r" * Off).as("s_suppkey"), $"s_name",
+        $"s_nationkey", $"s_acctbal")
+    }
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaledata] $t copied")
+    }
+    spark.stop()
+  }
+}
+
+/** The scale-evidence bench (SURVEY §8i): one cold pass of the most
+  * expensive registered heads at sf0.1 and at the ScaleData sf1 corpus
+  * (10×) in ONE JVM, reporting per-query scaling ratios — plus a
+  * factor-{1,2,3} LADDER for the two documented quadratic-regime
+  * cosine-pair queries, whose fitted exponent is the honest statement
+  * (a single 100× point would just be slow, not informative). Emits a
+  * bench_sf1_r<N>.json artifact with the Bench host-load marker so a
+  * noisy run self-identifies.
+  */
+object ScaleBench {
+
+  /** Expensive heads with ~linear expected scaling — every family with
+    * a nontrivial 100 TB story is represented.
+    */
+  private val heads = Seq(
+    "q1_agg", "q_join_broadcast", "q_skew_join", "q_percentiles",
+    "q_events_sessionize", "q_events_dau_mau", "q_session_paths",
+    "q_tfidf", "q_chi2_features", "q_doc_knn", "q_bm25_search",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",
+    "q_dedup_editdist", "q_dedup_containment", "q_dedup_clusters",
+    "q_incremental_delta", "q_incremental_clusters", "q_incremental_winnow",
+    "q_winnow_fingerprint", "q_winnow_pairs",
+    "q_semdedup", "q_semdedup_plan", "q_ann_ivf_kmeans", "q_ann_ivf_pq",
+    "q_ann_recall", "q_kn_perplexity_buckets", "q_gopher_rules",
+    "q_doc_signals", "q_heavy_hitters", "q_percentiles_by_source",
+    "q_curation_pipeline", "q_mixture_apply", "q_pack_sequences",
+    "q_ml_roc_auc")
+
+  /** The two registered exact/candidate-heavy cosine-pair plans whose
+    * compare count is inherently superlinear on a near-orthogonal
+    * corpus (SURVEY §5; the LSH route's 4-bit band keyspace holds 16
+    * buckets per band, so near-orthogonal bulk collides at O(n²/32)
+    * candidates — recall-tuned for the τ floor, not candidate-sparse
+    * on uniform data).
+    */
+  private val quadratic = Seq("q_embed_cosine_dedup", "q_embed_cosine_dedup_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_BASE", "/root/testdata/sf0.1")
+    val root = sys.env.getOrElse("SPARK_GRAFT_SCALED_ROOT", "/root/repo/scaledata")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    def smoke(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200L * 1000 * 1000).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val smokeStart = smoke()
+    val byName = SparkEntry.all.map(q => q.name -> q).toMap
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      byName(name).fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"TIMING $name $dir $t%.2f s")
+      t
+    }
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+    val rows = heads.map { n =>
+      val tb = time(n, base)
+      val ts = time(n, s"$root/sf1")
+      s""""$n":{"base":${f(tb)},"sf1":${f(ts)},"ratio":${f(ts / tb)}}"""
+    }.mkString("{", ",", "}")
+    val ladder = quadratic.map { n =>
+      val t1 = time(n, base)
+      val t2 = time(n, s"$root/sf0.2")
+      val t3 = time(n, s"$root/sf0.3")
+      val exp = math.log(t3 / t1) / math.log(3.0)
+      s""""$n":{"t1":${f(t1)},"t2":${f(t2)},"t3":${f(t3)},"fitted_exp":${f(exp)}}"""
+    }.mkString("{", ",", "}")
+    val smokeEnd = smoke()
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    val line = s"""{"metric":"scale_ratio","factor":10,"base":"$base","queries":$rows,"quadratic_ladder":$ladder,"host":{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg_end":${f(load)}}}"""
+    println(line)
+    try {
+      val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
+        sys.props.getOrElse("user.dir", ".")))
+      val rounds = Option(repo.list()).toSeq.flatten
+        .flatMap { n => "^BENCH_r0*([0-9]+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }
+      val next = if (rounds.isEmpty) 0 else rounds.max + 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(repo.getPath, s"bench_sf1_r$next.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalebench] artifact write failed: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

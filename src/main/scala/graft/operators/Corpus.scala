@@ -508,8 +508,8 @@ object Corpus {
     * the engine-portable md5 scheme ([[Dedup.hash60]]) salted per row,
     * so the DuckDB oracle computes the identical sketch.
     */
-  private val CmsDepth = 4
-  private val CmsWidth = 1024L
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024L
 
   /** Heavy hitters: exact top-20 corpus tokens next to their count-min
     * sketch estimates. The sketch is DECLARATIVE — each token emits

@@ -25,16 +25,34 @@ object IncrementalDedup {
     */
   val StoreBuckets = 8
 
+  /** Drop `table` AND clear its default managed location. The location
+    * sweep matters only under the in-memory catalog (tests, one-shot
+    * drivers): a session cycled in the same JVM forgets the table but
+    * its warehouse directory survives, and the next CREATE fails with
+    * location-already-exists. A production metastore persists the
+    * entry, so DROP IF EXISTS alone would cover it there.
+    */
+  private[graft] def clearTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath,
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Materialize (or replace) the signature store for a corpus
     * snapshot: banded signature rows, bucketed AND sorted on the
     * (band, band_key) join key at write time — the pre-shuffle that
     * every future delta join reuses for free.
     */
-  def writeStore(docs: DataFrame, table: String): Unit =
+  def writeStore(docs: DataFrame, table: String): Unit = {
+    clearTable(docs.sparkSession, table)
     Dedup.signatureBands(docs)
       .write.bucketBy(StoreBuckets, "band", "band_key")
       .sortBy("band", "band_key")
       .mode("overwrite").saveAsTable(table)
+  }
 
   /** Absorb a delta batch into the store after its dedup decision: the
     * delta's signature rows APPEND to the bucketed table (insertInto
@@ -134,10 +152,12 @@ object IncrementalDedup {
     * corpus-sized label table bucket-aligned with no Exchange (the
     * signature-store property applied to labels).
     */
-  def writeLabels(labels: DataFrame, table: String): Unit =
+  def writeLabels(labels: DataFrame, table: String): Unit = {
+    clearTable(labels.sparkSession, table)
     labels.write.bucketBy(StoreBuckets, "cluster_id")
       .sortBy("cluster_id")
       .mode("overwrite").saveAsTable(table)
+  }
 
   /** INCREMENTAL cluster maintenance — new delta pairs update stored
     * labels without re-running the global contraction:
@@ -222,6 +242,7 @@ object IncrementalDedup {
     */
   def writeWinnowStore(docs: DataFrame, table: String): Unit = {
     import docs.sparkSession.implicits._
+    clearTable(docs.sparkSession, table)
     val p = TextAnalysis.winnowPostingsOf(docs)
     val rare = p.groupBy($"fp").agg(count(lit(1)).as("df"))
       .where($"df" <= TextAnalysis.WinnowMaxPostings).select($"fp")

@@ -35,11 +35,12 @@ object StreamQueries {
     * in the feed order), memory sink, stop, return the sink table.
     */
   private def runStream[A: Encoder](s: SparkSession, chunks: Seq[Seq[A]],
-      build: Dataset[A] => DataFrame, sink: String): DataFrame = {
+      build: Dataset[A] => DataFrame, sink: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val mem = MemoryStream[A]
     val q = build(mem.toDS()).writeStream.format("memory")
-      .queryName(sink).outputMode(OutputMode.Append).start()
+      .queryName(sink).outputMode(mode).start()
     try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
     finally q.stop()
     s.table(sink)
@@ -207,7 +208,7 @@ object StreamQueries {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val tbl = "graft_stream_hll_store"
     Seq(tbl, tbl + "__staging", tbl + "__old")
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => graft.operators.IncrementalDedup.clearTable(s, t))
     Seq.empty[(java.sql.Date, Array[Byte])].toDF("day", "sk")
       .write.format("parquet").saveAsTable(tbl)
     val evs = EventOps.events(s, dir)
@@ -246,6 +247,96 @@ object StreamQueries {
        |FROM (${Corpus.distinctRollingExactSql}) t
        |ORDER BY day""".stripMargin
 
+  /** q_stream_anomaly — the stream-static anomaly gate
+    * ([[EventsStream.anomalyGateStream]]: arriving events join the
+    * precomputed per-type moment table broadcast, the 3σ decision
+    * evaluates row-locally in exact decimal arithmetic) over the full
+    * events stream. Fully stateless, so every flagged row emits on
+    * arrival and the sink equals the batch query exactly — ORACLE IS
+    * q_events_anomaly's SQL, proving the ingest gate and the nightly
+    * batch flag identically (the equivalence the moment-table refresh
+    * pattern depends on).
+    */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = eventChunks(s, dir)
+    val moments = EventOps.valueMoments(EventOps.events(s, dir))
+    val sink = runStream[Event](s, chunks,
+      ds => EventsStream.anomalyGateStream(ds.toDF(), moments),
+      "graft_stream_anomaly")
+    sink.select($"event_id", $"event_type", $"value", $"z")
+      .orderBy($"event_id")
+  }
+
+  /** q_stream_cms — the streaming count-min sketch
+    * ([[EventsStream.cmsSketchStream]]: row-local salted key generators,
+    * the sketch groupBy is the ONLY stateful operator and its state IS
+    * the bounded 4×1024-counter sketch) over the documents corpus in two
+    * micro-batches, Complete mode — the sink holds the final merged
+    * sketch. The sketch hashes are the engine-portable md5 scheme, so
+    * the ORACLE re-derives the ENTIRE sketch in SQL — the streamed
+    * summary is hash-equal to a DuckDB-computed one, cell for cell.
+    */
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val half = docs.length / 2
+    val sink = runStream[(Long, String)](
+      s, Seq(docs.take(half).toSeq, docs.drop(half).toSeq),
+      ds => EventsStream.cmsSketchStream(ds.toDF("doc_id", "text")),
+      "graft_stream_cms", OutputMode.Complete)
+    sink.select($"d", $"idx", $"cnt").orderBy($"d", $"idx")
+  }
+
+  /** Oracle twin of [[streamCms]]: the full 4×1024 sketch re-derived in
+    * SQL (the q_heavy_hitters keyed/cms CTEs, emitted raw instead of
+    * read through the top-k estimate join).
+    */
+  val streamCmsSql: String = {
+    import graft.operators.{Corpus, Dedup}
+    val keys = (0 until Corpus.CmsDepth).map { d =>
+      s"SELECT $d AS d, ${Dedup.hash60Sql(s"token || '#$d'")} % ${Corpus.CmsWidth} AS idx FROM tok"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+       |  FROM documents),
+       |keyed AS ($keys)
+       |SELECT d, CAST(idx AS BIGINT) AS idx, CAST(count(*) AS BIGINT) AS cnt
+       |FROM keyed GROUP BY d, idx ORDER BY d, idx""".stripMargin
+  }
+
+  /** q_stream_incremental — the stream-static incremental near-dup
+    * ([[EventsStream.incrementalDedupStream]]: row-local banded MinHash
+    * signatures, stream-static bucket join against the historical
+    * signature store, watermark-bounded candidate dedup) with the SAME
+    * mod-4 corpus split as the batch q_incremental_delta: store half
+    * persisted through IncrementalDedup.writeStore, delta half arriving
+    * as two micro-batches. The ORACLE IS q_incremental_delta's SQL —
+    * the continuous ingest screen proven to surface exactly the batch
+    * delta join's matches with identical minhash-agreement estimates.
+    */
+  def streamIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.IncrementalDedup
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val tbl = "graft_stream_sig_store"
+    IncrementalDedup.writeStore(docs.where($"doc_id" % 4 =!= 3), tbl)
+    val delta = docs.where($"doc_id" % 4 === 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, text) =>
+        (id, new java.sql.Timestamp(1700000000000L + id * 1000L), text)
+      }
+    val half = delta.length / 2
+    val sink = runStream[(Long, java.sql.Timestamp, String)](
+      s, Seq(delta.take(half).toSeq, delta.drop(half).toSeq),
+      ds => EventsStream.incrementalDedupStream(s,
+        ds.toDF("doc_id", "ts", "text"), tbl),
+      "graft_stream_incremental")
+    sink.select($"doc_id".as("delta_id"), $"store_id", $"est_jaccard")
+      .orderBy($"delta_id", $"store_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_stream_sessionize", streamSessionize,
       Some(EventOps.sessionizeSql)),
@@ -253,5 +344,10 @@ object StreamQueries {
       Some(EventOps.streamWindowAggSql)),
     GraftQuery("q_stream_curate", streamCurate, Some(streamCurateSql)),
     GraftQuery("q_stream_sketch_store", streamSketchStore,
-      Some(streamSketchStoreSql)))
+      Some(streamSketchStoreSql)),
+    GraftQuery("q_stream_anomaly", streamAnomaly,
+      Some(EventOps.eventsAnomalySql)),
+    GraftQuery("q_stream_cms", streamCms, Some(streamCmsSql)),
+    GraftQuery("q_stream_incremental", streamIncremental,
+      Some(graft.operators.IncrementalDedup.incrementalDeltaSql)))
 }

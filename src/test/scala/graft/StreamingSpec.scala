@@ -353,6 +353,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"est_within_5pct", $"merge_exact").as[(Boolean, Boolean)]
       .collect()
     assert(gates.nonEmpty && gates.forall(g => g._1 && g._2))
+    // q_stream_anomaly ≡ batch q_events_anomaly
+    val streamedAnom = graft.streaming.StreamQueries.streamAnomaly(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batchAnom = graft.operators.EventOps.eventsAnomaly(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamedAnom.nonEmpty && streamedAnom == batchAnom)
+    // q_stream_incremental ≡ batch q_incremental_delta
+    val streamedInc = graft.streaming.StreamQueries.streamIncremental(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batchInc = graft.operators.IncrementalDedup.incrementalDelta(spark, dir)
+      .select($"delta_id", $"store_id", $"est_jaccard")
+      .collect().map(_.toSeq).toSet
+    assert(streamedInc == batchInc && streamedInc.nonEmpty)
   }
 
   test("streaming sessionize emits closed sessions with gap semantics") {
