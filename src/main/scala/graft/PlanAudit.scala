@@ -11,10 +11,11 @@ object PlanAudit {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSet else
       Set("q1_agg", "q_join_broadcast", "q_tfidf", "q_dedup_minhash",
-        "q_embed_cosine_dedup", "q_roc_curve", "q_events_sessionize",
-        "q_ann_ivf", "q_contamination_check", "q_span_dedup", "q_model_compare",
-        "q_dedup_ngram_jaccard", "q_ml_roc_curve", "q_ml_mean_roc",
-        "q_ann_pq", "q_embed_label_knn")
+        "q_embed_cosine_dedup", "q_embed_cosine_dedup_lsh", "q_roc_curve",
+        "q_events_sessionize", "q_ann_ivf", "q_contamination_check",
+        "q_span_dedup", "q_model_compare", "q_dedup_ngram_jaccard",
+        "q_ml_roc_curve", "q_ml_mean_roc", "q_ann_pq", "q_embed_label_knn",
+        "q_percentiles_by_source")
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.all.filter(q => names(q.name)).foreach { q =>

@@ -154,26 +154,45 @@ object ScaleBench {
     }
     val smokeStart = smoke()
     val byName = SparkEntry.all.map(q => q.name -> q).toMap
-    def time(name: String, dir: String): Double = {
+    def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       byName(name).fn(spark, dir).write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       println(f"TIMING $name $dir $t%.2f s")
       t
     }
+    // min-of-2, reps interleaved across dirs: the right statistic for a
+    // RATIO under transient host load (a spike inflates one rep, the
+    // min survives), and interleaving keeps both dirs' page-cache state
+    // comparable. SessionCache heads: rep 1 pays the fit, rep 2 rides
+    // the memo — so for singleShot queries keep the COLD rep only.
+    def time(name: String, dir: String): Double =
+      if (byName(name).singleShot) timeOnce(name, dir)
+      else math.min(timeOnce(name, dir), timeOnce(name, dir))
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+    // untimed warmup: settle JIT, parquet readers, and the post-launch
+    // load transient before anything is measured
+    Seq(base, s"$root/sf1").foreach { d =>
+      byName("q1_agg").fn(spark, d).write.format("noop").mode("overwrite").save()
+    }
 
     val rows = heads.map { n =>
       val tb = time(n, base)
       val ts = time(n, s"$root/sf1")
       s""""$n":{"base":${f(tb)},"sf1":${f(ts)},"ratio":${f(ts / tb)}}"""
     }.mkString("{", ",", "}")
+    // the quadratic pair gets the full factor ladder {1, 2, 3, 10}: the
+    // compare count is structurally n²/2 (resp. the candidate fraction
+    // of it), and the ladder shows where the quadratic term overtakes
+    // the fixed plan overhead that dominates at small n
     val ladder = quadratic.map { n =>
       val t1 = time(n, base)
       val t2 = time(n, s"$root/sf0.2")
       val t3 = time(n, s"$root/sf0.3")
-      val exp = math.log(t3 / t1) / math.log(3.0)
-      s""""$n":{"t1":${f(t1)},"t2":${f(t2)},"t3":${f(t3)},"fitted_exp":${f(exp)}}"""
+      val t10 = time(n, s"$root/sf1")
+      val exp = math.log(t10 / t1) / math.log(10.0)
+      s""""$n":{"t1":${f(t1)},"t2":${f(t2)},"t3":${f(t3)},"t10":${f(t10)},"fitted_exp":${f(exp)}}"""
     }.mkString("{", ",", "}")
     val smokeEnd = smoke()
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
