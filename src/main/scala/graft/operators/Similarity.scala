@@ -937,7 +937,8 @@ object Similarity {
       |FROM hits CROSS JOIN nt ORDER BY method""".stripMargin
 
   /** τ floor of the LSH route: at τ ≥ 0.7 (θ ≤ 45.6°) a 16-band × 4-bit
-    * sign-LSH candidate filter has ≥ 0.997 per-pair recall, so
+    * sign-LSH candidate filter has ≥ 0.997 per-pair band recall
+    * (≥ 0.9955 after the [[HammingMax]] prefilter's 0.9985 factor), so
     * candidates + exact verify is the scale path; below it band recall
     * collapses toward the measured near-orthogonal regime (τ = 0.4 →
     * θ ≈ 66°, recall ≪ 1) and NO exact sub-quadratic filter exists for
@@ -956,9 +957,11 @@ object Similarity {
     *  - otherwise, `tau ≥` [[TauLshFloor]]: banded sign-LSH candidates +
     *    exact cosine verification ([[lshVerified]]). Sub-quadratic; NO
     *    false positives (the verify step recomputes true cosine), and
-    *    per-pair candidate recall ≥ 1 − (1 − p⁴)¹⁶ with p = 1 − θ/π
-    *    (≥ 0.997 at the floor, ~1 − 5·10⁻⁸ at τ = 0.95) — near-exact
-    *    but NOT exhaustive. This is the 100 TB route.
+    *    per-pair candidate recall ≥ (1 − (1 − p⁴)¹⁶) · P[h ≤ 26] with
+    *    p = 1 − θ/π (band recall ≥ 0.997 at the floor, ~1 − 5·10⁻⁸ at
+    *    τ = 0.95; the [[HammingMax]] prefilter multiplies in 0.9985 at
+    *    the floor, ~1 above it → ≥ 0.9955 end-to-end) — near-exact but
+    *    NOT exhaustive. This is the 100 TB route.
     *  - otherwise (`tau <` floor, no opt-in): exact low-τ semantics are
     *    inherently O(n²) compares (SURVEY §5) and band recall collapses,
     *    so the router REFUSES rather than silently going quadratic.
@@ -984,25 +987,52 @@ object Similarity {
         "pass allowQuadratic=true to run the blocked sweep on a sub-corpus " +
         "input, or raise tau to use the LSH-verified route")
 
-  /** 64-bit sign signature (same LCG hyperplane family as [[annLsh]],
-    * extended to 64 planes), assembled with bitwise OR — bit 63 through
-    * a sum would wrap the long.
+  /** The 64 sign-LSH hyperplanes (same LCG family as [[annLsh]],
+    * extended to 64 planes), materialized once on the driver — the
+    * signature loop below and the oracle's `planes` CTE both re-derive
+    * exactly these doubles from the same integer recurrence.
     */
-  private def signSignature(v: Column): Column =
-    aggregate(
-      zip_with(
-        array((0 until 64).map { p =>
-          array((0 until 64).map { d =>
-            val x = (p * 64 + d) * 6364136223846793005L + 1442695040888963407L
-            lit(((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0)
-          }: _*)
-        }: _*),
-        sequence(lit(0), lit(63)),
-        (plane, idx) =>
-          when(aggregate(zip_with(plane, v, (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) > 0,
-            call_function("shiftleft", lit(1L), idx)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  private lazy val signPlanes: Array[Array[Double]] =
+    Array.tabulate(64, 64) { (p, d) =>
+      val x = (p * 64 + d) * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+
+  /** 64-bit sign signatures, computed per row in a mapPartitions
+    * primitive loop against the broadcast plane matrix (the
+    * [[assignIds]] precedent): the equivalent higher-order-function
+    * expression — 64 nested zip_with/aggregate lambdas — is
+    * CodegenFallback, so it interpreted 64×64 expression nodes PER ROW
+    * and dominated the route's sf1 wall time. The float arithmetic is
+    * the expression's step for step: per plane one left-to-right
+    * product-accumulate fold from 0.0 (each multiply and add rounds
+    * individually — the JVM emits no fused multiply-add), bit p set iff
+    * the fold is strictly positive, bits assembled with OR (bit 63
+    * through a sum would wrap the long).
+    */
+  private def signSignatures(s: SparkSession, vin: DataFrame): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(signPlanes)
+    vin.select($"vec_id", $"v").as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val planes = bc.value
+        it.map { case (id, vec) =>
+          val a = vec.toArray
+          val n = if (a.length < 64) a.length else 64
+          var sig = 0L
+          var p = 0
+          while (p < 64) {
+            val pl = planes(p)
+            var acc = 0.0
+            var i = 0
+            while (i < n) { acc += pl(i) * a(i); i += 1 }
+            if (acc > 0) sig |= (1L << p)
+            p += 1
+          }
+          (id, sig)
+        }
+      }.toDF("vec_id", "sig")
+  }
 
   /** High-τ leg: 16 bands × 4 sign bits generate candidates (equi-join
     * within a (band, bits) bucket — never all-pairs), candidate id pairs
@@ -1041,7 +1071,7 @@ object Similarity {
     */
   private[graft] def lshVerifiedCandidates(s: SparkSession, vin: DataFrame): DataFrame = {
     import s.implicits._
-    val sig = vin.select($"vec_id", signSignature($"v").as("sig"))
+    val sig = signSignatures(s, vin)
     val bands = sig.select($"vec_id", $"sig", explode(array((0 until 16).map { k =>
         struct(lit(k).as("band"),
           shiftrightunsigned($"sig", 4 * k).bitwiseAND(lit(15L)).as("bits"))
@@ -1086,8 +1116,13 @@ object Similarity {
   /** Oracle twin of [[cosineDedupLshTop]]: the 64 LCG hyperplanes
     * re-derived in HUGEINT (the annLshSql arithmetic extended to 64
     * planes), 4-bit band keys from the plane signs, bucket-join
-    * candidates, exact left-to-right-fold cosine verify, top-20 with
-    * the τ-gate boolean.
+    * candidates, the engine's [[HammingMax]] prefilter mirrored as a
+    * per-pair sum of band-wise bit_count(xor) — the bands partition the
+    * 64 signature bits, so the sum IS the full Hamming distance; the
+    * engine gates before its candidate distinct and the oracle after,
+    * which is equivalent because the predicate is a pure per-pair
+    * function — then exact left-to-right-fold cosine verify, top-20
+    * with the τ-gate boolean.
     */
   val cosineDedupLshSql: String =
     s"""WITH planes AS (
@@ -1108,10 +1143,20 @@ object Similarity {
        |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END)
        |      AS BIGINT) AS bits
        |  FROM dots GROUP BY vec_id, p // 4),
-       |cand AS (
+       |cand0 AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bits = y.bits
        |  WHERE x.vec_id < y.vec_id),
+       |cand AS (
+       |  -- the engine's Hamming prefilter on the full 64-bit signature:
+       |  -- the 16 bands partition the 64 bits, so the pair's Hamming
+       |  -- distance is the sum over bands of bit_count(xor(bits))
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand0 c
+       |  JOIN bands ba ON ba.vec_id = c.id_a
+       |  JOIN bands bb ON bb.vec_id = c.id_b AND bb.band = ba.band
+       |  GROUP BY c.id_a, c.id_b
+       |  HAVING sum(bit_count(xor(ba.bits, bb.bits))) <= 26),
        |vn AS (
        |  SELECT vec_id, v,
        |    sqrt(list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
