@@ -396,7 +396,7 @@ object TextAnalysis {
     * one source for the batch pair oracle and the incremental
     * delta-vs-store oracle (IncrementalDedup).
     */
-  private[operators] val winnowPostingsCtesSql: String =
+  private[graft] val winnowPostingsCtesSql: String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
        |  FROM documents),

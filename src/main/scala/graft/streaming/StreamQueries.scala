@@ -337,6 +337,105 @@ object StreamQueries {
       .orderBy($"delta_id", $"store_id")
   }
 
+  /** q_stream_winnow_match — the stream-static winnowing substring
+    * screen ([[EventsStream.winnowMatchStream]]: row-local winnow
+    * fingerprints, stream-static posting-list join, watermark-bounded
+    * pair dedup) under the incremental mod-4 corpus split: the store
+    * half's postings are the PRECOMPUTED static side (the daily batch
+    * artifact, uncapped — the cap belongs to the incremental store
+    * builder, q_incremental_winnow), the delta half arrives as two
+    * doc_id-ordered micro-batches. The sink's (delta_id, store_id)
+    * pair set must equal the declarative ≥1-shared-fingerprint join —
+    * the oracle re-derives postings from scratch in SQL
+    * ([[graft.operators.TextAnalysis.winnowPostingsCtesSql]], the
+    * q_winnow_pairs chain) and joins across the same split, so the
+    * row-local fingerprint algebra, the bucket join, and the streamed
+    * pair dedup are all hash-checked against batch SQL.
+    */
+  def streamWinnowMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val postings = TextAnalysis.winnowPostingsOf(docs.where($"doc_id" % 4 =!= 3))
+    val delta = docs.where($"doc_id" % 4 === 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, text) =>
+        (id, new java.sql.Timestamp(1700000000000L + id * 1000L), text)
+      }
+    val half = delta.length / 2
+    val sink = runStream[(Long, java.sql.Timestamp, String)](
+      s, Seq(delta.take(half).toSeq, delta.drop(half).toSeq),
+      ds => EventsStream.winnowMatchStream(ds.toDF("doc_id", "ts", "text"),
+        postings),
+      "graft_stream_winnow_match")
+    sink.select($"doc_id".as("delta_id"), $"store_id")
+      .orderBy($"delta_id", $"store_id")
+  }
+
+  /** Oracle twin of [[streamWinnowMatch]]: postings re-derived from the
+    * documents table (the shared q_winnow_pairs CTE chain), split mod-4,
+    * distinct ≥1-shared pairs. The streaming screen is deliberately the
+    * ≥1-shared recall-first filter (EventsStream.winnowMatchStream doc);
+    * the ≥2-shared gate is the batch finalizer's, oracle-checked
+    * separately as q_incremental_winnow.
+    */
+  val streamWinnowMatchSql: String =
+    s"""WITH ${graft.operators.TextAnalysis.winnowPostingsCtesSql},
+       |sp AS (SELECT doc_id, fp FROM postings WHERE doc_id % 4 <> 3),
+       |d AS (SELECT doc_id, fp FROM postings WHERE doc_id % 4 = 3)
+       |SELECT DISTINCT d.doc_id AS delta_id, sp.doc_id AS store_id
+       |FROM d JOIN sp USING (fp)
+       |ORDER BY delta_id, store_id""".stripMargin
+
+  /** q_stream_mixture_apply — the stream-static mixture
+    * materialization ([[EventsStream.mixtureApplyStream]]: arriving
+    * docs broadcast-join the precomputed per-source weight table, the
+    * copy-count draw evaluates row-locally via the shared LCG
+    * expression) driven over the documents table in two doc_id-ordered
+    * micro-batches, with the weight table computed by the BATCH
+    * q_mixture_temperature plan — the daily-refresh artifact the
+    * stream consumes. Fully stateless, so the sink must equal the
+    * batch q_mixture_apply row for row — and the ORACLE IS
+    * q_mixture_apply's SQL, hash-proving ingest-time and backfill
+    * replication decisions identical per (doc_id, boost).
+    */
+  def streamMixtureApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = Corpus.mixtureTemperature(s, dir).select($"source", $"boost")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val half = docs.length / 2
+    val sink = runStream[(Long, String)](
+      s, Seq(docs.take(half).toSeq, docs.drop(half).toSeq),
+      ds => EventsStream.mixtureApplyStream(ds.toDF("doc_id", "source"), weights),
+      "graft_stream_mixture_apply")
+    sink.select($"doc_id", $"source", $"boost", $"n_copies").orderBy($"doc_id")
+  }
+
+  /** q_stream_bpe_encode — streaming row-local BPE encoding
+    * ([[graft.operators.Bpe.encodeDocsRowLocal]]: the trained merge
+    * table broadcast per partition, each arriving doc encoded in one
+    * primitive pass — zero state, zero shuffle) over the documents
+    * table in two micro-batches. Rows-only for the gate like every BPE
+    * query (the merge table is driver-trained, not SQL-expressible);
+    * StreamingSpec pins streamed == batch q_bpe_encode per document,
+    * and the registered run proves the encoder executes inside the
+    * streaming engine at gate SF.
+    */
+  def streamBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Bpe
+    val rank = Bpe.merges(s, dir).map(m => (m.left, m.right) -> m.rank).toMap
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val half = docs.length / 2
+    val sink = runStream[(Long, String)](
+      s, Seq(docs.take(half).toSeq, docs.drop(half).toSeq),
+      ds => Bpe.encodeDocsRowLocal(ds.toDF("doc_id", "text"), rank),
+      "graft_stream_bpe_encode")
+    sink.orderBy($"doc_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_stream_sessionize", streamSessionize,
       Some(EventOps.sessionizeSql)),
@@ -349,5 +448,10 @@ object StreamQueries {
       Some(EventOps.eventsAnomalySql)),
     GraftQuery("q_stream_cms", streamCms, Some(streamCmsSql)),
     GraftQuery("q_stream_incremental", streamIncremental,
-      Some(graft.operators.IncrementalDedup.incrementalDeltaSql)))
+      Some(graft.operators.IncrementalDedup.incrementalDeltaSql)),
+    GraftQuery("q_stream_winnow_match", streamWinnowMatch,
+      Some(streamWinnowMatchSql)),
+    GraftQuery("q_stream_mixture_apply", streamMixtureApply,
+      Some(Corpus.mixtureApplySql)),
+    GraftQuery("q_stream_bpe_encode", streamBpeEncode, None))
 }
