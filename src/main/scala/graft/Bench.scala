@@ -18,12 +18,13 @@ import org.apache.spark.sql.SparkSession
   * separated — a load spike hits one pass, not all three reps of the
   * same query.
   *
-  * The JSON line is self-describing about both caveats: `single_shot`
-  * names the one-cold-rep queries (so a reader separates medians from
-  * single-shot numbers without consulting this source), and `cold`
-  * carries each repeatable query's pass-1 time next to its median (so
-  * cross-round comparisons can anchor on cold-vs-cold — warm medians
-  * benefit from page cache and JIT).
+  * The JSON line is self-describing about both caveats: `n_reps` gives
+  * the sample count behind EVERY per-query number (1 = single-shot
+  * cold, `reps` = median; also exposes rep-level failures as a lower
+  * count), `single_shot` names the one-cold-rep registry entries, and
+  * `cold` carries each repeatable query's pass-1 time next to its
+  * median (so cross-round comparisons can anchor on cold-vs-cold —
+  * warm medians benefit from page cache and JIT).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -110,6 +111,12 @@ object Bench {
     // this source
     val oneShot = SparkEntry.all.filter(_.singleShot).map("\"" + _.name + "\"")
       .mkString("[", ",", "]")
+    // per-query sample count: the reader's direct answer to "is this a
+    // median or one cold shot?" (and a lower-than-reps count flags a
+    // query that failed some passes)
+    val nreps = samples.collect { case (k, xs) if xs.nonEmpty =>
+      s"\"" + k + "\":" + xs.size
+    }.mkString("{", ",", "}")
     // failed names ride the JSON line: a swallowed exception otherwise
     // reads as a suspiciously fast query instead of a broken one
     val errs = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -129,7 +136,7 @@ object Bench {
         "their medians as upper bounds")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val host = s"""{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg":[${f(loadStart)},${f(loadEnd)}]}"""
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"cold":$colds,"spread":$spread,"single_shot":$oneShot,"errors":$errs,"noisy":$noisyJson,"host":$host,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"n_reps":$nreps,"cold":$colds,"spread":$spread,"single_shot":$oneShot,"errors":$errs,"noisy":$noisyJson,"host":$host,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the complete line as a machine-readable artifact: the
     // driver's BENCH_r<N>.json captures only a truncated stdout tail, so

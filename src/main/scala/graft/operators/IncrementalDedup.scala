@@ -102,15 +102,22 @@ object IncrementalDedup {
     * loop (compaction here, the streaming HLL sketch store): the old
     * table renames ASIDE first, then staging renames IN, then the old
     * copy drops — so a crash at ANY point leaves a complete table under
-    * a predictable name. Recovery contract: if `table` is missing on
-    * restart, rename `table__old` back (the crash hit the
-    * aside→in window); a leftover `table__old` next to a live `table`
-    * just re-drops. The previous DROP→RENAME order had a window where
-    * a crash left NO table at the canonical name and readers failed
-    * with table-not-found.
+    * a predictable name. The recovery contract is implemented HERE, not
+    * left to the operator: if `table` is missing but `table__old`
+    * exists (the previous run crashed in the aside→in window, so the
+    * aside copy is the SOLE survivor), the helper renames it back
+    * before doing anything destructive — the maintenance loop that
+    * re-runs after the crash then swaps its freshly rebuilt staging in
+    * normally. A leftover `table__old` NEXT TO a live `table` (crash
+    * after the in-rename, before the final drop) just re-drops. The
+    * previous DROP→RENAME order had a window where a crash left NO
+    * table at the canonical name and readers failed with
+    * table-not-found.
     */
   def swapInStagedTable(s: SparkSession, table: String, staging: String): Unit = {
     val old = table + "__old"
+    if (!s.catalog.tableExists(table) && s.catalog.tableExists(old))
+      s.sql(s"ALTER TABLE $old RENAME TO $table")
     s.sql(s"DROP TABLE IF EXISTS $old")
     s.sql(s"ALTER TABLE $table RENAME TO $old")
     s.sql(s"ALTER TABLE $staging RENAME TO $table")

@@ -207,6 +207,35 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
   }
 
+  test("staged-table swap recovers the aside copy after a crash in the rename window") {
+    import spark.implicits._
+    val tbl = "swap_recovery_spec"
+    Seq(tbl, tbl + "__old", tbl + "__staging").foreach(t =>
+      IncrementalDedup.clearTable(spark, t))
+    Seq((1L, "old")).toDF("id", "v").write.format("parquet").saveAsTable(tbl)
+    // simulate the aside→in crash window: table renamed aside, staging
+    // never renamed in, process died — the aside copy is the SOLE survivor
+    spark.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__old")
+    // restart: the loop rebuilds staging and swaps; the helper must
+    // restore the aside copy instead of dropping it
+    Seq((2L, "new")).toDF("id", "v").write.format("parquet")
+      .saveAsTable(tbl + "__staging")
+    IncrementalDedup.swapInStagedTable(spark, tbl, tbl + "__staging")
+    assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(!spark.catalog.tableExists(tbl + "__old"))
+    assert(!spark.catalog.tableExists(tbl + "__staging"))
+    // a leftover __old NEXT TO a live table (crash after the in-rename,
+    // before the final drop) just re-drops on the next swap
+    Seq((3L, "stale")).toDF("id", "v").write.format("parquet")
+      .saveAsTable(tbl + "__old")
+    Seq((4L, "newer")).toDF("id", "v").write.format("parquet")
+      .saveAsTable(tbl + "__staging")
+    IncrementalDedup.swapInStagedTable(spark, tbl, tbl + "__staging")
+    assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(!spark.catalog.tableExists(tbl + "__old"))
+    IncrementalDedup.clearTable(spark, tbl)
+  }
+
   test("within-frame pairs equal the batch LSH pairs inside the frame") {
     import spark.implicits._
     val (_, delta) = splitDocs
