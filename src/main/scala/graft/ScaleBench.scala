@@ -35,6 +35,7 @@ object ScaleData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/scaledata/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val dupPct = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,6 +49,44 @@ object ScaleData {
         .repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[scaledata] $table x$factor -> $out")
+    }
+
+    // dup-bearing EMBEDDINGS corpus (4th arg = planted dup percent > 0):
+    // the LSH cosine-dedup route's ADVERTISED regime is a corpus whose
+    // high-cos pairs are real near-duplicates, so the dup ladder needs a
+    // scaled corpus where candidates are dup-driven. Plant pairs WITHIN
+    // a replica — vec_id ≡ 1 (mod 100/dupPct) takes its predecessor's
+    // vector nudged by +0.3 on one dimension (cos ≈ 0.95 on unit-norm
+    // input, inside the τ ≥ 0.9 dup regime) BEFORE replication, so each
+    // replica carries base/dupPct planted pairs and the planted pair
+    // count scales LINEARLY in the factor (cross-replica rotation keeps
+    // replicas decorrelated — the same no-fabricated-quadratics rule as
+    // the token tags). Only embeddings is written: the dup ladder reads
+    // nothing else.
+    if (dupPct > 0) {
+      val stride = math.max(2, 100 / dupPct)
+      val base = spark.read.parquet(s"$src/embeddings.parquet")
+      val prev = base.select(($"vec_id" + 1).as("vec_id"), $"embedding".as("twin"))
+      val planted = base.join(prev, Seq("vec_id"), "left")
+        .withColumn("embedding",
+          when($"vec_id" % stride === 1 && $"twin".isNotNull,
+            transform($"twin", (x, i) =>
+              x + when(i === pmod($"vec_id", lit(64)).cast("int"), lit(0.3f))
+                .otherwise(lit(0.0f))))
+            .otherwise($"embedding"))
+        .drop("twin")
+      val parts = math.max(4, math.min(32, (base.count() * factor / 50000).toInt))
+      val k = pmod($"r" * 7, lit(64))
+      planted.crossJoin(broadcast(reps))
+        .select(($"vec_id" + $"r" * Off).as("vec_id"),
+          concat(slice($"embedding", k + 1, lit(64) - k),
+            slice($"embedding", lit(1), k)).as("embedding"),
+          $"label")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"[scaledata] embeddings x$factor dup$dupPct% -> $out")
+      spark.stop()
+      return
     }
 
     scaled("documents") { df =>
@@ -182,22 +221,53 @@ object ScaleBench {
       val ts = time(n, s"$root/sf1")
       s""""$n":{"base":${f(tb)},"sf1":${f(ts)},"ratio":${f(ts / tb)}}"""
     }.mkString("{", ",", "}")
+    // least-squares slope of log t on log factor — uses EVERY measured
+    // ladder point (the two-point t10/t1 slope threw the mid points away
+    // and let one noisy endpoint set the exponent)
+    def fitExp(pts: Seq[(Int, Double)]): Double = {
+      val lx = pts.map(p => math.log(p._1.toDouble))
+      val ly = pts.map(p => math.log(p._2))
+      val mx = lx.sum / lx.size
+      val my = ly.sum / ly.size
+      lx.zip(ly).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        math.max(lx.map(x => (x - mx) * (x - mx)).sum, 1e-12)
+    }
+    // a ladder degrades instead of dying: a missing scale dir just drops
+    // its point (n_points says how many were fit), and a per-query
+    // failure emits an error field — the heads pass above is never lost
+    // to a ladder problem
+    def ladderJson(names: Seq[String], dirs: Seq[(Int, String)]): String =
+      names.map { n =>
+        try {
+          val pts = dirs.filter(d => new java.io.File(d._2).isDirectory)
+            .map { case (fct, d) => (fct, time(n, d)) }
+          val fields = pts.map { case (fct, t) => s""""t$fct":${f(t)}""" }
+            .mkString(",")
+          val exp = if (pts.size >= 2) f(fitExp(pts)) else "null"
+          s""""$n":{$fields,"fitted_exp":$exp,"n_points":${pts.size}}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[scalebench] ladder $n failed: ${e.getMessage}")
+            s""""$n":{"error":"${e.getClass.getSimpleName}"}"""
+        }
+      }.mkString("{", ",", "}")
     // the quadratic pair gets the full factor ladder {1, 2, 3, 10}: the
     // compare count is structurally n²/2 (resp. the candidate fraction
     // of it), and the ladder shows where the quadratic term overtakes
     // the fixed plan overhead that dominates at small n
-    val ladder = quadratic.map { n =>
-      val t1 = time(n, base)
-      val t2 = time(n, s"$root/sf0.2")
-      val t3 = time(n, s"$root/sf0.3")
-      val t10 = time(n, s"$root/sf1")
-      val exp = math.log(t10 / t1) / math.log(10.0)
-      s""""$n":{"t1":${f(t1)},"t2":${f(t2)},"t3":${f(t3)},"t10":${f(t10)},"fitted_exp":${f(exp)}}"""
-    }.mkString("{", ",", "}")
+    val ladder = ladderJson(quadratic, Seq(
+      1 -> base, 2 -> s"$root/sf0.2", 3 -> s"$root/sf0.3", 10 -> s"$root/sf1"))
+    // the LSH route ALSO ladders on the dup-bearing corpus (ScaleData
+    // dupPct mode) — its advertised regime, where the high-cos pairs
+    // are planted near-duplicates scaling linearly with the factor
+    // rather than the adversarial no-dup bulk
+    val dupLadder = ladderJson(Seq("q_embed_cosine_dedup_lsh"), Seq(
+      1 -> s"$root/sf0.1_dup", 2 -> s"$root/sf0.2_dup",
+      3 -> s"$root/sf0.3_dup", 10 -> s"$root/sf1_dup"))
     val smokeEnd = smoke()
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
-    val line = s"""{"metric":"scale_ratio","factor":10,"base":"$base","queries":$rows,"quadratic_ladder":$ladder,"host":{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg_end":${f(load)}}}"""
+    val line = s"""{"metric":"scale_ratio","factor":10,"base":"$base","queries":$rows,"quadratic_ladder":$ladder,"dup_ladder":$dupLadder,"host":{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg_end":${f(load)}}}"""
     println(line)
     try {
       val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
