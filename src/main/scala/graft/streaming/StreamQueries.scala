@@ -436,6 +436,174 @@ object StreamQueries {
     sink.orderBy($"doc_id")
   }
 
+  /** q_stream_dedup_exact — the watermarked exact dedup
+    * ([[EventsStream.dedupStream]]: `dropDuplicatesWithinWatermark` on
+    * the event key, state bounded by the 2-hour horizon) driven over
+    * the events table in three time-ordered chunks WITH REPLAYED
+    * DUPLICATES: chunks 2 and 3 re-send the previous chunk's trailing
+    * HOUR of events — a time bound, not a row count, because the
+    * replay must stay inside the dedup state horizon at every SF: a
+    * key's state lives until the watermark (maxTs − 2h) passes its
+    * event time + 2h, so a ≤ 1h-old replay is guaranteed to hit LIVE
+    * state and be dropped by the store, not by luck or by the late-row
+    * filter. The sink must hold every event exactly once; ORACLE = the
+    * events table itself (event_id is the key, so first-arrival dedup
+    * of an at-least-once feed reproduces the exact relation — the
+    * Kafka-redelivery contract this operator exists for).
+    */
+  def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = eventChunks(s, dir)
+    val replayed = chunks.zipWithIndex.map { case (c, i) =>
+      if (i == 0) c
+      else {
+        val prev = chunks(i - 1)
+        val cutUs = EventsStream.tsMicros(prev.last.ts) - 3600L * 1000000L
+        prev.filter(e => EventsStream.tsMicros(e.ts) >= cutUs) ++ c
+      }
+    }
+    val sink = runStream[Event](s, replayed,
+      ds => EventsStream.dedupStream(ds.toDF()), "graft_stream_dedup_exact")
+    sink.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
+  val streamDedupExactSql: String =
+    """SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q_stream_neardup — the watermarked streaming near-dup dedup
+    * ([[EventsStream.nearDedupStream]]: row-local bag-of-words
+    * fingerprint, `dropDuplicatesWithinWatermark` on it) over the
+    * documents table arriving in doc_id order across two micro-batches
+    * — the raw dedup stage of q_stream_curate registered on its own,
+    * so the fingerprint state machine is hash-checked without the
+    * PII/quality stages in front. Survivor = min doc_id per
+    * fingerprint class (ordered feed, one addData per micro-batch),
+    * which is exactly what the declarative oracle selects.
+    */
+  def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, text) =>
+        (id, new java.sql.Timestamp(1700000000000L + id * 1000L), text)
+      }
+    val half = docs.length / 2
+    val sink = runStream[(Long, java.sql.Timestamp, String)](
+      s, Seq(docs.take(half).toSeq, docs.drop(half).toSeq),
+      ds => EventsStream.nearDedupStream(ds.toDF("doc_id", "ts", "text")),
+      "graft_stream_neardup")
+    sink.select($"doc_id", $"bag_md5").orderBy($"doc_id")
+  }
+
+  /** Oracle twin of [[streamNearDedup]]: the min-doc_id-per-bag
+    * survivor set (the streamCurate oracle's kept CTE without the
+    * PII/quality stages).
+    */
+  val streamNearDedupSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_md5
+      |  FROM tk),
+      |kept AS (
+      |  SELECT doc_id, bag_md5,
+      |    row_number() OVER (PARTITION BY bag_md5 ORDER BY doc_id) AS rn
+      |  FROM b)
+      |SELECT doc_id, bag_md5 FROM kept WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_stream_click_attrib — the watermarked STREAM-STREAM attribution
+    * join ([[EventsStream.clickPurchaseJoin]]: clicks and purchases are
+    * two live sources, the join condition bounds event time on both
+    * ends so state expires) driven over the events table's click and
+    * purchase slices, both chunked at the SAME ts cuts and fed in
+    * lockstep (the global watermark is the min across sources, so a
+    * boundary-spanning pair's click state is still live when its
+    * purchase arrives). Inner join — every match emits as soon as both
+    * rows exist, no sentinel flush needed. ORACLE = the declarative
+    * range join in SQL: the streamed two-source state machine must
+    * produce exactly the batch user/time-window join.
+    */
+  def streamClickAttrib(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val chunks = eventChunks(s, dir)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventsStream.clickPurchaseJoin(
+        clicks.toDF().where($"event_type" === "click"),
+        purchases.toDF().where($"event_type" === "purchase"))
+      .writeStream.format("memory").queryName("graft_stream_click_attrib")
+      .outputMode(OutputMode.Append).start()
+    try chunks.foreach { c =>
+      clicks.addData(c: _*)
+      purchases.addData(c: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("graft_stream_click_attrib")
+      .select($"user_id", $"click_id", $"purchase_id",
+        $"click_ts", $"purchase_ts")
+      .orderBy($"click_id", $"purchase_id")
+  }
+
+  val streamClickAttribSql: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |  WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
+  /** q_stream_clusters — the CONTINUOUS cluster-maintenance loop
+    * ([[EventsStream.clusterMaintainStream]]: per micro-batch label
+    * update through IncrementalDedup.updateClusters, bucketed label
+    * store rewrite, signature absorb, cross-session refresh) registered
+    * with the batch mod-4 split: store half persisted with its
+    * contracted labels, delta half arriving in TWO micro-batches — so
+    * the second batch's update must see the first batch's absorbed
+    * signatures AND relabel against its written labels. The final
+    * label store must equal the from-scratch contraction over the FULL
+    * merged corpus — the ORACLE IS Corpus.dedupClustersSql, shared
+    * verbatim with q_dedup_clusters and q_incremental_clusters: batch,
+    * one-shot incremental, and continuous streaming maintenance all
+    * land on the same fixpoint.
+    */
+  def streamClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Corpus, IncrementalDedup}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sigT = "graft_stream_clu_sigs"
+    val labT = "graft_stream_clu_labels"
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val store = docs.where($"doc_id" % 4 =!= 3)
+    IncrementalDedup.writeStore(store, sigT)
+    val storedLabels = Corpus.starContract(s,
+      IncrementalDedup.pairsWithin(store)
+        .where($"est_jaccard" >= 0.5).select($"id_a", $"id_b"))
+    IncrementalDedup.writeLabels(storedLabels, labT)
+    val delta = docs.where($"doc_id" % 4 === 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val half = delta.length / 2
+    val mem = MemoryStream[(Long, String)]
+    val q = EventsStream.clusterMaintainStream(s,
+      mem.toDF().toDF("doc_id", "text"), sigT, labT)
+    try {
+      mem.addData(delta.take(half).toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(delta.drop(half).toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    s.table(labT).select($"doc_id", $"cluster_id").orderBy($"doc_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_stream_sessionize", streamSessionize,
       Some(EventOps.sessionizeSql)),
@@ -453,5 +621,13 @@ object StreamQueries {
       Some(streamWinnowMatchSql)),
     GraftQuery("q_stream_mixture_apply", streamMixtureApply,
       Some(Corpus.mixtureApplySql)),
-    GraftQuery("q_stream_bpe_encode", streamBpeEncode, None))
+    GraftQuery("q_stream_bpe_encode", streamBpeEncode, None),
+    GraftQuery("q_stream_dedup_exact", streamDedupExact,
+      Some(streamDedupExactSql)),
+    GraftQuery("q_stream_neardup", streamNearDedup,
+      Some(streamNearDedupSql)),
+    GraftQuery("q_stream_click_attrib", streamClickAttrib,
+      Some(streamClickAttribSql)),
+    GraftQuery("q_stream_clusters", streamClusters,
+      Some(graft.operators.Corpus.dedupClustersSql)))
 }
