@@ -391,9 +391,10 @@ object Corpus {
 
   /** Distinct users per event type, exact vs HLL++ sketch — the swap-in
     * point where exact distinct (a full shuffle of the keys) becomes a
-    * mergeable constant-size sketch at 100 TB. Rows-only: DuckDB's
-    * approx sketch differs from Spark's HLL++ by construction; the
-    * CorpusSpec pins the sketch to <5% relative error instead.
+    * mergeable constant-size sketch at 100 TB. The raw estimate differs
+    * from DuckDB's sketch by construction, so the REGISTERED shape is
+    * [[distinctApproxGated]] (envelope boolean); this frame is the spec
+    * surface (CorpusSpec pins <5% relative error).
     */
   def distinctApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -404,6 +405,29 @@ object Corpus {
         approx_count_distinct($"user_id", 0.02).as("approx_users"))
       .orderBy($"event_type")
   }
+
+  /** The REGISTERED q_distinct_approx shape — hash-checked since round
+    * 17 by the gated-boolean convention (the q_stream_sketch_store
+    * precedent): the exact counts are plain SQL, and the sketch
+    * estimate rides as the integer-exact envelope predicate
+    * 20·|est − exact| ≤ exact, pinned TRUE by the oracle — a sketch
+    * outside the 5% envelope flips the boolean and breaks the hash.
+    * The raw-estimate frame ([[distinctApprox]]) stays as the spec
+    * surface (CorpusSpec measures the actual error).
+    */
+  def distinctApproxGated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    distinctApprox(s, dir)
+      .select($"event_type", $"exact_users",
+        (abs($"approx_users" - $"exact_users") * 20 <= $"exact_users")
+          .as("est_within_5pct"))
+      .orderBy($"event_type")
+  }
+
+  val distinctApproxSql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Rolling-window distinct users via a MERGEABLE sketch store — the
     * pattern that answers "distinct users over any trailing window"
@@ -420,9 +444,11 @@ object Corpus {
     * range BNLJ). The exact trailing distinct is computed next to it
     * as the bench-scale verification twin with its relative error — at
     * 100 TB only the sketch branch survives (the q_distinct_approx
-    * convention). Rows-only: the sketch binary is
-    * DataSketches-internal; CorpusSpec pins the error envelope, exact
-    * twin agreement with a naive recount, and determinism.
+    * convention). The sketch binary is DataSketches-internal, so the
+    * REGISTERED shape is [[distinctRollingGated]] (envelope boolean);
+    * this frame is the spec surface (CorpusSpec pins the error
+    * envelope, exact twin agreement with a naive recount, and
+    * determinism).
     */
   def distinctRolling(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -438,6 +464,22 @@ object Corpus {
       .select($"day", $"exact_users", $"est_users",
         round(abs($"est_users" - $"exact_users").cast("double")
           / $"exact_users", 6).as("rel_err"))
+      .orderBy($"day")
+  }
+
+  /** The REGISTERED q_distinct_rolling shape — hash-checked since round
+    * 17 (the [[distinctApproxGated]] convention applied to the rolling
+    * store): exact trailing counts as plain SQL, the stored-sketch
+    * estimate as the integer-exact 5% envelope boolean pinned TRUE.
+    * The raw (exact, est, rel_err) frame ([[distinctRolling]]) stays
+    * as the spec surface.
+    */
+  def distinctRollingGated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    distinctRolling(s, dir)
+      .select($"day", $"exact_users",
+        (abs($"est_users" - $"exact_users") * 20 <= $"exact_users")
+          .as("est_within_5pct"))
       .orderBy($"day")
   }
 
@@ -485,6 +527,11 @@ object Corpus {
       |SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS exact_users
       |FROM contrib c JOIN days USING (day)
       |GROUP BY c.day ORDER BY c.day""".stripMargin
+
+  val distinctRollingGatedSql: String =
+    s"""SELECT day, exact_users, TRUE AS est_within_5pct
+       |FROM ($distinctRollingExactSql) t
+       |ORDER BY day""".stripMargin
 
   /** The 7-day rolling estimate off ANY (day, sk) sketch frame — one
     * source for the batch query and the streaming sketch-store reader
@@ -1275,8 +1322,10 @@ object Corpus {
     GraftQuery("q_contamination_bloom", contaminationBloom,
       Some(contaminationBloomSql)),
     GraftQuery("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    GraftQuery("q_distinct_approx", distinctApprox, None),
-    GraftQuery("q_distinct_rolling", distinctRolling, None),
+    GraftQuery("q_distinct_approx", distinctApproxGated,
+      Some(distinctApproxSql)),
+    GraftQuery("q_distinct_rolling", distinctRollingGated,
+      Some(distinctRollingGatedSql)),
     GraftQuery("q_distinct_rolling_exact", distinctRollingExact,
       Some(distinctRollingExactSql)),
     GraftQuery("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),

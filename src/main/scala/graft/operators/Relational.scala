@@ -132,9 +132,10 @@ object Relational {
     * documents: `percentile_approx` (Greenwald-Khanna) keeps a bounded
     * per-group sketch instead of buffering the group's values, so the
     * same matrix costs O(groups × sketch) memory at any corpus size.
-    * Rows-only for the gate (sketch internals differ across engines);
-    * RelationalSpec bounds the relative error against the exact
-    * operator at ≤1% per cell.
+    * GK internals differ across engines, so the REGISTERED shape is
+    * [[percentilesApproxGated]] (envelope boolean); this raw frame is
+    * the spec surface (RelationalSpec/MiscSpec bound the relative error
+    * against the exact operator at ≤1% per cell).
     */
   def percentilesApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -147,6 +148,47 @@ object Relational {
         expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("price_p95"))
       .orderBy($"l_returnflag")
   }
+
+  /** The REGISTERED q_percentiles_approx shape — hash-checked since
+    * round 17 by the gated-boolean convention (the q_stream_sketch_store
+    * precedent): the exact interpolated percentiles are plain SQL, and
+    * the GK sketch rides as ONE boolean ANDing the four per-cell 1%
+    * envelopes (|approx − exact| · 100 ≤ exact — deterministic
+    * Spark-side arithmetic on two deterministic aggregates), pinned
+    * TRUE by the oracle: a sketch cell drifting past 1% flips the
+    * boolean and breaks the hash. Both aggregate sets run in the SAME
+    * groupBy — one shuffle, the sketch check costs no extra pass.
+    */
+  def percentilesApproxGated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+      abs(a - e) * 100 <= e
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.95)").as("qty_p95"),
+        expr("percentile(l_extendedprice, 0.5)").as("price_p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("price_p95"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("a1"),
+        expr("percentile_approx(l_quantity, 0.95, 10000)").as("a2"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("a3"),
+        expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("a4"))
+      .select($"l_returnflag", $"qty_p50", $"qty_p95", $"price_p50", $"price_p95",
+        (ok($"a1", $"qty_p50") && ok($"a2", $"qty_p95") &&
+          ok($"a3", $"price_p50") && ok($"a4", $"price_p95"))
+          .as("approx_within_1pct"))
+      .orderBy($"l_returnflag")
+  }
+
+  val percentilesApproxGatedSql: String =
+    """SELECT l_returnflag,
+      |  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS qty_p50,
+      |  CAST(quantile_cont(l_quantity, 0.95) AS DOUBLE) AS qty_p95,
+      |  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS price_p50,
+      |  CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS price_p95,
+      |  TRUE AS approx_within_1pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** The REGISTERED q_percentiles_by_source — the scale swap-in AS the
     * plan: per-source document-length quantiles via `percentile_approx`
@@ -258,7 +300,8 @@ object Relational {
     GraftQuery("q_window_topk", windowTopK, Some(windowTopKSql)),
     GraftQuery("q_window_topk_heap", windowTopKHeap, Some(windowTopKSql)),
     GraftQuery("q_percentiles", percentiles, Some(percentilesSql)),
-    GraftQuery("q_percentiles_approx", percentilesApprox, None),
+    GraftQuery("q_percentiles_approx", percentilesApproxGated,
+      Some(percentilesApproxGatedSql)),
     GraftQuery("q_percentiles_by_source", percentilesBySource,
       Some(percentilesBySourceSql)),
     GraftQuery("q_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)))
