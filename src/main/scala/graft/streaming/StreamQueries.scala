@@ -344,44 +344,76 @@ object StreamQueries {
     * half's postings are the PRECOMPUTED static side (the daily batch
     * artifact, uncapped — the cap belongs to the incremental store
     * builder, q_incremental_winnow), the delta half arrives as two
-    * doc_id-ordered micro-batches. The sink's (delta_id, store_id)
-    * pair set must equal the declarative ≥1-shared-fingerprint join —
-    * the oracle re-derives postings from scratch in SQL
-    * ([[graft.operators.TextAnalysis.winnowPostingsCtesSql]], the
-    * q_winnow_pairs chain) and joins across the same split, so the
-    * row-local fingerprint algebra, the bucket join, and the streamed
-    * pair dedup are all hash-checked against batch SQL.
+    * doc_id-ordered micro-batches. The static side applies the
+    * [[graft.operators.TextAnalysis.WinnowMaxPostings]] hot-fingerprint
+    * cap exactly like the production store builder
+    * (IncrementalDedup.writeWinnowStore): a boilerplate fingerprint in
+    * thousands of store docs would otherwise fan the posting join out
+    * quadratically; the cap bounds per-fingerprint fan-out at 64
+    * whatever the corpus. (The 184 s this query cost at sf0.1 before
+    * round 17 was NOT the fan-out: a redundant `where(size(sel) > 0)`
+    * in the stream plan predicate-pushed the full O(n²)-inlined
+    * fingerprint expression below the projection — see
+    * EventsStream.winnowMatchStream — and the lazy static side was
+    * re-evaluated every micro-batch; dropping the filter and persisting
+    * the capped store takes it to ~8 s warm at sf0.1.) The sink's
+    * (delta_id, store_id) pair set must equal the
+    * declarative capped ≥1-shared-fingerprint join — the oracle
+    * re-derives postings from scratch in SQL (the q_winnow_pairs CTE
+    * chain + the incrementalWinnowSql keep CTE) and joins across the
+    * same split, so the row-local fingerprint algebra, the capped
+    * bucket join, and the streamed pair dedup are all hash-checked
+    * against batch SQL.
     */
   def streamWinnowMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.TextAnalysis
     val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-    val postings = TextAnalysis.winnowPostingsOf(docs.where($"doc_id" % 4 =!= 3))
-    val delta = docs.where($"doc_id" % 4 === 3)
-      .as[(Long, String)].collect().sortBy(_._1)
-      .map { case (id, text) =>
-        (id, new java.sql.Timestamp(1700000000000L + id * 1000L), text)
-      }
-    val half = delta.length / 2
-    val sink = runStream[(Long, java.sql.Timestamp, String)](
-      s, Seq(delta.take(half).toSeq, delta.drop(half).toSeq),
-      ds => EventsStream.winnowMatchStream(ds.toDF("doc_id", "ts", "text"),
-        postings),
-      "graft_stream_winnow_match")
-    sink.select($"doc_id".as("delta_id"), $"store_id")
-      .orderBy($"delta_id", $"store_id")
+    val sp = TextAnalysis.winnowPostingsOf(docs.where($"doc_id" % 4 =!= 3))
+    val rare = sp.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .where($"df" <= TextAnalysis.WinnowMaxPostings).select($"fp")
+    // persist the capped store once: a stream-static join re-evaluates
+    // the static plan EVERY micro-batch, and this one is a full-corpus
+    // fingerprint pass referenced twice (postings + the cap agg) — in
+    // production it is the precomputed daily artifact the stream reads,
+    // so materializing it before the stream starts is the honest shape
+    val postings = sp.join(rare, "fp").persist()
+    postings.count()
+    try {
+      val delta = docs.where($"doc_id" % 4 === 3)
+        .as[(Long, String)].collect().sortBy(_._1)
+        .map { case (id, text) =>
+          (id, new java.sql.Timestamp(1700000000000L + id * 1000L), text)
+        }
+      val half = delta.length / 2
+      val sink = runStream[(Long, java.sql.Timestamp, String)](
+        s, Seq(delta.take(half).toSeq, delta.drop(half).toSeq),
+        ds => EventsStream.winnowMatchStream(ds.toDF("doc_id", "ts", "text"),
+          postings),
+        "graft_stream_winnow_match")
+      // the memory sink holds materialized rows — the returned plan
+      // reads it, not the postings lineage, so unpersist is safe here
+      sink.select($"doc_id".as("delta_id"), $"store_id")
+        .orderBy($"delta_id", $"store_id")
+    } finally postings.unpersist()
   }
 
   /** Oracle twin of [[streamWinnowMatch]]: postings re-derived from the
-    * documents table (the shared q_winnow_pairs CTE chain), split mod-4,
-    * distinct ≥1-shared pairs. The streaming screen is deliberately the
-    * ≥1-shared recall-first filter (EventsStream.winnowMatchStream doc);
-    * the ≥2-shared gate is the batch finalizer's, oracle-checked
-    * separately as q_incremental_winnow.
+    * documents table (the shared q_winnow_pairs CTE chain), split
+    * mod-4, the store side capped at WinnowMaxPostings store-half df
+    * (the incrementalWinnowSql keep CTE), distinct ≥1-shared pairs.
+    * The streaming screen is deliberately the ≥1-shared recall-first
+    * filter (EventsStream.winnowMatchStream doc); the ≥2-shared gate is
+    * the batch finalizer's, oracle-checked separately as
+    * q_incremental_winnow.
     */
   val streamWinnowMatchSql: String =
     s"""WITH ${graft.operators.TextAnalysis.winnowPostingsCtesSql},
-       |sp AS (SELECT doc_id, fp FROM postings WHERE doc_id % 4 <> 3),
+       |sp0 AS (SELECT doc_id, fp FROM postings WHERE doc_id % 4 <> 3),
+       |keep AS (
+       |  SELECT fp FROM sp0 GROUP BY fp
+       |  HAVING count(*) <= ${graft.operators.TextAnalysis.WinnowMaxPostings}),
+       |sp AS (SELECT doc_id, fp FROM sp0 JOIN keep USING (fp)),
        |d AS (SELECT doc_id, fp FROM postings WHERE doc_id % 4 = 3)
        |SELECT DISTINCT d.doc_id AS delta_id, sp.doc_id AS store_id
        |FROM d JOIN sp USING (fp)
