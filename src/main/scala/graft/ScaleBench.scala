@@ -170,12 +170,13 @@ object ScaleBench {
     "q_curation_pipeline", "q_mixture_apply", "q_pack_sequences",
     "q_ml_roc_auc")
 
-  /** The two registered exact/candidate-heavy cosine-pair plans whose
-    * compare count is inherently superlinear on a near-orthogonal
-    * corpus (SURVEY §5; the LSH route's 4-bit band keyspace holds 16
-    * buckets per band, so near-orthogonal bulk collides at O(n²/32)
-    * candidates — recall-tuned for the τ floor, not candidate-sparse
-    * on uniform data).
+  /** The two cosine-pair plans that get the full factor ladder: the
+    * exact blocked sweep is inherently O(n²) compares, and the LSH
+    * route keeps a (much smaller) quadratic bulk-collision term —
+    * since round 18's 32-band × 8-bit keyspace (256 buckets/band) the
+    * near-orthogonal bulk collides in an expected 1/8 bands per pair
+    * vs ~1 under the old 16×4 banding that the r17 dup ladder measured
+    * at fitted_exp 1.78 (SURVEY §5, §8j).
     */
   private val quadratic = Seq("q_embed_cosine_dedup", "q_embed_cosine_dedup_lsh")
 

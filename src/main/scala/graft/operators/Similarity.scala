@@ -936,13 +936,21 @@ object Similarity {
       |  round(CAST(hits AS DOUBLE) / n_truth, 4) AS recall_at_5
       |FROM hits CROSS JOIN nt ORDER BY method""".stripMargin
 
-  /** τ floor of the LSH route: at τ ≥ 0.7 (θ ≤ 45.6°) a 16-band × 4-bit
-    * sign-LSH candidate filter has ≥ 0.997 per-pair band recall
-    * (≥ 0.9955 after the [[HammingMax]] prefilter's 0.9985 factor), so
-    * candidates + exact verify is the scale path; below it band recall
-    * collapses toward the measured near-orthogonal regime (τ = 0.4 →
-    * θ ≈ 66°, recall ≪ 1) and NO exact sub-quadratic filter exists for
-    * dense vectors, so the only exact plan is the quadratic blocked sweep.
+  /** τ floor of the LSH route: at τ ≥ 0.7 (θ ≤ 45.6°, per-plane sign
+    * agreement p = 1 − θ/π ≈ 0.747) a 32-band × 8-bit sign-LSH candidate
+    * filter has per-pair band recall 1 − (1 − p⁸)³² ≈ 0.961 at the floor
+    * — rising steeply with τ: ≈ 0.996 at τ = 0.8, ≈ 0.99998 at τ = 0.9,
+    * the dup regime — and the [[HammingMax]] prefilter multiplies in
+    * ~1 − 3·10⁻⁹ (a 5.7σ cut at the floor), so candidates + exact verify
+    * is the scale path. Below the floor band recall collapses toward the
+    * measured near-orthogonal regime (τ = 0.4 → θ ≈ 66°, recall ≪ 1)
+    * and NO exact sub-quadratic filter exists for dense vectors, so the
+    * only exact plan is the quadratic blocked sweep. The 8-bit band
+    * keyspace (256 buckets/band) is what makes the route sub-quadratic
+    * in practice: near-orthogonal bulk (p ≈ 0.5) collides in an expected
+    * 32·2⁻⁸ = 1/8 bands per pair, vs 16·2⁻⁴ = 1 under the pre-round-18
+    * 16×4 banding whose bulk term the dup ladder measured at
+    * fitted_exp 1.78 (SURVEY §8j).
     */
   val TauLshFloor = 0.7
 
@@ -957,11 +965,11 @@ object Similarity {
     *  - otherwise, `tau ≥` [[TauLshFloor]]: banded sign-LSH candidates +
     *    exact cosine verification ([[lshVerified]]). Sub-quadratic; NO
     *    false positives (the verify step recomputes true cosine), and
-    *    per-pair candidate recall ≥ (1 − (1 − p⁴)¹⁶) · P[h ≤ 26] with
-    *    p = 1 − θ/π (band recall ≥ 0.997 at the floor, ~1 − 5·10⁻⁸ at
-    *    τ = 0.95; the [[HammingMax]] prefilter multiplies in 0.9985 at
-    *    the floor, ~1 above it → ≥ 0.9955 end-to-end) — near-exact but
-    *    NOT exhaustive. This is the 100 TB route.
+    *    per-pair candidate recall ≥ (1 − (1 − p⁸)³²) · P[h ≤ 104] with
+    *    p = 1 − θ/π (band recall ≈ 0.961 at the floor, ≈ 0.996 at
+    *    τ = 0.8, ~1 − 2·10⁻⁵ at τ = 0.9; the [[HammingMax]] prefilter
+    *    multiplies in ~1 − 3·10⁻⁹ at the floor, ~1 above it) —
+    *    near-exact but NOT exhaustive. This is the 100 TB route.
     *  - otherwise (`tau <` floor, no opt-in): exact low-τ semantics are
     *    inherently O(n²) compares (SURVEY §5) and band recall collapses,
     *    so the router REFUSES rather than silently going quadratic.
@@ -987,28 +995,71 @@ object Similarity {
         "pass allowQuadratic=true to run the blocked sweep on a sub-corpus " +
         "input, or raise tau to use the LSH-verified route")
 
-  /** The 64 sign-LSH hyperplanes (same LCG family as [[annLsh]],
-    * extended to 64 planes), materialized once on the driver — the
-    * signature loop below and the oracle's `planes` CTE both re-derive
-    * exactly these doubles from the same integer recurrence.
+  /** Number of sign-LSH hyperplanes (= signature bits), the band count,
+    * and bits per band: 256 planes banded 32 × 8. The 8-bit band
+    * keyspace is the scale lever (see [[TauLshFloor]]): 256
+    * buckets/band holds the near-orthogonal bulk's expected band
+    * collisions to 32·2⁻⁸ = 1/8 per pair, where the pre-round-18 16×4
+    * banding (16 buckets/band) collided at ~1 per pair and made the
+    * route quadratic-regime on uniform data (dup-ladder fitted_exp
+    * 1.78, SURVEY §8j).
+    */
+  private val SignPlaneCount = 256
+  private val SignBandCount = 32
+  private val SignBandBits = 8
+  private val SignWords = SignPlaneCount / 64
+
+  /** MurmurHash3's 64-bit finalizer (fmix64) — the public
+    * xorshift-multiply avalanche chain. The pre-round-18 plane family
+    * fed the seed through ONE raw LCG step (k·A + C), whose lattice
+    * structure made consecutive planes near-PARALLEL (measured: median
+    * |cos| between plane pairs 0.39, some pairs identical) — the
+    * signature's 256 bits spanned only a handful of independent
+    * directions, Hamming distances concentrated far below the binomial
+    * model, and the band buckets collided on moderately-similar bulk at
+    * ~12% of ALL pairs. That plane degeneracy — not the band keyspace —
+    * was the real root cause of the route's measured quadratic regime
+    * (SURVEY §8j). fmix64's three xorshift-multiply rounds restore
+    * full-entropy coefficients (measured plane-pair |cos| ~ N(0, 1/64),
+    * exactly the random-direction ideal), and every step is exact
+    * HUGEINT arithmetic in the oracle's mirror (xor, floor-div by 2³³,
+    * and a split 32-bit multiply mod 2⁶⁴ that stays inside INT128).
+    */
+  private def fmix64(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 33); z *= 0xFF51AFD7ED558CCDL
+    z ^= (z >>> 33); z *= 0xC4CEB9FE1A85EC53L
+    z ^= (z >>> 33)
+    z
+  }
+
+  /** The 256 sign-LSH hyperplanes, materialized once on the driver —
+    * the signature loop below and the oracle's `planes` CTE both
+    * re-derive exactly these doubles from the same [[fmix64]] chain.
+    * The plane family is 64-dim WIDE by construction (one coefficient
+    * per embedding dimension): the route requires 64-dim input,
+    * asserted fail-fast in the signature loop, because the oracle
+    * indexes v[1..64] against plane[1..64] and any other width would
+    * silently diverge.
     */
   private lazy val signPlanes: Array[Array[Double]] =
-    Array.tabulate(64, 64) { (p, d) =>
-      val x = (p * 64 + d) * 6364136223846793005L + 1442695040888963407L
+    Array.tabulate(SignPlaneCount, 64) { (p, d) =>
+      val x = fmix64((p * 64 + d).toLong)
       ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
     }
 
-  /** 64-bit sign signatures, computed per row in a mapPartitions
+  /** 256-bit sign signatures packed into [[SignWords]] longs (plane p →
+    * bit p%64 of word p/64), computed per row in a mapPartitions
     * primitive loop against the broadcast plane matrix (the
     * [[assignIds]] precedent): the equivalent higher-order-function
-    * expression — 64 nested zip_with/aggregate lambdas — is
-    * CodegenFallback, so it interpreted 64×64 expression nodes PER ROW
-    * and dominated the route's sf1 wall time. The float arithmetic is
-    * the expression's step for step: per plane one left-to-right
-    * product-accumulate fold from 0.0 (each multiply and add rounds
-    * individually — the JVM emits no fused multiply-add), bit p set iff
-    * the fold is strictly positive, bits assembled with OR (bit 63
-    * through a sum would wrap the long).
+    * expression — nested zip_with/aggregate lambdas — is
+    * CodegenFallback, so it interpreted planes×dims expression nodes
+    * PER ROW and dominated the route's sf1 wall time. The float
+    * arithmetic is the expression's step for step: per plane one
+    * left-to-right product-accumulate fold from 0.0 (each multiply and
+    * add rounds individually — the JVM emits no fused multiply-add),
+    * the bit set iff the fold is strictly positive, bits assembled with
+    * OR (bit 63 through a sum would wrap the long).
     */
   private def signSignatures(s: SparkSession, vin: DataFrame): DataFrame = {
     import s.implicits._
@@ -1018,23 +1069,25 @@ object Similarity {
         val planes = bc.value
         it.map { case (id, vec) =>
           val a = vec.toArray
-          val n = if (a.length < 64) a.length else 64
-          var sig = 0L
+          require(a.length == 64,
+            s"sign-LSH route requires 64-dim embeddings (the plane family " +
+              s"and the oracle both index dims 1..64); got ${a.length} for vec_id=$id")
+          val sig = new Array[Long](SignWords)
           var p = 0
-          while (p < 64) {
+          while (p < SignPlaneCount) {
             val pl = planes(p)
             var acc = 0.0
             var i = 0
-            while (i < n) { acc += pl(i) * a(i); i += 1 }
-            if (acc > 0) sig |= (1L << p)
+            while (i < 64) { acc += pl(i) * a(i); i += 1 }
+            if (acc > 0) sig(p / 64) |= (1L << (p % 64))
             p += 1
           }
-          (id, sig)
+          (id, sig(0), sig(1), sig(2), sig(3))
         }
-      }.toDF("vec_id", "sig")
+      }.toDF("vec_id", "s0", "s1", "s2", "s3")
   }
 
-  /** High-τ leg: 16 bands × 4 sign bits generate candidates (equi-join
+  /** High-τ leg: 32 bands × 8 sign bits generate candidates (equi-join
     * within a (band, bits) bucket — never all-pairs), candidate id pairs
     * dedup BEFORE verification (one dot product per pair, not per
     * colliding band), then the exact rounded cosine filters at `tau`.
@@ -1049,39 +1102,52 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Hamming prefilter bound on the 64-bit sign signature: a pair at
+  /** Hamming prefilter bound on the 256-bit sign signature: a pair at
     * the τ = 0.7 floor (θ ≈ 45.6°) flips each sign bit with
-    * p = θ/π ≈ 0.253, so its Hamming distance is Binomial(64, 0.253)
-    * — mean 16.2, σ 3.5 — and P[h ≤ 26] ≈ 0.9985; the near-orthogonal
-    * bulk (θ ≈ 90°, h ~ Binomial(64, 0.5)) passes with only
-    * P ≈ 0.085. The filter runs as a streamed scalar predicate on the
-    * two longs the bucket join already carries — BEFORE the candidate
-    * distinct and the vector fetch — so it cuts the route's shuffle
-    * and dot-product volume ~12× on a no-dup-structure corpus (the
-    * ScaleBench-measured regime where 4-bit buckets collide at
-    * O(n²/32)) at ≤ 0.2% recall cost at the floor, less above it.
+    * p = θ/π ≈ 0.253, so its Hamming distance is Binomial(256, 0.253)
+    * — mean 64.8, σ 7.0 — and P[h ≤ 104] ≈ 1 − 3·10⁻⁹ (a 5.7σ cut;
+    * the 64-bit scheme's 26/64 threshold scaled proportionally). The
+    * near-orthogonal bulk (θ ≈ 90°, h ~ Binomial(256, 0.5), mean 128,
+    * σ 8) passes with only P ≈ 0.0016 — concentration of measure makes
+    * the 256-bit prefilter ~50× more selective than the 64-bit one at
+    * essentially zero recall cost. The filter runs as a streamed scalar
+    * predicate on the signature words the bucket join already carries —
+    * BEFORE the candidate distinct and the vector fetch — so the
+    * distinct/fetch/verify stages see ~0.2% of the band-collision
+    * volume on a no-dup-structure corpus.
     */
-  private val HammingMax = 26
+  private val HammingMax = 104
 
   /** The LSH route's verified candidate frame — the 3-stage cascade:
     * banded sign-LSH bucket collisions (coarse), Hamming prefilter on
-    * the full 64-bit signatures (fine, [[HammingMax]]), exact rounded
+    * the full 256-bit signatures (fine, [[HammingMax]]), exact rounded
     * cosine (verify) — before any τ filter; one source for
     * [[lshVerified]] and the registered [[cosineDedupLshTop]].
+    * Band k takes bits [8k, 8k+8) of the packed signature: word k/8,
+    * shift 8·(k mod 8) — the bands partition the 256 bits, which is
+    * what lets the oracle reconstruct the full Hamming distance as a
+    * sum of per-band bit_count(xor).
     */
   private[graft] def lshVerifiedCandidates(s: SparkSession, vin: DataFrame): DataFrame = {
     import s.implicits._
+    val sigCols = (0 until SignWords).map(w => col(s"s$w"))
     val sig = signSignatures(s, vin)
-    val bands = sig.select($"vec_id", $"sig", explode(array((0 until 16).map { k =>
-        struct(lit(k).as("band"),
-          shiftrightunsigned($"sig", 4 * k).bitwiseAND(lit(15L)).as("bits"))
-      }: _*)).as("bk"))
-      .select($"vec_id", $"sig", $"bk.band", $"bk.bits")
-    val cand = bands.select($"band", $"bits", $"vec_id".as("id_a"), $"sig".as("siga"))
-      .join(bands.select($"band", $"bits", $"vec_id".as("id_b"), $"sig".as("sigb")),
-        Seq("band", "bits"))
-      .where($"id_a" < $"id_b" &&
-        bit_count($"siga".bitwiseXOR($"sigb")) <= HammingMax)
+    val bands = sig.select(($"vec_id" +: sigCols) :+
+        explode(array((0 until SignBandCount).map { k =>
+          struct(lit(k).as("band"),
+            shiftrightunsigned(col(s"s${k / 8}"), SignBandBits * (k % 8))
+              .bitwiseAND(lit(255L)).as("bits"))
+        }: _*)).as("bk"): _*)
+      .select(($"vec_id" +: sigCols) :+ $"bk.band" :+ $"bk.bits": _*)
+    val left = bands.select(($"band" +: $"bits" +: $"vec_id".as("id_a") +:
+      (0 until SignWords).map(w => col(s"s$w").as(s"a$w"))): _*)
+    val right = bands.select(($"band" +: $"bits" +: $"vec_id".as("id_b") +:
+      (0 until SignWords).map(w => col(s"s$w").as(s"b$w"))): _*)
+    val hamming = (0 until SignWords)
+      .map(w => bit_count(col(s"a$w").bitwiseXOR(col(s"b$w"))))
+      .reduce(_ + _)
+    val cand = left.join(right, Seq("band", "bits"))
+      .where($"id_a" < $"id_b" && hamming <= HammingMax)
       .select($"id_a", $"id_b").distinct()
     val va = vin.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
     val vb = vin.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
@@ -1097,7 +1163,7 @@ object Similarity {
     * gate's decision as a boolean. The driver's embeddings top out at
     * cos ≈ 0.51, so the τ = 0.7 filter itself would return zero rows —
     * the rank-limited shortlist keeps the oracle check NON-TRIVIAL
-    * (every stage — 64-plane signature, banding, bucket join, exact
+    * (every stage — 256-plane signature, banding, bucket join, exact
     * verify, ranking — must agree pair-for-pair) while `pass_tau`
     * encodes exactly what the route would emit. With this in the gate,
     * the registered q_embed_cosine_dedup (τ=0.4 blocked sweep) is the
@@ -1113,24 +1179,55 @@ object Similarity {
       .limit(20)
   }
 
-  /** Oracle twin of [[cosineDedupLshTop]]: the 64 LCG hyperplanes
-    * re-derived in HUGEINT (the annLshSql arithmetic extended to 64
-    * planes), 4-bit band keys from the plane signs, bucket-join
+  /** One fmix64 xorshift-multiply round's `z *= M` step in HUGEINT:
+    * the full 64-bit operand would overflow INT128 when multiplied by a
+    * 64-bit constant, so split the operand at 2³² — (a·M) mod 2⁶⁴ =
+    * (a_lo·M + ((a_hi·M) mod 2³²)·2³²) mod 2⁶⁴, every intermediate
+    * < 2⁹⁶.
+    */
+  private def sqlMulMod(e: String, c: BigInt): String =
+    s"((($e) % 4294967296) * $c + (((($e) // 4294967296) * $c) % 4294967296)" +
+      s" * 4294967296) % 18446744073709551616"
+
+  /** The [[fmix64]] plane-coefficient CTE chain shared verbatim by the
+    * route oracle: seed = p·64+d, three xorshift(33)/multiply rounds in
+    * exact HUGEINT, then the engine's (z >>> 11)/2⁵³ → [−1, 1) mapping
+    * (all intermediates < 2⁵³, so the int→double cast is exact).
+    */
+  private lazy val signPlanesCtesSql: String = {
+    val m1 = BigInt("18397679294719823053") // 0xFF51AFD7ED558CCD unsigned
+    val m2 = BigInt("14181476777654086739") // 0xC4CEB9FE1A85EC53 unsigned
+    s"""pd AS (
+       |  SELECT p, d, CAST(p * 64 + d AS HUGEINT) AS z0
+       |  FROM (SELECT unnest(generate_series(0, ${SignPlaneCount - 1})) AS p),
+       |       (SELECT unnest(generate_series(0, 63)) AS d)),
+       |z1 AS (SELECT p, d, xor(z0, z0 // 8589934592) AS z FROM pd),
+       |z2 AS (SELECT p, d, ${sqlMulMod("z", m1)} AS z FROM z1),
+       |z3 AS (SELECT p, d, xor(z, z // 8589934592) AS z FROM z2),
+       |z4 AS (SELECT p, d, ${sqlMulMod("z", m2)} AS z FROM z3),
+       |z5 AS (SELECT p, d, xor(z, z // 8589934592) AS z FROM z4),
+       |planes AS (
+       |  SELECT p, list(
+       |      (CAST(z // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0
+       |      ORDER BY d) AS plane
+       |  FROM z5 GROUP BY p)""".stripMargin
+  }
+
+  /** Oracle twin of [[cosineDedupLshTop]]: the 256 [[fmix64]]
+    * hyperplanes re-derived in exact HUGEINT ([[signPlanesCtesSql]]),
+    * 8-bit band keys from the plane signs, bucket-join
     * candidates, the engine's [[HammingMax]] prefilter mirrored as a
     * per-pair sum of band-wise bit_count(xor) — the bands partition the
-    * 64 signature bits, so the sum IS the full Hamming distance; the
+    * 256 signature bits, so the sum IS the full Hamming distance; the
     * engine gates before its candidate distinct and the oracle after,
     * which is equivalent because the predicate is a pure per-pair
     * function — then exact left-to-right-fold cosine verify, top-20
-    * with the τ-gate boolean.
+    * with the τ-gate boolean. [[HammingMax]] is interpolated, not
+    * hardcoded, so tuning the engine constant cannot silently diverge
+    * from the oracle.
     */
   val cosineDedupLshSql: String =
-    s"""WITH planes AS (
-       |  SELECT p, list_transform(generate_series(0, 63), d ->
-       |      (CAST(((CAST(p * 64 + d AS HUGEINT) * 6364136223846793005
-       |          + 1442695040888963407) % 18446744073709551616) // 2048 AS DOUBLE)
-       |        / 9007199254740992.0) * 2.0 - 1.0) AS plane
-       |  FROM (SELECT unnest(generate_series(0, 63)) AS p)),
+    s"""WITH $signPlanesCtesSql,
        |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
        |dots AS (
        |  SELECT vec_id, p,
@@ -1139,24 +1236,24 @@ object Similarity {
        |      (x, y) -> x + y) AS dot
        |  FROM v, planes),
        |bands AS (
-       |  SELECT vec_id, p // 4 AS band,
-       |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END)
+       |  SELECT vec_id, p // $SignBandBits AS band,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % $SignBandBits)) ELSE 0 END)
        |      AS BIGINT) AS bits
-       |  FROM dots GROUP BY vec_id, p // 4),
+       |  FROM dots GROUP BY vec_id, p // $SignBandBits),
        |cand0 AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bits = y.bits
        |  WHERE x.vec_id < y.vec_id),
        |cand AS (
-       |  -- the engine's Hamming prefilter on the full 64-bit signature:
-       |  -- the 16 bands partition the 64 bits, so the pair's Hamming
+       |  -- the engine's Hamming prefilter on the full 256-bit signature:
+       |  -- the 32 bands partition the 256 bits, so the pair's Hamming
        |  -- distance is the sum over bands of bit_count(xor(bits))
        |  SELECT c.id_a, c.id_b
        |  FROM cand0 c
        |  JOIN bands ba ON ba.vec_id = c.id_a
        |  JOIN bands bb ON bb.vec_id = c.id_b AND bb.band = ba.band
        |  GROUP BY c.id_a, c.id_b
-       |  HAVING sum(bit_count(xor(ba.bits, bb.bits))) <= 26),
+       |  HAVING sum(bit_count(xor(ba.bits, bb.bits))) <= $HammingMax),
        |vn AS (
        |  SELECT vec_id, v,
        |    sqrt(list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
