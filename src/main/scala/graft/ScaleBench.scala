@@ -64,6 +64,9 @@ object ScaleData {
     // the token tags). Only embeddings is written: the dup ladder reads
     // nothing else.
     if (dupPct > 0) {
+      // integer stride means the EFFECTIVE planted rate is 100/stride %,
+      // which deviates from dupPct for non-divisors of 100 (e.g. 30 →
+      // stride 3 ≈ 33%) — the log line below reports the effective rate
       val stride = math.max(2, 100 / dupPct)
       val base = spark.read.parquet(s"$src/embeddings.parquet")
       val prev = base.select(($"vec_id" + 1).as("vec_id"), $"embedding".as("twin"))
@@ -84,7 +87,8 @@ object ScaleData {
           $"label")
         .repartition(parts)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      println(s"[scaledata] embeddings x$factor dup$dupPct% -> $out")
+      println(s"[scaledata] embeddings x$factor dup$dupPct% " +
+        s"(effective ${100 / stride}%, stride $stride) -> $out")
       spark.stop()
       return
     }
@@ -244,8 +248,12 @@ object ScaleBench {
             .map { case (fct, d) => (fct, time(n, d)) }
           val fields = pts.map { case (fct, t) => s""""t$fct":${f(t)}""" }
             .mkString(",")
-          val exp = if (pts.size >= 2) f(fitExp(pts)) else "null"
-          s""""$n":{$fields,"fitted_exp":$exp,"n_points":${pts.size}}"""
+          // fit only positive timings: a degenerate ~0 s point would put
+          // -Infinity/NaN through math.log and make the JSON unparseable;
+          // n_points reports how many survived the guard
+          val fit = pts.filter(_._2 > 0)
+          val exp = if (fit.size >= 2) f(fitExp(fit)) else "null"
+          s""""$n":{$fields,"fitted_exp":$exp,"n_points":${fit.size}}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[scalebench] ladder $n failed: ${e.getMessage}")

@@ -482,9 +482,22 @@ object StreamQueries {
     * events table itself (event_id is the key, so first-arrival dedup
     * of an at-least-once feed reproduces the exact relation — the
     * Kafka-redelivery contract this operator exists for).
+    *
+    * DATA CONTRACT: the oracle equality assumes event_id is globally
+    * UNIQUE in the source table — a generator change that introduced
+    * duplicate event_ids would make the streamed sink (first-arrival
+    * deduped) diverge from the raw-table oracle in a way that looks
+    * like a streaming bug. The cheap count == count(distinct) assert
+    * below fails fast with the real cause instead.
     */
   def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val ev = EventOps.events(s, dir)
+      .agg(count(lit(1)).as("n"), countDistinct($"event_id").as("nd"))
+      .head()
+    require(ev.getLong(0) == ev.getLong(1),
+      s"events.event_id must be unique for the raw-table oracle to hold: " +
+        s"${ev.getLong(0)} rows, ${ev.getLong(1)} distinct ids")
     val chunks = eventChunks(s, dir)
     val replayed = chunks.zipWithIndex.map { case (c, i) =>
       if (i == 0) c
