@@ -28,6 +28,37 @@ object StreamQueries {
 
   import EventsStream.Event
 
+  /** Shuffle-partition override for the stream DRIVES: a stateful
+    * streaming query materializes one state store per shuffle partition
+    * in EVERY micro-batch, so the per-batch fixed cost scales with the
+    * partition count while sf0.1 micro-batch volumes (thousands of
+    * rows) need only a few. State-store count is a property of the
+    * CLUSTER a production stream runs on, not of the corpus — the
+    * batch engine keeps its 32; only the stream drives narrow. Hash
+    * partitioning by key means the override cannot change results,
+    * only where state lives. Default 4, picked by the round-18
+    * measured sweep over {4, 8, 32} (SURVEY §8j): q_stream_click_attrib
+    * 25.7 → 5.6 s (two sources ⇒ two state stores per partition per
+    * micro-batch, so it pays the per-partition fixed cost twice),
+    * q_stream_dedup_exact 6.5 → 2.7 s, q_stream_neardup 3.7 → 2.2 s,
+    * with no drive slower at 4 than at 8. Env-tunable
+    * (SPARK_GRAFT_STREAM_PARTS) to re-run the sweep.
+    */
+  private lazy val StreamShuffleParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+
+  /** Pin `spark.sql.shuffle.partitions` to [[StreamShuffleParts]] for
+    * the duration of one stream drive (the value is latched when the
+    * streaming query STARTS), restoring the session's batch setting
+    * after — oracle SQL and batch twins still run at the session's 32.
+    */
+  private def withStreamParts[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShuffleParts)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run one streaming plan to completion over pre-chunked arrivals:
     * fresh MemoryStream, one micro-batch per chunk (each addData call
     * is one source block, so a chunk arrives as ONE ordered input
@@ -36,7 +67,7 @@ object StreamQueries {
     */
   private def runStream[A: Encoder](s: SparkSession, chunks: Seq[Seq[A]],
       build: Dataset[A] => DataFrame, sink: String,
-      mode: OutputMode = OutputMode.Append): DataFrame = {
+      mode: OutputMode = OutputMode.Append): DataFrame = withStreamParts(s) {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val mem = MemoryStream[A]
     val q = build(mem.toDS()).writeStream.format("memory")
@@ -215,12 +246,14 @@ object StreamQueries {
       .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
       .collect().sortBy(_._2.getTime)
     val half = evs.length / 2
-    val mem = MemoryStream[(Long, java.sql.Timestamp)]
-    val q = EventsStream.sketchStoreStream(s, mem.toDF().toDF("user_id", "ts"), tbl)
-    try {
-      mem.addData(evs.take(half).toIndexedSeq: _*); q.processAllAvailable()
-      mem.addData(evs.drop(half).toIndexedSeq: _*); q.processAllAvailable()
-    } finally q.stop()
+    withStreamParts(s) {
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = EventsStream.sketchStoreStream(s, mem.toDF().toDF("user_id", "ts"), tbl)
+      try {
+        mem.addData(evs.take(half).toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(evs.drop(half).toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
     val streamed = Corpus.rollingEstFromSketches(s.table(tbl))
       .select($"day", $"est_users".as("streamed_est"))
     val du = EventOps.events(s, dir)
@@ -578,18 +611,20 @@ object StreamQueries {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val chunks = eventChunks(s, dir)
-    val clicks = MemoryStream[Event]
-    val purchases = MemoryStream[Event]
-    val q = EventsStream.clickPurchaseJoin(
-        clicks.toDF().where($"event_type" === "click"),
-        purchases.toDF().where($"event_type" === "purchase"))
-      .writeStream.format("memory").queryName("graft_stream_click_attrib")
-      .outputMode(OutputMode.Append).start()
-    try chunks.foreach { c =>
-      clicks.addData(c: _*)
-      purchases.addData(c: _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    withStreamParts(s) {
+      val clicks = MemoryStream[Event]
+      val purchases = MemoryStream[Event]
+      val q = EventsStream.clickPurchaseJoin(
+          clicks.toDF().where($"event_type" === "click"),
+          purchases.toDF().where($"event_type" === "purchase"))
+        .writeStream.format("memory").queryName("graft_stream_click_attrib")
+        .outputMode(OutputMode.Append).start()
+      try chunks.foreach { c =>
+        clicks.addData(c: _*)
+        purchases.addData(c: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table("graft_stream_click_attrib")
       .select($"user_id", $"click_id", $"purchase_id",
         $"click_ts", $"purchase_ts")
@@ -639,13 +674,15 @@ object StreamQueries {
     val delta = docs.where($"doc_id" % 4 === 3)
       .as[(Long, String)].collect().sortBy(_._1)
     val half = delta.length / 2
-    val mem = MemoryStream[(Long, String)]
-    val q = EventsStream.clusterMaintainStream(s,
-      mem.toDF().toDF("doc_id", "text"), sigT, labT)
-    try {
-      mem.addData(delta.take(half).toIndexedSeq: _*); q.processAllAvailable()
-      mem.addData(delta.drop(half).toIndexedSeq: _*); q.processAllAvailable()
-    } finally q.stop()
+    withStreamParts(s) {
+      val mem = MemoryStream[(Long, String)]
+      val q = EventsStream.clusterMaintainStream(s,
+        mem.toDF().toDF("doc_id", "text"), sigT, labT)
+      try {
+        mem.addData(delta.take(half).toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(delta.drop(half).toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(labT).select($"doc_id", $"cluster_id").orderBy($"doc_id")
   }
 
