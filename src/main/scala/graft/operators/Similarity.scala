@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Number of sign-LSH hyperplanes (= signature bits), the band count,
+    * and bits per band: 256 planes banded 32 × 8. The 8-bit band
+    * keyspace is the scale lever (see [[TauLshFloor]]): 256
+    * buckets/band holds the near-orthogonal bulk's expected band
+    * collisions to 32·2⁻⁸ = 1/8 per pair, where the pre-round-18 16×4
+    * banding (16 buckets/band) collided at ~1 per pair and made the
+    * route quadratic-regime on uniform data (dup-ladder fitted_exp
+    * 1.78, SURVEY §8j). Declared at the TOP of the object: strict vals
+    * below (annLshSql, cosineDedupLshSql) force the lazy SQL chains
+    * during object init, and Scala initializes strict vals in
+    * declaration order — these must come first or the chains bake in
+    * zeros (the round-18 `generate_series(0, -1)` bug).
+    */
+  private val SignPlaneCount = 256
+  private val SignBandCount = 32
+  private val SignBandBits = 8
+  private val SignWords = SignPlaneCount / 64
+
   /** vectors with their norms precomputed once (the pair loop then only
     * pays one ArrayDot per pair instead of three).
     */
@@ -153,130 +171,111 @@ object Similarity {
        |    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) sc) r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** The 16-bit sign-LSH bucket of a vector column: 16 fixed
-    * pseudo-random hyperplanes (deterministic LCG coordinates, plane p
-    * dim d coefficient in [-1, 1) via (x>>>11)/2^53 then *2-1 —
-    * dividing by 2^52 would land in [-1,3) and bias buckets toward
-    * all-ones). Shared by the bucket census (q_ann_lsh) and the LSH
-    * top-k search path the recall scoreboard measures.
-    */
-  private def lshBucketExpr(vCol: Column): Column = {
-    val nPlanes = 16
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-      (0 until 64).map { d =>
-        val x = (p * 64 + d) * 6364136223846793005L + 1442695040888963407L
-        ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-      }
-    }
-    val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
-    aggregate(
-      zip_with(planesCol, sequence(lit(0), lit(nPlanes - 1)), (plane, idx) =>
-        when(aggregate(zip_with(plane, vCol, (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) > 0,
-          call_function("shiftleft", lit(1L), idx)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
-
-  /** LSH as a SEARCH path (not just the bucket census): candidates are
-    * the query's same-bucket vectors (one equi-join on the 16-bit key),
-    * exact cosine reranks, top-5 — the standard bucket-probe ANN. A
-    * query whose bucket holds fewer than 5 neighbors returns fewer rows;
-    * the recall scoreboard prices that honestly.
+  /** LSH as a SEARCH path: the standard MULTI-TABLE probe over the
+    * same banded 256-bit sign index the dedup route builds
+    * ([[signBands]] — 32 tables of 8-bit keys). Candidates are the
+    * union of the query's 32 band buckets (one equi-join on
+    * (band, bits), deduped), exact cosine reranks, top-5. Per-neighbor
+    * recall at cosine c is 1 − (1 − p⁸)³² with p = 1 − arccos(c)/π —
+    * ≈ 0.56 at c = 0.4, ≈ 0.72 at c = 0.5 — while the probe touches
+    * ~n/8 of the corpus per query; the recall scoreboard prices that
+    * honestly. REDESIGNED round 18 (§8j): the old single 16-bit-bucket
+    * probe only ever LOOKED functional because the degenerate raw-LCG
+    * planes collapsed the keyspace; with honest hyperplanes one 16-bit
+    * table leaves every query alone in its bucket (measured recall 0.0)
+    * — multi-table banding is what real LSH search deployments do.
     */
   private[graft] def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val v = vecs(s, dir).withColumn("bucket", lshBucketExpr($"v"))
-    val q = v.where($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"bucket", $"v".as("qv"), $"nrm".as("qnrm"))
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    broadcast(q).join(v, "bucket")
+    val v = vecs(s, dir)
+    val bands = signBands(s, v).select($"vec_id", $"band", $"bits")
+    val qb = bands.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"band", $"bits")
+    val cand = broadcast(qb).join(bands, Seq("band", "bits"))
       .where($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("neighbor_id"),
+      .select($"q_id", $"vec_id".as("neighbor_id")).distinct()
+    val q = v.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    cand.join(broadcast(q), "q_id")
+      .join(v.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
+      .select($"q_id", $"neighbor_id",
         round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= 5)
       .orderBy($"q_id", $"rank")
   }
 
-  /** Random-hyperplane LSH bucketing — the scale path: 16 fixed
-    * pseudo-random hyperplanes (deterministic LCG coordinates) hash each
-    * vector to a 16-bit bucket; candidates only form within a bucket.
-    * Rows-only oracle (bucket contents, not SQL-expressible compactly).
-    * Bucket membership is reported as a scalar digest (count, id range,
-    * md5 of the sorted id list) — the driver's comparison layer sorts
-    * result columns, so outputs stay scalar.
+  /** Random-hyperplane LSH index census — one row per (band, bits)
+    * bucket of the [[signBands]] multi-table index with count, id range
+    * and an md5 digest of the sorted member list (the driver's
+    * comparison layer sorts result columns, so outputs stay scalar).
+    * This is the operational census a deployment reads to check index
+    * balance before serving probes from it.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = vecs(s, dir)
-    v.select($"vec_id", lshBucketExpr($"v").as("bucket"))
-      .groupBy($"bucket").agg(count(lit(1)).as("n_vecs"),
+    signBands(s, vecs(s, dir)).select($"vec_id", $"band", $"bits")
+      .groupBy($"band", $"bits").agg(count(lit(1)).as("n_vecs"),
         min($"vec_id").as("min_vec_id"), max($"vec_id").as("max_vec_id"),
         md5(array_join(transform(sort_array(collect_list($"vec_id")),
           _.cast("string")), ",").cast("binary")).as("ids_md5"))
-      .orderBy($"bucket")
+      .orderBy($"band", $"bits")
   }
 
-  /** Oracle: re-derive the LCG plane coefficients in SQL. Scala's
-    * `k*A + B` wraps mod 2⁶⁴ and `>>>11` reads the result unsigned, so
-    * the oracle does the same arithmetic in HUGEINT: (k·A+B) mod 2⁶⁴,
-    * floor-div 2¹¹. Both sides then apply identical IEEE double ops
-    * (all intermediates < 2⁵³, so the int→double casts are exact), and
-    * the dot product folds left-to-right from a 0.0 seed in both.
+  /** The planes→dots→bands CTE chain shared by the bucket census
+    * oracle, the LSH search-path oracle feeding the recall scoreboard,
+    * and the dedup-route oracle — the [[fmix64]] HUGEINT mirror
+    * ([[signPlanesCtesSql]]) plus the engine's exact left-to-right
+    * plane dots and 8-bit band keys.
     */
-  /** The planes→dots→buckets CTE chain shared by the bucket census
-    * oracle and the LSH search-path oracle feeding the recall
-    * scoreboard.
-    */
-  private val lshBucketsCtesSql: String =
-    """planes AS (
-      |  SELECT p, list_transform(generate_series(0, 63), d ->
-      |      (CAST(((CAST(p * 64 + d AS HUGEINT) * 6364136223846793005
-      |          + 1442695040888963407) % 18446744073709551616) // 2048 AS DOUBLE)
-      |        / 9007199254740992.0) * 2.0 - 1.0) AS plane
-      |  FROM (SELECT unnest(generate_series(0, 15)) AS p)),
-      |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
-      |dots AS (
-      |  SELECT vec_id, p,
-      |    list_reduce(list_prepend(0.0,
-      |      [plane[i] * v[i] for i in generate_series(1, len(v))]),
-      |      (x, y) -> x + y) AS dot
-      |  FROM v, planes),
-      |buckets AS (
-      |  SELECT vec_id,
-      |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
-      |      AS bucket
-      |  FROM dots GROUP BY vec_id)""".stripMargin
+  private lazy val signBandsCtesSql: String =
+    s"""$signPlanesCtesSql,
+       |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_prepend(0.0,
+       |      [plane[i] * v[i] for i in generate_series(1, len(v))]),
+       |      (x, y) -> x + y) AS dot
+       |  FROM v, planes),
+       |bands AS (
+       |  SELECT vec_id, p // $SignBandBits AS band,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % $SignBandBits)) ELSE 0 END)
+       |      AS BIGINT) AS bits
+       |  FROM dots GROUP BY vec_id, p // $SignBandBits)""".stripMargin
 
   val annLshSql: String =
-    s"""WITH $lshBucketsCtesSql
-      |SELECT bucket, count(*) AS n_vecs,
+    s"""WITH $signBandsCtesSql
+      |SELECT band, bits, count(*) AS n_vecs,
       |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
       |  md5(string_agg(vec_id, ',' ORDER BY vec_id)) AS ids_md5
-      |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
+      |FROM bands GROUP BY band, bits ORDER BY band, bits""".stripMargin
 
-  /** Oracle twin of [[lshTopK]]: same-bucket candidates, exact-cosine
-    * rerank, top-5 per query.
+  /** Oracle twin of [[lshTopK]]: union-of-band-buckets candidates,
+    * exact-cosine rerank, top-5 per query.
     */
-  private val lshTopKSql: String =
-    s"""WITH $lshBucketsCtesSql,
-      |vb AS (
-      |  SELECT v.vec_id, v.v,
-      |    sqrt(list_reduce([v.v[i] * v.v[i] for i in generate_series(1, len(v.v))],
-      |      (x, y) -> x + y)) AS nrm,
-      |    b.bucket
-      |  FROM v JOIN buckets b USING (vec_id))
+  private lazy val lshTopKSql: String =
+    s"""WITH $signBandsCtesSql,
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, a.vec_id AS neighbor_id
+      |  FROM bands q JOIN bands a ON q.band = a.band AND q.bits = a.bits
+      |  WHERE q.vec_id < 10 AND a.vec_id <> q.vec_id),
+      |vn AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
+      |      (x, y) -> x + y)) AS nrm
+      |  FROM v)
       |SELECT q_id, neighbor_id, cos, rank FROM (
-      |  SELECT q.vec_id AS q_id, a.vec_id AS neighbor_id,
+      |  SELECT c.q_id, c.neighbor_id,
       |    round(list_reduce([q.v[i] * a.v[i] for i in generate_series(1, len(q.v))],
       |      (x, y) -> x + y) / (q.nrm * a.nrm), 6) AS cos,
-      |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |    CAST(row_number() OVER (PARTITION BY c.q_id ORDER BY
       |      round(list_reduce([q.v[i] * a.v[i] for i in generate_series(1, len(q.v))],
-      |        (x, y) -> x + y) / (q.nrm * a.nrm), 6) DESC, a.vec_id ASC)
+      |        (x, y) -> x + y) / (q.nrm * a.nrm), 6) DESC, c.neighbor_id ASC)
       |      AS INT) AS rank
-      |  FROM vb q JOIN vb a USING (bucket)
-      |  WHERE q.vec_id < 10 AND a.vec_id <> q.vec_id) z
+      |  FROM cand c JOIN vn q ON c.q_id = q.vec_id
+      |    JOIN vn a ON c.neighbor_id = a.vec_id) z
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** IVF-style ANN — the inverted-file scale path: a deterministic
@@ -995,20 +994,6 @@ object Similarity {
         "pass allowQuadratic=true to run the blocked sweep on a sub-corpus " +
         "input, or raise tau to use the LSH-verified route")
 
-  /** Number of sign-LSH hyperplanes (= signature bits), the band count,
-    * and bits per band: 256 planes banded 32 × 8. The 8-bit band
-    * keyspace is the scale lever (see [[TauLshFloor]]): 256
-    * buckets/band holds the near-orthogonal bulk's expected band
-    * collisions to 32·2⁻⁸ = 1/8 per pair, where the pre-round-18 16×4
-    * banding (16 buckets/band) collided at ~1 per pair and made the
-    * route quadratic-regime on uniform data (dup-ladder fitted_exp
-    * 1.78, SURVEY §8j).
-    */
-  private val SignPlaneCount = 256
-  private val SignBandCount = 32
-  private val SignBandBits = 8
-  private val SignWords = SignPlaneCount / 64
-
   /** MurmurHash3's 64-bit finalizer (fmix64) — the public
     * xorshift-multiply avalanche chain. The pre-round-18 plane family
     * fed the seed through ONE raw LCG step (k·A + C), whose lattice
@@ -1087,6 +1072,28 @@ object Similarity {
       }.toDF("vec_id", "s0", "s1", "s2", "s3")
   }
 
+  /** The banded signature index: one row per (vector, band) with the
+    * band's 8-bit bucket key and the four packed signature words along
+    * for downstream Hamming work. Band k takes bits [8k, 8k+8) of the
+    * signature: word k/8, shift 8·(k mod 8). Shared by the dedup
+    * route's candidate join ([[lshVerifiedCandidates]]) and the ANN
+    * multi-table probe ([[lshTopK]], [[annLsh]]) — ONE index serves
+    * both workloads, which is exactly how a production deployment
+    * would materialize it.
+    */
+  private def signBands(s: SparkSession, vin: DataFrame): DataFrame = {
+    import s.implicits._
+    val sigCols = (0 until SignWords).map(w => col(s"s$w"))
+    signSignatures(s, vin)
+      .select(($"vec_id" +: sigCols) :+
+        explode(array((0 until SignBandCount).map { k =>
+          struct(lit(k).as("band"),
+            shiftrightunsigned(col(s"s${k / 8}"), SignBandBits * (k % 8))
+              .bitwiseAND(lit(255L)).as("bits"))
+        }: _*)).as("bk"): _*)
+      .select(($"vec_id" +: sigCols) :+ $"bk.band" :+ $"bk.bits": _*)
+  }
+
   /** High-τ leg: 32 bands × 8 sign bits generate candidates (equi-join
     * within a (band, bits) bucket — never all-pairs), candidate id pairs
     * dedup BEFORE verification (one dot product per pair, not per
@@ -1131,14 +1138,7 @@ object Similarity {
   private[graft] def lshVerifiedCandidates(s: SparkSession, vin: DataFrame): DataFrame = {
     import s.implicits._
     val sigCols = (0 until SignWords).map(w => col(s"s$w"))
-    val sig = signSignatures(s, vin)
-    val bands = sig.select(($"vec_id" +: sigCols) :+
-        explode(array((0 until SignBandCount).map { k =>
-          struct(lit(k).as("band"),
-            shiftrightunsigned(col(s"s${k / 8}"), SignBandBits * (k % 8))
-              .bitwiseAND(lit(255L)).as("bits"))
-        }: _*)).as("bk"): _*)
-      .select(($"vec_id" +: sigCols) :+ $"bk.band" :+ $"bk.bits": _*)
+    val bands = signBands(s, vin)
     val left = bands.select(($"band" +: $"bits" +: $"vec_id".as("id_a") +:
       (0 until SignWords).map(w => col(s"s$w").as(s"a$w"))): _*)
     val right = bands.select(($"band" +: $"bits" +: $"vec_id".as("id_b") +:
@@ -1227,19 +1227,7 @@ object Similarity {
     * from the oracle.
     */
   val cosineDedupLshSql: String =
-    s"""WITH $signPlanesCtesSql,
-       |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
-       |dots AS (
-       |  SELECT vec_id, p,
-       |    list_reduce(list_prepend(0.0,
-       |      [plane[i] * v[i] for i in generate_series(1, len(v))]),
-       |      (x, y) -> x + y) AS dot
-       |  FROM v, planes),
-       |bands AS (
-       |  SELECT vec_id, p // $SignBandBits AS band,
-       |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % $SignBandBits)) ELSE 0 END)
-       |      AS BIGINT) AS bits
-       |  FROM dots GROUP BY vec_id, p // $SignBandBits),
+    s"""WITH $signBandsCtesSql,
        |cand0 AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bits = y.bits
