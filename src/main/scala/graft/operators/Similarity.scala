@@ -1540,6 +1540,74 @@ object Similarity {
        |  FROM c$CoarseIters)""".stripMargin
   }
 
+  /** DuckDB re-derivation of [[trainCoarseHier]] + [[hierAssignOn]]:
+    * kk0 pins the grounded k, the level-1 chain is [[coarseCtesSql]]
+    * verbatim at k1 = ⌈√k⌉ (ending in `cents`), basg branch-partitions
+    * every vector by the trainer's own argmin-L2, d0 inits each
+    * branch's k2 lowest vec_ids, each round r re-derives the
+    * branch-local assignment (e_r), the exact-integer re-mean keyed
+    * (b, j) (n_r), and the coalesced sub-codebook (d_r); cents2 flattens
+    * to cent_id = b·k2 + j and hasg is the two-level CONSUMER
+    * assignment (argmax cosine within the branch, the winning ccos
+    * kept). Every chained CTE MATERIALIZED (the coarseCtesSql
+    * inlining-blowup note). Assumes vn(vec_id, v, nrm) is defined by
+    * the enclosing WITH; `kSql` must select the grounded k FROM vn.
+    */
+  private def hierCtesSql(kSql: String): String = {
+    val rounds = (1 to CoarseIters).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT vec_id, v, b, j FROM (
+         |    SELECT t.vec_id, t.v, t.b, d.j,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${l2RoundSql("t.v", "d.c")} ASC, d.j ASC) AS rk
+         |    FROM basg t JOIN d${r - 1} d ON t.b = d.b) z
+         |  WHERE rk = 1),
+         |n$r AS MATERIALIZED (
+         |  SELECT b, j, dd.i AS dim,
+         |    round(CAST(sum(CAST(round(v[dd.i] * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 / count(*), 6) AS cd
+         |  FROM e$r, (SELECT unnest(generate_series(1, $EmbedDim)) AS i) dd
+         |  GROUP BY b, j, dd.i),
+         |d$r AS MATERIALIZED (
+         |  SELECT p.b, p.j, coalesce(mm.c, p.c) AS c
+         |  FROM d${r - 1} p LEFT JOIN (
+         |    SELECT b, j, list(cd ORDER BY dim) AS c FROM n$r GROUP BY b, j) mm
+         |    USING (b, j))""".stripMargin
+    }.mkString(",\n")
+    s"""kk0 AS MATERIALIZED ($kSql),
+       |${coarseCtesSql("SELECT greatest(2, CAST(ceil(sqrt(k)) AS INT)) AS k FROM kk0")},
+       |kk2 AS MATERIALIZED (
+       |  SELECT greatest(1, CAST(ceil(CAST(kk0.k AS DOUBLE) / kk.k) AS INT)) AS k2
+       |  FROM kk0, kk),
+       |basg AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm, b FROM (
+       |    SELECT t.vec_id, t.v, t.nrm, c.cent_id AS b,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${l2RoundSql("t.v", "c.cv")} ASC, c.cent_id ASC) AS rk
+       |    FROM vn t CROSS JOIN cents c) z
+       |  WHERE rk = 1),
+       |d0 AS MATERIALIZED (
+       |  SELECT z.b, CAST(z.rn - 1 AS INT) AS j, z.v AS c FROM (
+       |    SELECT b, v, row_number() OVER (PARTITION BY b ORDER BY vec_id) AS rn
+       |    FROM basg) z CROSS JOIN kk2
+       |  WHERE z.rn <= kk2.k2),
+       |$rounds,
+       |cents2 AS MATERIALIZED (
+       |  SELECT d.b, CAST(d.b * kk2.k2 + d.j AS INT) AS cent_id, d.c AS cv,
+       |    sqrt(list_reduce([d.c[i] * d.c[i] for i in generate_series(1, len(d.c))],
+       |      (a, b) -> a + b)) AS cnrm
+       |  FROM d$CoarseIters d CROSS JOIN kk2),
+       |hasg AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm, cent_id, ccos FROM (
+       |    SELECT t.vec_id, t.v, t.nrm, c.cent_id,
+       |      ${cosESql("t.v", "t.nrm", "c.cv", "c.cnrm")} AS ccos,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${cosESql("t.v", "t.nrm", "c.cv", "c.cnrm")} DESC,
+       |          c.cent_id ASC) AS rk
+       |    FROM basg t JOIN cents2 c ON t.b = c.b) z
+       |  WHERE rk = 1)""".stripMargin
+  }
+
   /** The corpus-grounded k as a SQL scalar — [[semDedupK]]'s
     * max(2, ceil(n/target)) re-stated over vn. A `def`: it reads vals
     * declared later in the object, and a val here would initialize
@@ -1578,23 +1646,28 @@ object Similarity {
   }
 
   private[graft] def semDedupOn(s: SparkSession, v: DataFrame,
-      cents: DataFrame, tau: Double): DataFrame = {
+      cents: DataFrame, tau: Double): DataFrame =
+    pruneAssigned(s, assignToCentroids(v, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id")), tau)
+
+  /** The within-cluster prune on any (vec_id, v, nrm, cent_id)
+    * assignment: ONE shuffle equi-join on cluster_id — the published
+    * pruning. Cluster count grows with the corpus (SemDeDup fits k=50k
+    * on LAION), so per-cluster blocks stay bounded and the quadratic
+    * never spans the corpus. Keep-min-id exemplar (the q_dedup_exact
+    * convention): any vector with a smaller-id near-duplicate in its
+    * cluster is pruned; transitive exemplar selection composes with
+    * q_dedup_clusters. Shared by the flat-centroid spec path
+    * ([[semDedupOn]]) and the registered hierarchical [[semDedup]].
+    */
+  private def pruneAssigned(s: SparkSession, assign: DataFrame, tau: Double): DataFrame = {
     import s.implicits._
-    val assign = assignToCentroids(v, cents)
-      .select($"vec_id", $"v", $"nrm", $"cent_id")
-    // within-cluster pairs only: ONE shuffle equi-join on cluster_id —
-    // the published pruning. Cluster count grows with the corpus
-    // (SemDeDup fits k=50k on LAION), so per-cluster blocks stay
-    // bounded and the quadratic never spans the corpus.
     val a = assign.select($"cent_id", $"vec_id".as("id_x"), $"v".as("vx"), $"nrm".as("nx"))
     val b = assign.select($"cent_id", $"vec_id".as("id_y"), $"v".as("vy"), $"nrm".as("ny"))
     val dups = a.join(b, "cent_id")
       .where($"id_x" < $"id_y")
       .where(round(dot($"vx", $"vy") / ($"nx" * $"ny"), 6) >= tau)
       .select($"id_y").distinct()
-    // keep-min-id exemplar (the q_dedup_exact convention): any vector
-    // with a smaller-id near-duplicate in its cluster is pruned;
-    // transitive exemplar selection composes with q_dedup_clusters
     assign.join(dups.withColumnRenamed("id_y", "vec_id"), Seq("vec_id"), "left_anti")
       .select($"vec_id", $"cent_id".as("cluster_id"), lit(true).as("kept"))
       .unionByName(
@@ -1616,6 +1689,134 @@ object Similarity {
   private[graft] def semDedupK(n: Long): Int =
     math.max(2, math.ceil(n.toDouble / SemDedupTargetClusterSize).toInt)
 
+  /** Level split of the corpus-grounded k: k1 = ⌈√k⌉ branch centroids,
+    * k2 = ⌈k/k1⌉ sub-centroids per branch. ROUND-18 SCALE FIX (§8j):
+    * single-level Lloyd with k ∝ n costs n·k = O(n²/target) per round
+    * — the 30× deep-ladder point measured q_semdedup at 9.2× for 3×
+    * data — so the k-∝-n consumers (SemDeDup, the corpus map, the k
+    * planner) train a TWO-LEVEL quantizer instead: Lloyd at k1 over
+    * the corpus, branch-partition, then branch-local Lloyd at k2 —
+    * every stage is n·(k1 + k2) = O(n·√k) = O(n^1.5/√target), the
+    * hierarchical-k-means shape every production IVF trainer uses.
+    * Consumers assign level-1 by the trainer's own argmin-L2 (so the
+    * consumed partition IS the trained one) and level-2 by the
+    * established argmax-cosine consumer convention (ties to the lower
+    * id at both levels); flat cluster id = b·k2 + j. The fixed-k
+    * consumers (IVF k=16, PQ nlist) keep the single-level trainer.
+    */
+  private[graft] def hierDims(k: Int): (Int, Int) = {
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    (k1, math.max(1, math.ceil(k.toDouble / k1).toInt))
+  }
+
+  /** Branch-local argmin-L2² assignment against a per-branch broadcast
+    * sub-codebook (the [[assignIds]] primitive-loop discipline, keyed
+    * by the row's branch): round6 distances, strict < keeps the lower
+    * j on ties — the oracle's row_number ordering exactly.
+    */
+  private def assignSubIds(s: SparkSession, vb: DataFrame,
+      subs: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    val byBranch: Map[Int, Array[Array[Double]]] = subs.groupBy(_._1)
+      .map { case (b, cs) => b -> cs.sortBy(_._2).map(_._3.toArray).toArray }
+    val bc = s.sparkContext.broadcast(byBranch)
+    vb.select($"vec_id", $"b", $"v").as[(Long, Int, Seq[Double])]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, b, vec) =>
+          val a = vec.toArray
+          val cs = m(b)
+          var bestJ = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cs.length) {
+            val c = cs(j)
+            var acc = 0.0
+            var i = 0
+            while (i < a.length) { val d = a(i) - c(i); acc += d * d; i += 1 }
+            val d2 = round6(acc)
+            if (d2 < bestD) { bestD = d2; bestJ = j }
+            j += 1
+          }
+          (id, b, bestJ, vec)
+        }
+      }.toDF("vec_id", "b", "j", "v")
+  }
+
+  /** The two-level fit: [[trainCoarse]] at k1, branch-partition by its
+    * own argmin assignment, then [[CoarseIters]] branch-local Lloyd
+    * rounds at k2 per branch — init the k2 lowest vec_ids WITHIN the
+    * branch, re-means as exact micro-unit integer sums keyed (b, j),
+    * empty sub-clusters keep their previous centroid (the
+    * [[trainCoarse]] discipline verbatim, so the DuckDB unroll mirrors
+    * round for round). Driver state per round is the ≈k×d codebook.
+    */
+  private[graft] def trainCoarseHier(s: SparkSession, v: DataFrame, k: Int)
+      : (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])]) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (k1, k2) = hierDims(k)
+    val cents1 = trainCoarse(s, v, k1)
+    val vb = assignIds(s, v, cents1).select($"vec_id", $"j".as("b"), $"v")
+    val dim = cents1.head._2.size
+    var subs: Seq[(Int, Int, Seq[Double])] = vb
+      .withColumn("rn", row_number().over(Window.partitionBy($"b").orderBy($"vec_id")))
+      .where($"rn" <= k2)
+      .select($"b", ($"rn" - 1).cast("int").as("j"), $"v")
+      .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
+    for (_ <- 0 until CoarseIters) {
+      val moved = assignSubIds(s, vb, subs)
+        .select($"b", $"j", posexplode(transform($"v", x =>
+          round(x * 1e6).cast("long"))).as(Seq("dim", "mi")))
+        .groupBy($"b", $"j", $"dim")
+        .agg(count(lit(1)).as("n"), sum($"mi".cast("decimal(38,0)")).as("s"))
+        .select($"b", $"j", $"dim",
+          round($"s".cast("double") / 1e6 / $"n", 6).as("cd"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      subs = subs.map { case (b, j, c) =>
+        if (moved.contains((b, j, 0)))
+          (b, j, (0 until dim).map(i => moved((b, j, i))): Seq[Double])
+        else (b, j, c)
+      }
+    }
+    (cents1, subs)
+  }
+
+  /** Session-memoized two-level CONSUMER assignment at the grounded k:
+    * (vec_id, v, nrm, cent_id, ccos) with cent_id = b·k2 + j and ccos
+    * the winning level-2 cosine. Level 1 re-runs the trainer's own
+    * argmin-L2 branch pick (zero shuffle, broadcast codebook); level 2
+    * is one broadcast equi-join ON THE BRANCH KEY — n·k2 rows, not
+    * n·k — then the argmax-cosine window. Shared by q_semdedup and
+    * q_embed_clusters, so a session pays fit + assignment once.
+    */
+  private def cachedHierAssign(s: SparkSession, dir: String, k: Int): DataFrame =
+    SessionCache.getOrCompute(s, s"sim.hierAssign:$dir:$k") {
+      hierAssignOn(s, vecs(s, dir), k)
+    }
+
+  private[graft] def hierAssignOn(s: SparkSession, v: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (_, k2) = hierDims(k)
+    val (cents1, subs) = trainCoarseHier(s, v, k)
+    val cents2 = s.createDataFrame(
+        subs.map { case (b, j, c) => (b, b * k2 + j, c) })
+      .toDF("b", "cent_id", "cv")
+      .withColumn("cnrm", sqrt(arrayDot(col("cv"), col("cv"))))
+    val vb = assignIds(s, v, cents1)
+      .select($"vec_id", $"j".as("b"), $"v",
+        sqrt(arrayDot($"v", $"v")).as("nrm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)
+    vb.join(broadcast(cents2), "b")
+      .select($"vec_id", $"v", $"nrm", $"cent_id",
+        round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+      .withColumn("crk", row_number().over(w))
+      .where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cent_id", $"ccos")
+  }
+
   /** Embedding-space CORPUS MAP — the cluster-level cartography report
     * an embedding store publishes (and the reporting face of the same
     * partition SemDeDup prunes with — the k-means fit is shared
@@ -1623,11 +1824,12 @@ object Similarity {
     * its size, COHESION (mean cosine of members to their centroid —
     * low-cohesion clusters are the mixed/noisy regions worth manual
     * review), and the modal label with its count (how well the
-    * embedding geometry recovers the labeling). Scale shape: linear
-    * assignment against broadcast centroids, one cluster-keyed hash
-    * agg; the cohesion fold orders by vec_id and each cluster is
-    * bounded at ~[[SemDedupTargetClusterSize]] members BY CONSTRUCTION
-    * of the grounded k, so no fold buffers more than the target size.
+    * embedding geometry recovers the labeling). Scale shape: TWO-LEVEL
+    * assignment against broadcast codebooks ([[hierDims]] — n·(k1+k2)
+    * dots, not n·k), one cluster-keyed hash agg; the cohesion fold
+    * orders by vec_id and each cluster is bounded at
+    * ~[[SemDedupTargetClusterSize]] members BY CONSTRUCTION of the
+    * grounded k, so no fold buffers more than the target size.
     * HASH-CHECKED since the quantizer went deterministic
     * ([[embedClustersSql]]); SimilaritySpec pins invariants +
     * determinism.
@@ -1637,9 +1839,8 @@ object Similarity {
     import graft.functions.FloatFold.orderedSum
     val v = vecs(s, dir)
     val k = semDedupK(v.count())
-    val cents = cachedCoarseCents(s, dir, k)
     val labels = Tables.embeddings(s, dir).select($"vec_id", $"label")
-    val assign = assignToCentroids(v, cents)
+    val assign = cachedHierAssign(s, dir, k)
       .select($"vec_id", $"cent_id", $"ccos")
       .join(labels, "vec_id")
     val labelCounts = assign.groupBy($"cent_id", $"label")
@@ -1661,23 +1862,17 @@ object Similarity {
       .orderBy($"cluster_id")
   }
 
-  /** ORACLE for the corpus map: trained-centroid chain, argmax-cosine
-    * assignment keeping the winning ccos, cohesion as the vec_id-ordered
-    * fold, modal label via the same (count desc, label asc) ordering.
+  /** ORACLE for the corpus map: two-level trained chain + consumer
+    * assignment ([[hierCtesSql]]'s hasg, which keeps the winning ccos),
+    * cohesion as the vec_id-ordered fold, modal label via the same
+    * (count desc, label asc) ordering.
     */
   def embedClustersSql: String =
     s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
-       |vn AS (SELECT vec_id, v, sqrt(${dotESql("v", "v")}) AS nrm FROM vv),
-       |${coarseCtesSql(semDedupKSql)},
-       |asg AS (
-       |  SELECT vec_id, cent_id, ccos FROM (
-       |    SELECT t.vec_id, c.cent_id,
-       |      ${cosESql("t.v", "t.nrm", "c.cv", "c.cnrm")} AS ccos,
-       |      row_number() OVER (PARTITION BY t.vec_id
-       |        ORDER BY ${cosESql("t.v", "t.nrm", "c.cv", "c.cnrm")} DESC,
-       |          c.cent_id ASC) AS rk
-       |    FROM vn t CROSS JOIN cents c) z
-       |  WHERE rk = 1),
+       |vn AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(${dotESql("v", "v")}) AS nrm FROM vv),
+       |${hierCtesSql(semDedupKSql)},
+       |asg AS (SELECT vec_id, cent_id, ccos FROM hasg),
        |coh AS (
        |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
        |    round(${graft.functions.FloatFold.orderedSumSql("ccos", "vec_id")}
@@ -1725,7 +1920,9 @@ object Similarity {
     * WITHIN a cluster, and exact cosine >= [[SemDedupTau]] prunes all
     * but the smallest-id member of each duplicate pair. Unlike the
     * guarded O(n²) q_embed_cosine_dedup sweep this is the corpus-scale
-    * semantic-dedup shape: the k-means fit is linear, the pair join is
+    * semantic-dedup shape: the TWO-LEVEL k-means fit and assignment are
+    * O(n·√k) ([[hierDims]] — round 18; single-level Lloyd at k ∝ n was
+    * n²/target per round, deep-ladder-measured), the pair join is
     * an equi-join on cluster_id, and k is GROUNDED in the corpus
     * ([[semDedupK]]: one cluster per [[SemDedupTargetClusterSize]]
     * items) so per-cluster work stays constant as the corpus grows.
@@ -1739,31 +1936,27 @@ object Similarity {
     import s.implicits._
     val v = vecs(s, dir)
     val k = semDedupK(v.count())
-    semDedupOn(s, v, cachedCoarseCents(s, dir, k), SemDedupTau)
+    pruneAssigned(s,
+      cachedHierAssign(s, dir, k).select($"vec_id", $"v", $"nrm", $"cent_id"),
+      SemDedupTau)
   }
 
-  /** ORACLE for SemDeDup: the trained-centroid chain (k re-derived from
-    * the corpus), argmax-cosine assignment, within-cluster pair prune
-    * at τ, keep-min-id — the [[semDedupOn]] algebra verbatim.
+  /** ORACLE for SemDeDup: the two-level trained chain (k re-derived
+    * from the corpus, [[hierCtesSql]]), its consumer assignment (hasg),
+    * within-cluster pair prune at τ, keep-min-id — the
+    * [[pruneAssigned]] algebra verbatim.
     */
   def semDedupSql: String =
     s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
-       |vn AS (SELECT vec_id, v, sqrt(${dotESql("v", "v")}) AS nrm FROM vv),
-       |${coarseCtesSql(semDedupKSql)},
-       |asg AS (
-       |  SELECT vec_id, v, nrm, cent_id FROM (
-       |    SELECT t.vec_id, t.v, t.nrm, c.cent_id,
-       |      row_number() OVER (PARTITION BY t.vec_id
-       |        ORDER BY ${cosESql("t.v", "t.nrm", "c.cv", "c.cnrm")} DESC,
-       |          c.cent_id ASC) AS rk
-       |    FROM vn t CROSS JOIN cents c) z
-       |  WHERE rk = 1),
+       |vn AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(${dotESql("v", "v")}) AS nrm FROM vv),
+       |${hierCtesSql(semDedupKSql)},
        |dups AS (
        |  SELECT DISTINCT b.vec_id AS vid
-       |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  FROM hasg a JOIN hasg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
        |  WHERE ${cosESql("a.v", "a.nrm", "b.v", "b.nrm")} >= $SemDedupTau)
        |SELECT t.vec_id, t.cent_id AS cluster_id, (d.vid IS NULL) AS kept
-       |FROM asg t LEFT JOIN dups d ON t.vec_id = d.vid
+       |FROM hasg t LEFT JOIN dups d ON t.vec_id = d.vid
        |ORDER BY t.vec_id""".stripMargin
 
   /** The SemDeDup k planner — the q_lsh_plan template applied to
@@ -1774,8 +1967,8 @@ object Similarity {
     * evaluations the prune stage will pay; `assign_dots` = n·k, the
     * price of buying smaller clusters. The `chosen` row marks
     * [[semDedupK]]'s pick. Driver-side work is one bounded row per
-    * candidate; each fit is linear in the corpus. Rows-only (k-means
-    * fits are not SQL-expressible); SimilaritySpec asserts the
+    * candidate; each two-level fit is O(n·√k). HASH-CHECKED since the
+    * quantizer went deterministic; SimilaritySpec asserts the
     * candidate-pair bound shrinks as k grows.
     */
   def semDedupPlan(s: SparkSession, dir: String): DataFrame = {
@@ -1786,24 +1979,28 @@ object Similarity {
     val candidates =
       Seq(kStar / 4, kStar / 2, kStar, kStar * 2, kStar * 4)
         .map(math.max(2, _)).distinct
-    // each exploratory fit is the same deterministic trainer the
-    // production queries use (the planner must measure the quantizer
-    // actually deployed, and the fits stay the bounded 4-round budget);
-    // cluster sizes come from one row-local assignment pass per k
+    // each exploratory fit is the same deterministic two-level trainer
+    // the production queries use (the planner must measure the
+    // quantizer actually deployed, and the fits stay the bounded
+    // 2×4-round budget); cluster sizes come from the same two-level
+    // consumer assignment per k
     val perK = candidates.map { k =>
-      val cents = trainCoarse(s, v, k)
-      assignIds(s, v, cents).select($"j".as("cent_id"))
+      val (k1, k2) = hierDims(k)
+      hierAssignOn(s, v, k).select($"cent_id")
         .groupBy($"cent_id").agg(count(lit(1)).as("c"))
         .agg(
           lit(k).as("k"),
           count(lit(1)).cast("int").as("clusters_used"),
           max($"c").as("max_cluster"),
-          sum(($"c" * ($"c" - 1)) / 2).cast("long").as("candidate_pairs"))
+          sum(($"c" * ($"c" - 1)) / 2).cast("long").as("candidate_pairs"),
+          lit(k1 + k2).as("dots_per_vec"))
     }.reduce(_.unionByName(_))
+    // assign_dots = n·(k1+k2), the two-level assignment's price of
+    // buying smaller clusters — O(n·√k), no longer the single-level n·k
     val out = perK.select($"k", lit(n).as("n_vecs"), $"clusters_used",
         $"max_cluster", $"candidate_pairs",
         round($"candidate_pairs".cast("double") / n, 2).as("pairs_per_vec"),
-        (lit(n) * $"k").as("assign_dots"),
+        (lit(n) * $"dots_per_vec").as("assign_dots"),
         ($"k" === kStar).as("chosen"))
       .orderBy($"k")
     v.unpersist(blocking = false)
@@ -1811,12 +2008,13 @@ object Similarity {
   }
 
   /** ORACLE for the k planner — five instantiations of the unrolled
-    * deterministic training chain (one per candidate k, each its own
-    * nested WITH scope), the final argmin assignment, cluster-size
-    * aggregation, and the planner row; candidate k values that
-    * coincide at small corpora produce identical rows that plain UNION
-    * collapses, mirroring the engine's `.distinct` on the candidate
-    * list.
+    * TWO-LEVEL training chain (one per candidate k, each its own
+    * nested WITH scope), the two-level consumer assignment (hasg),
+    * cluster-size aggregation, and the planner row (assign_dots =
+    * n·(k1+k2), the hierarchical assignment's price); candidate k
+    * values that coincide at small corpora produce identical rows that
+    * plain UNION collapses, mirroring the engine's `.distinct` on the
+    * candidate list.
     */
   def semDedupPlanSql: String = {
     val kStar =
@@ -1826,27 +2024,21 @@ object Similarity {
       s"""(WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
          |vn AS MATERIALIZED (
          |  SELECT vec_id, v, sqrt(${dotESql("v", "v")}) AS nrm FROM vv),
-         |${coarseCtesSql(kSel)},
-         |fin AS MATERIALIZED (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT t.vec_id, c.cent_id,
-         |      row_number() OVER (PARTITION BY t.vec_id
-         |        ORDER BY ${l2RoundSql("t.v", "c.cv")} ASC, c.cent_id ASC) AS rk
-         |    FROM vn t CROSS JOIN cents c) z
-         |  WHERE rk = 1),
-         |sizes AS (SELECT cent_id, count(*) AS c FROM fin GROUP BY cent_id),
+         |${hierCtesSql(kSel)},
+         |sizes AS (SELECT cent_id, count(*) AS c FROM hasg GROUP BY cent_id),
          |nn AS (SELECT count(*) AS n FROM vn),
          |ks AS (SELECT $kStar AS kstar FROM vn)
-         |SELECT CAST(kk.k AS INT) AS k, CAST(nn.n AS BIGINT) AS n_vecs,
+         |SELECT CAST(kk0.k AS INT) AS k, CAST(nn.n AS BIGINT) AS n_vecs,
          |  CAST(count(*) AS INT) AS clusters_used,
          |  CAST(max(s.c) AS BIGINT) AS max_cluster,
          |  CAST(sum((s.c * (s.c - 1)) // 2) AS BIGINT) AS candidate_pairs,
          |  round(CAST(sum((s.c * (s.c - 1)) // 2) AS DOUBLE) / nn.n, 2)
          |    AS pairs_per_vec,
-         |  CAST(nn.n * kk.k AS BIGINT) AS assign_dots,
-         |  (kk.k = ks.kstar) AS chosen
-         |FROM sizes s CROSS JOIN kk CROSS JOIN nn CROSS JOIN ks
-         |GROUP BY kk.k, nn.n, ks.kstar)""".stripMargin
+         |  CAST(nn.n * (kk.k + kk2.k2) AS BIGINT) AS assign_dots,
+         |  (kk0.k = ks.kstar) AS chosen
+         |FROM sizes s CROSS JOIN kk0 CROSS JOIN kk CROSS JOIN kk2
+         |  CROSS JOIN nn CROSS JOIN ks
+         |GROUP BY kk0.k, kk.k, kk2.k2, nn.n, ks.kstar)""".stripMargin
     }
     // each WITH-scoped instantiation wraps as a derived table: DuckDB
     // 1.0's binder rejects a bare parenthesized WITH node inside a set

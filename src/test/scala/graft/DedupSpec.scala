@@ -58,11 +58,15 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.agg(sum($"n_copies")).as[Long].collect().head == total)
   }
 
-  test("LSH ANN buckets partition all vectors") {
+  test("LSH ANN index: every band's buckets partition all vectors") {
     import spark.implicits._
+    // round-18 multi-table census: one row per (band, bits) bucket —
+    // each of the 32 band tables must partition the full store
     val buckets = Similarity.annLsh(spark, dir)
     val total = Tables.embeddings(spark, dir).count()
-    assert(buckets.agg(sum($"n_vecs")).as[Long].collect().head == total)
+    val perBand = buckets.groupBy($"band").agg(sum($"n_vecs").as("nv"))
+      .select($"nv").as[Long].collect()
+    assert(perBand.length == 32 && perBand.forall(_ == total))
   }
 
   test("lsh planner: threshold falls and candidate volume grows with band count") {

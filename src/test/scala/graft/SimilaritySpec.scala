@@ -285,9 +285,11 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // Σ n_c(n_c−1)/2 is exact: at k=anything it is bounded by the
     // whole-corpus quadratic and accounts for every vector
     rows.foreach { case (k, nv, used, maxC, pairs, dots, _) =>
-      assert(nv == n && used <= k && maxC <= n)
+      val (k1, k2) = Similarity.hierDims(k)
+      assert(nv == n && used <= k1 * k2 && maxC <= n)
       assert(pairs <= n * (n - 1) / 2)
-      assert(dots == n * k)
+      // two-level assignment price: n·(k1+k2), not the single-level n·k
+      assert(dots == n * (k1 + k2))
     }
     // the planner's whole point: quadratic exposure falls as k grows
     val byK = rows.sortBy(_._1)
@@ -296,11 +298,12 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // the chosen row is the grounded k = ceil(n / target)
     val chosen = rows.filter(_._7)
     assert(chosen.length == 1 && chosen.head._1 == Similarity.semDedupK(n))
-    // and the registered dedup actually runs at that k: cluster ids
-    // stay inside [0, k*)
+    // and the registered dedup actually runs at that k: flat two-level
+    // cluster ids stay inside [0, k1·k2) (cent_id = b·k2 + j)
+    val (k1, k2) = Similarity.hierDims(Similarity.semDedupK(n))
     val clusters = Similarity.semDedup(spark, dir)
       .select($"cluster_id").distinct().as[Int].collect()
-    assert(clusters.forall(c => c >= 0 && c < Similarity.semDedupK(n)))
+    assert(clusters.forall(c => c >= 0 && c < k1 * k2))
     assert(clusters.length > 1, "grounded k must actually partition the corpus")
   }
 
@@ -337,11 +340,14 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = graft.operators.Similarity.embedClusters(spark, dir)
       .as[(Int, Long, Double, Int, Long)].collect()
     val n = Tables.embeddings(spark, dir).count()
-    val k = graft.operators.Similarity.semDedupK(n)
-    assert(rows.nonEmpty && rows.length <= k)
+    // two-level ids: cent_id = b·k2 + j ∈ [0, k1·k2), at most k1·k2
+    // non-empty clusters (k1·k2 ≥ the grounded k by construction)
+    val (k1, k2) = graft.operators.Similarity.hierDims(
+      graft.operators.Similarity.semDedupK(n))
+    assert(rows.nonEmpty && rows.length <= k1 * k2)
     assert(rows.map(_._2).sum == n, "clusters partition the store")
     rows.foreach { case (cid, nv, coh, _, tn) =>
-      assert(cid >= 0 && cid < k)
+      assert(cid >= 0 && cid < k1 * k2)
       assert(coh > -1.0 - 1e-9 && coh <= 1.0 + 1e-9)
       assert(tn >= 1 && tn <= nv, "modal label count bounded by cluster size")
     }
