@@ -1226,13 +1226,18 @@ object Similarity {
     * hardcoded, so tuning the engine constant cannot silently diverge
     * from the oracle.
     */
-  val cosineDedupLshSql: String =
-    s"""WITH $signBandsCtesSql,
+  /** The route's candidate-stage CTE chain — band-bucket collisions
+    * (cand0) through the Hamming prefilter (cand) — shared by the
+    * registered shortlist oracle ([[cosineDedupLshSql]]) and the route
+    * recall scoreboard ([[lshRouteRecallSql]]).
+    */
+  private lazy val lshCandCtesSql: String =
+    s"""$signBandsCtesSql,
        |cand0 AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bits = y.bits
        |  WHERE x.vec_id < y.vec_id),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  -- the engine's Hamming prefilter on the full 256-bit signature:
        |  -- the 32 bands partition the 256 bits, so the pair's Hamming
        |  -- distance is the sum over bands of bit_count(xor(bits))
@@ -1241,7 +1246,10 @@ object Similarity {
        |  JOIN bands ba ON ba.vec_id = c.id_a
        |  JOIN bands bb ON bb.vec_id = c.id_b AND bb.band = ba.band
        |  GROUP BY c.id_a, c.id_b
-       |  HAVING sum(bit_count(xor(ba.bits, bb.bits))) <= $HammingMax),
+       |  HAVING sum(bit_count(xor(ba.bits, bb.bits))) <= $HammingMax)""".stripMargin
+
+  val cosineDedupLshSql: String =
+    s"""WITH $lshCandCtesSql,
        |vn AS (
        |  SELECT vec_id, v,
        |    sqrt(list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
@@ -1254,6 +1262,49 @@ object Similarity {
        |  FROM cand c JOIN vn a ON c.id_a = a.vec_id JOIN vn b ON c.id_b = b.vec_id)
        |SELECT id_a, id_b, cos, cos >= 0.7 AS pass_tau
        |FROM scored ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  /** The LSH cosine ROUTE's recall scoreboard — the measurement that
+    * pins the (1−(1−p⁸)³²)·P[h ≤ [[HammingMax]]] recall model with
+    * data: every exact pair from the blocked sweep (τ = 0.4,
+    * [[cosineDedupBlocked]]) is checked for membership in the route's
+    * candidate stage ([[lshVerifiedCandidates]] — bands + Hamming
+    * prefilter; the exact-cosine verify drops nothing above any τ, so
+    * candidate recall IS route recall), grouped into 0.05-wide cosine
+    * bands. The expected shape on this corpus: ~0.5 at cos 0.4 (below
+    * the route's τ floor — documented as unreliable territory), rising
+    * through ~0.7 at 0.5 toward ≈ 0.96 at the 0.7 floor. A deployment
+    * runs this on a bounded SAMPLE (the truth side is the O(n²)
+    * sweep): recall is a property of the plane family, banding, and τ
+    * — not of corpus size — so the sample-measured curve transfers.
+    */
+  def lshRouteRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = cosineDedupBlocked(s, dir).select($"id_a", $"id_b", $"cos")
+    val cand = lshVerifiedCandidates(s, vecs(s, dir))
+      .select($"id_a", $"id_b", lit(1).as("hit"))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy((floor($"cos" * 20) / 20).cast("double").as("cos_band"))
+      .agg(count(lit(1)).as("n_true"), count($"hit").as("n_caught"))
+      .select($"cos_band", $"n_true", $"n_caught",
+        round($"n_caught".cast("double") / $"n_true", 4).as("recall"))
+      .orderBy($"cos_band")
+  }
+
+  /** Oracle twin of [[lshRouteRecall]]: the blocked-sweep truth
+    * ([[cosineDedupSql]] as a derived table) LEFT JOINed against the
+    * route's candidate chain ([[lshCandCtesSql]]), banded and counted
+    * with the same floor/round arithmetic.
+    */
+  lazy val lshRouteRecallSql: String =
+    s"""WITH $lshCandCtesSql,
+       |truth AS (SELECT id_a, id_b, cos FROM ($cosineDedupSql) t)
+       |SELECT CAST(floor(t.cos * 20) / 20 AS DOUBLE) AS cos_band,
+       |  CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(c.id_a) AS BIGINT) AS n_caught,
+       |  round(CAST(count(c.id_a) AS DOUBLE) / count(*), 4) AS recall
+       |FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+       |GROUP BY floor(t.cos * 20) / 20
+       |ORDER BY cos_band""".stripMargin
 
   /** The ANN recall scoreboard — measured recall@5 against the
     * brute-force truth: ONE persisted brute-force frame (50 rows) and
@@ -2122,6 +2173,7 @@ object Similarity {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_embed_cosine_dedup", cosineDedupBlocked, Some(cosineDedupSql)),
+    GraftQuery("q_lsh_route_recall", lshRouteRecall, Some(lshRouteRecallSql)),
     GraftQuery("q_embed_cosine_dedup_lsh", cosineDedupLshTop, Some(cosineDedupLshSql)),
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
     GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)),

@@ -299,4 +299,40 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(computes >= 1, "tokenizews(text pattern absent from plan — update this guard")
     assert(computes <= 4, s"shingle expression inlined $computes times (expected <= 4)")
   }
+
+  test("LSH cosine route and ANN probe plans: band-bucket equi-joins only — no BNLJ, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // (q_ann_recall is NOT guarded here: its IVF methods score a
+    // bounded 10-query × k-centroid broadcast cross by design)
+    Seq("q_embed_cosine_dedup_lsh", "q_ann_lsh").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case b: BroadcastNestedLoopJoinExec => b: org.apache.spark.sql.execution.SparkPlan
+        case c: CartesianProductExec => c
+      }
+      assert(bad.isEmpty,
+        s"$name: ${bad.size} non-equi join(s) — the 256-bit sign index must " +
+          "generate candidates through (band, bits) equi-joins only")
+    }
+  }
+
+  test("hierarchical semdedup consumer assignment joins on the branch key — no BNLJ, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import spark.implicits._
+    // planted 64-dim store (the trainer requires nothing of the dim, but
+    // keep the registered shape); the guard is on the assignment plan:
+    // level-2 candidates must come from the b-keyed equi-join, never a
+    // vectors × all-sub-centroids product
+    val v = operators.Similarity.withNorms(
+      (0 until 48).map(i => (i.toLong, Seq.tabulate(64)(d => ((i * 64 + d) % 7).toDouble)))
+        .toDF("vec_id", "v"))
+    val plan = operators.Similarity.hierAssignOn(spark, v, 8)
+      .queryExecution.sparkPlan
+    val bad = plan.collect {
+      case b: BroadcastNestedLoopJoinExec => b: org.apache.spark.sql.execution.SparkPlan
+      case c: CartesianProductExec => c
+    }
+    assert(bad.isEmpty,
+      s"${bad.size} non-equi join(s) in the two-level assignment plan")
+  }
 }

@@ -206,6 +206,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.forall(t => t._4 == (t._3 >= Similarity.TauLshFloor)))
   }
 
+  test("route recall scoreboard: counts consistent, accounts for every exact pair") {
+    import spark.implicits._
+    val rows = Similarity.lshRouteRecall(spark, dir)
+      .as[(Double, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val nTruth = Similarity.cosineDedupBlocked(spark, dir).count()
+    assert(rows.map(_._2).sum == nTruth, "every exact pair lands in one band")
+    rows.foreach { case (band, nt, nc, r) =>
+      assert(band >= 0.4 - 1e-9, "truth is the tau=0.4 sweep")
+      assert(nc >= 0 && nc <= nt, "caught bounded by truth")
+      assert(math.abs(r - math.rint(nc.toDouble / nt * 10000) / 10000.0) < 1e-9)
+    }
+    // the binomial recall model's direction: the lowest band (furthest
+    // below the tau floor) must not out-recall the highest
+    assert(rows.head._4 <= rows.last._4 + 0.15,
+      s"recall should rise with cosine: ${rows.toSeq}")
+  }
+
   test("PQ ADC retrieves each planted twin's base as its top neighbor") {
     import spark.implicits._
     import org.apache.spark.sql.functions.transform
