@@ -31,6 +31,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // integrity gate BEFORE the session spins up executors: wait out a
+    // loaded host (bounded), else tag the artifact .loaded (ask r19#1)
+    val gate = BenchIntegrity.gate("bench")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/session warm-up (codegen, parquet reader JIT) so it
@@ -79,6 +82,34 @@ object Bench {
     (2 to reps).foreach { _ =>
       again.foreach(q => time(q).foreach(t => samples(q.name) ::= t))
     }
+
+    // single-shot cross-check (ask r19#1): a one-cold-rep line has no
+    // in-run median to defend it, so compare it against the prior
+    // round's committed artifact; a >2× deviation (either direction,
+    // >1 s absolute) gets ONE cold re-measure after a SessionCache
+    // cold-reset, and the committed value is the min of the two cold
+    // samples. Bounded: at most 8 re-measures per run. This is the
+    // machinery that would have caught the r18 q_dedup_clusters 8.5 s
+    // phantom (true idle-host cold time ~6.4 s) before it was committed.
+    val repoDir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
+      sys.props.getOrElse("user.dir", ".")))
+    val prior = BenchIntegrity.priorQueries(repoDir, sfDir)
+    val remeasured = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    SparkEntry.all.filter(q => q.singleShot && samples(q.name).size == 1)
+      .foreach { q =>
+        val t = samples(q.name).head
+        prior.get(q.name).foreach { p =>
+          if (BenchIntegrity.outlier(t, p) && remeasured.size < 8) {
+            System.err.println(f"[bench] single-shot ${q.name} $t%.2f s vs " +
+              f"prior $p%.2f s (>2x) — cold re-measure")
+            BenchIntegrity.coldReset(spark)
+            time(q).foreach { t2 =>
+              remeasured(q.name) = (t, t2)
+              samples(q.name) = List(math.min(t, t2))
+            }
+          }
+        }
+      }
 
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -136,7 +167,8 @@ object Bench {
         "their medians as upper bounds")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val host = s"""{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg":[${f(loadStart)},${f(loadEnd)}]}"""
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"n_reps":$nreps,"cold":$colds,"spread":$spread,"single_shot":$oneShot,"errors":$errs,"noisy":$noisyJson,"host":$host,"sf":"$sfDir"}"""
+    val integrity = gate.json(BenchIntegrity.remeasuredJson(remeasured))
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"n_reps":$nreps,"cold":$colds,"spread":$spread,"single_shot":$oneShot,"errors":$errs,"noisy":$noisyJson,"host":$host,"integrity":$integrity,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the complete line as a machine-readable artifact: the
     // driver's BENCH_r<N>.json captures only a truncated stdout tail, so
@@ -147,13 +179,14 @@ object Bench {
     // launch directory, not a hardcoded path, so the artifact lands next
     // to the checkout wherever it lives.
     try {
-      val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
-        sys.props.getOrElse("user.dir", ".")))
-      val rounds = Option(repo.list()).toSeq.flatten
+      val rounds = Option(repoDir.list()).toSeq.flatten
         .flatMap { n => "^BENCH_r0*([0-9]+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }
       val next = if (rounds.isEmpty) 0 else rounds.max + 1
+      // a run that never saw an idle host commits under a .loaded tag —
+      // the filename itself says the numbers are contention-suspect
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(repo.getPath, s"bench_full_r$next.json"), line + "\n")
+        java.nio.file.Paths.get(repoDir.getPath,
+          s"bench_full_r$next${gate.tag}.json"), line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}")
     }

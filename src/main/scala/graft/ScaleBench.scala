@@ -188,6 +188,10 @@ object ScaleBench {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE", "/root/testdata/sf0.1")
     val root = sys.env.getOrElse("SPARK_GRAFT_SCALED_ROOT", "/root/repo/scaledata")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // integrity gate (ask r19#1): wait out a loaded host, else tag the
+    // artifact .loaded — a ratio taken under contention reads as a
+    // scale regression
+    val gate = BenchIntegrity.gate("scalebench")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -221,11 +225,11 @@ object ScaleBench {
       byName("q1_agg").fn(spark, d).write.format("noop").mode("overwrite").save()
     }
 
-    val rows = heads.map { n =>
-      val tb = time(n, base)
-      val ts = time(n, s"$root/sf1")
-      s""""$n":{"base":${f(tb)},"sf1":${f(ts)},"ratio":${f(ts / tb)}}"""
-    }.mkString("{", ",", "}")
+    // heads pass collects into a map (not straight to JSON): the
+    // deep-ladder cross-check below may re-measure and overwrite a line
+    // before it is committed (ask r19#1)
+    val headTimes = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    heads.foreach { n => headTimes(n) = (time(n, base), time(n, s"$root/sf1")) }
     // least-squares slope of log t on log factor — uses EVERY measured
     // ladder point (the two-point t10/t1 slope threw the mid points away
     // and let one noisy endpoint set the exponent)
@@ -240,12 +244,23 @@ object ScaleBench {
     // a ladder degrades instead of dying: a missing scale dir just drops
     // its point (n_points says how many were fit), and a per-query
     // failure emits an error field — the heads pass above is never lost
-    // to a ladder problem
-    def ladderJson(names: Seq[String], dirs: Seq[(Int, String)]): String =
+    // to a ladder problem. Measurement and JSON rendering are split so
+    // the cross-check below can read the raw ladder points.
+    def ladderRun(names: Seq[String], dirs: Seq[(Int, String)])
+        : Seq[(String, Either[String, Seq[(Int, Double)]])] =
       names.map { n =>
         try {
-          val pts = dirs.filter(d => new java.io.File(d._2).isDirectory)
-            .map { case (fct, d) => (fct, time(n, d)) }
+          n -> Right(dirs.filter(d => new java.io.File(d._2).isDirectory)
+            .map { case (fct, d) => (fct, time(n, d)) })
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[scalebench] ladder $n failed: ${e.getMessage}")
+            n -> Left(e.getClass.getSimpleName)
+        }
+      }
+    def ladderJson(ls: Seq[(String, Either[String, Seq[(Int, Double)]])]): String =
+      ls.map {
+        case (n, Right(pts)) =>
           val fields = pts.map { case (fct, t) => s""""t$fct":${f(t)}""" }
             .mkString(",")
           // fit only positive timings: a degenerate ~0 s point would put
@@ -254,25 +269,21 @@ object ScaleBench {
           val fit = pts.filter(_._2 > 0)
           val exp = if (fit.size >= 2) f(fitExp(fit)) else "null"
           s""""$n":{$fields,"fitted_exp":$exp,"n_points":${fit.size}}"""
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[scalebench] ladder $n failed: ${e.getMessage}")
-            s""""$n":{"error":"${e.getClass.getSimpleName}"}"""
-        }
+        case (n, Left(err)) => s""""$n":{"error":"$err"}"""
       }.mkString("{", ",", "}")
     // the quadratic pair gets the full factor ladder {1, 2, 3, 10}: the
     // compare count is structurally n²/2 (resp. the candidate fraction
     // of it), and the ladder shows where the quadratic term overtakes
     // the fixed plan overhead that dominates at small n
-    val ladder = ladderJson(quadratic, Seq(
-      1 -> base, 2 -> s"$root/sf0.2", 3 -> s"$root/sf0.3", 10 -> s"$root/sf1"))
+    val ladder = ladderJson(ladderRun(quadratic, Seq(
+      1 -> base, 2 -> s"$root/sf0.2", 3 -> s"$root/sf0.3", 10 -> s"$root/sf1")))
     // the LSH route ALSO ladders on the dup-bearing corpus (ScaleData
     // dupPct mode) — its advertised regime, where the high-cos pairs
     // are planted near-duplicates scaling linearly with the factor
     // rather than the adversarial no-dup bulk
-    val dupLadder = ladderJson(Seq("q_embed_cosine_dedup_lsh"), Seq(
+    val dupLadder = ladderJson(ladderRun(Seq("q_embed_cosine_dedup_lsh"), Seq(
       1 -> s"$root/sf0.1_dup", 2 -> s"$root/sf0.2_dup",
-      3 -> s"$root/sf0.3_dup", 10 -> s"$root/sf1_dup"))
+      3 -> s"$root/sf0.3_dup", 10 -> s"$root/sf1_dup")))
     // DEEP ladder {1, 10, 30}: the cheap heads can afford a 30× point,
     // and a superlinear term too small for the 10× ratio to resolve
     // shows up in the 10→30 leg (r17 judge ask — one family per row:
@@ -284,12 +295,52 @@ object ScaleBench {
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",
       "q_winnow_pairs", "q_semdedup", "q_ann_ivf_kmeans",
       "q_embed_cosine_dedup_lsh", "q_curation_pipeline", "q_doc_signals")
-    val deepLadder = ladderJson(deepHeads, Seq(
+    val deepRun = ladderRun(deepHeads, Seq(
       1 -> base, 10 -> s"$root/sf1", 30 -> s"$root/sf3"))
+    val deepLadder = ladderJson(deepRun)
+    // 10×-heads cross-check (ask r19#1): for deep-ladder heads the same
+    // run holds an INDEPENDENT estimate of the base and sf1 times — if
+    // a heads line deviates >2× from it (the r18 exhibit: jaccard 55 s
+    // in the heads pass vs 8.8 s in the same JVM's deep ladder minutes
+    // later), re-measure once and commit the min, recording both in
+    // integrity.remeasured. Single-shot heads are excluded: their
+    // ladder reps at base/sf1 ride the SessionCache memo installed by
+    // the heads pass, so the ladder is not an independent COLD estimate
+    // for them.
+    val remeasured = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    deepRun.foreach {
+      case (n, Right(pts)) if headTimes.contains(n) && !byName(n).singleShot =>
+        val est = pts.toMap
+        var (tb, ts) = headTimes(n)
+        est.get(1).foreach { e =>
+          if (BenchIntegrity.outlier(tb, e)) {
+            System.err.println(f"[scalebench] heads $n base $tb%.2f s vs " +
+              f"ladder $e%.2f s (>2x) — re-measure")
+            val t2 = timeOnce(n, base)
+            remeasured(s"$n:base") = (tb, t2)
+            tb = math.min(tb, t2)
+          }
+        }
+        est.get(10).foreach { e =>
+          if (BenchIntegrity.outlier(ts, e)) {
+            System.err.println(f"[scalebench] heads $n sf1 $ts%.2f s vs " +
+              f"ladder $e%.2f s (>2x) — re-measure")
+            val t2 = timeOnce(n, s"$root/sf1")
+            remeasured(s"$n:sf1") = (ts, t2)
+            ts = math.min(ts, t2)
+          }
+        }
+        headTimes(n) = (tb, ts)
+      case _ =>
+    }
+    val rows = headTimes.map { case (n, (tb, ts)) =>
+      s""""$n":{"base":${f(tb)},"sf1":${f(ts)},"ratio":${f(ts / tb)}}"""
+    }.mkString("{", ",", "}")
     val smokeEnd = smoke()
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
-    val line = s"""{"metric":"scale_ratio","factor":10,"base":"$base","queries":$rows,"quadratic_ladder":$ladder,"dup_ladder":$dupLadder,"deep_ladder":$deepLadder,"host":{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg_end":${f(load)}}}"""
+    val integrity = gate.json(BenchIntegrity.remeasuredJson(remeasured))
+    val line = s"""{"metric":"scale_ratio","factor":10,"base":"$base","queries":$rows,"quadratic_ladder":$ladder,"dup_ladder":$dupLadder,"deep_ladder":$deepLadder,"host":{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg_end":${f(load)}},"integrity":$integrity}"""
     println(line)
     try {
       val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
@@ -298,7 +349,8 @@ object ScaleBench {
         .flatMap { n => "^BENCH_r0*([0-9]+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }
       val next = if (rounds.isEmpty) 0 else rounds.max + 1
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(repo.getPath, s"bench_sf1_r$next.json"), line + "\n")
+        java.nio.file.Paths.get(repo.getPath,
+          s"bench_sf1_r$next${gate.tag}.json"), line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[scalebench] artifact write failed: ${e.getMessage}")
     }

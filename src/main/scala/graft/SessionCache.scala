@@ -71,6 +71,19 @@ object SessionCache {
     v.asInstanceOf[T]
   }
 
+  /** Drop every entry owned by `s` (bench cold-reset: a single-shot
+    * re-measure must pay the fit again, not read the memo). Values are
+    * NOT unpersisted here — callers that need executor memory back run
+    * `catalog.clearCache()` after (BenchIntegrity.coldReset), which
+    * unpersists without forcing this map's un-computed lazy cells.
+    */
+  private[graft] def evictSession(s: SparkSession): Int = {
+    var n = 0
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq s) { it.remove(); n += 1 }
+    n
+  }
+
   /** Entries owned by a context — SessionCacheSpec asserts eviction. */
   private[graft] def entriesFor(sc: SparkContext): Int = {
     var n = 0

@@ -44,8 +44,17 @@ object StreamQueries {
     * with no drive slower at 4 than at 8. Env-tunable
     * (SPARK_GRAFT_STREAM_PARTS) to re-run the sweep.
     */
-  private lazy val StreamShuffleParts: String =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+  private lazy val StreamShuffleParts: String = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+    // validate at latch time: an unparseable or non-positive value fed
+    // straight to spark.sql.shuffle.partitions only fails later inside
+    // query execution with an error naming neither the value nor the
+    // variable (ADVICE r18)
+    require(raw.nonEmpty && raw.length <= 9 && raw.forall(_.isDigit) &&
+      raw.toInt > 0,
+      s"SPARK_GRAFT_STREAM_PARTS must be a positive integer, got '$raw'")
+    raw
+  }
 
   /** Pin `spark.sql.shuffle.partitions` to [[StreamShuffleParts]] for
     * the duration of one stream drive (the value is latched when the
@@ -520,17 +529,14 @@ object StreamQueries {
     * UNIQUE in the source table — a generator change that introduced
     * duplicate event_ids would make the streamed sink (first-arrival
     * deduped) diverge from the raw-table oracle in a way that looks
-    * like a streaming bug. The cheap count == count(distinct) assert
-    * below fails fast with the real cause instead.
+    * like a streaming bug. That invariant is a GENERATOR-level
+    * contract, so it is asserted in the generator-contract layer
+    * (TablesSpec "events.event_id is globally unique"), not here — the
+    * r18 in-drive count/countDistinct assert added a corpus-sized
+    * action to EVERY drive of this query (ADVICE r18).
     */
   def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = EventOps.events(s, dir)
-      .agg(count(lit(1)).as("n"), countDistinct($"event_id").as("nd"))
-      .head()
-    require(ev.getLong(0) == ev.getLong(1),
-      s"events.event_id must be unique for the raw-table oracle to hold: " +
-        s"${ev.getLong(0)} rows, ${ev.getLong(1)} distinct ids")
     val chunks = eventChunks(s, dir)
     val replayed = chunks.zipWithIndex.map { case (c, i) =>
       if (i == 0) c

@@ -39,6 +39,21 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon.count() > 0)
   }
 
+  test("events.event_id is globally unique (the streamDedupExact " +
+    "raw-table-oracle data contract)") {
+    // q_stream_dedup_exact's first-arrival dedup equals the raw events
+    // table ONLY if event_id never repeats in the generated corpus; a
+    // generator change that broke this would surface as a streaming
+    // hash mismatch, so the generator contract is pinned HERE (one scan
+    // in the test layer) instead of on every stream drive (ADVICE r18)
+    val ev = EventOps.events(spark, dir)
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+      .head()
+    assert(ev.getLong(0) == ev.getLong(1),
+      s"events.event_id must be unique: ${ev.getLong(0)} rows, " +
+        s"${ev.getLong(1)} distinct ids")
+  }
+
   test("events loads from a nanos-encoded footer (legacy flag path) and " +
     "canonicalizes identically") {
     import spark.implicits._
