@@ -33,6 +33,30 @@ object Similarity {
   private val SignBandCount = 32
   private val SignBandBits = 8
   private val SignWords = SignPlaneCount / 64
+  // the band extraction below derives word/shift/mask from SignBandBits
+  // (ADVICE r18) — valid only while bands never straddle a 64-bit word
+  require(64 % SignBandBits == 0 && SignBandCount * SignBandBits == SignPlaneCount,
+    "sign-LSH banding must tile the signature exactly")
+
+  /** Directed multi-probe flips per band for the ANN search path
+    * ([[lshTopK]]): besides each band's exact bucket, probe the bucket
+    * with the band's LOWEST-|margin| sign bit flipped — for a true
+    * near neighbor the bit most likely to disagree IS the one whose
+    * hyperplane margin is smallest, so one directed flip recovers most
+    * of the single-bit-miss probability mass 8 undirected flips would
+    * buy, at 2× probe volume instead of 9× (Lv et al.'s multi-probe
+    * LSH, re-expressed for sign bands). Per-neighbor model at cosine
+    * c with p = 1 − arccos(c)/π: a band hits with probability
+    * ≈ p⁸ + 8·p⁷(1−p)·β (β = P[the disagreeing bit ranks first by
+    * margin]); at c = 0.4 even β = 0.25 puts 32-band recall at ~0.83
+    * vs 0.56 exact-only — the measured row lives in q_ann_recall.
+    * The oracle mirror (probesCtesSql) implements exactly ONE directed
+    * flip; raising this lever means extending that CTE to rank rn <=
+    * ProbeFlips, so the require below pins them equal until then.
+    */
+  private val ProbeFlips = 1
+  require(ProbeFlips == 1,
+    "probesCtesSql mirrors exactly one directed flip per band")
 
   /** vectors with their norms precomputed once (the pair loop then only
     * pays one ArrayDot per pair instead of three).
@@ -171,28 +195,30 @@ object Similarity {
        |    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) sc) r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** LSH as a SEARCH path: the standard MULTI-TABLE probe over the
-    * same banded 256-bit sign index the dedup route builds
+  /** LSH as a SEARCH path: the standard MULTI-TABLE, MULTI-PROBE query
+    * over the same banded 256-bit sign index the dedup route builds
     * ([[signBands]] — 32 tables of 8-bit keys). Candidates are the
-    * union of the query's 32 band buckets (one equi-join on
-    * (band, bits), deduped), exact cosine reranks, top-5. Per-neighbor
-    * recall at cosine c is 1 − (1 − p⁸)³² with p = 1 − arccos(c)/π —
-    * ≈ 0.56 at c = 0.4, ≈ 0.72 at c = 0.5 — while the probe touches
-    * ~n/8 of the corpus per query; the recall scoreboard prices that
-    * honestly. REDESIGNED round 18 (§8j): the old single 16-bit-bucket
-    * probe only ever LOOKED functional because the degenerate raw-LCG
-    * planes collapsed the keyspace; with honest hyperplanes one 16-bit
-    * table leaves every query alone in its bucket (measured recall 0.0)
-    * — multi-table banding is what real LSH search deployments do.
+    * union of the query's 32 exact band buckets PLUS one directed
+    * 1-bit-flip neighbor bucket per band ([[queryProbes]] /
+    * [[ProbeFlips]] — flip the lowest-|margin| sign bit, the decision
+    * a true near neighbor most likely disagrees on), one equi-join on
+    * (band, bits), deduped, exact cosine rerank, top-5. Round 18's
+    * exact-bucket-only probe measured recall@5 0.42 at ~n/8 corpus
+    * touched; the directed flip roughly doubles probe volume
+    * (~0.22·n coverage) for a modeled recall ≈ 0.83+ at cos 0.4 —
+    * the measured row lives in q_ann_recall, and the census
+    * ([[annLsh]]) prices the probe volume per bucket. Multi-table
+    * banding itself is REDESIGNED round 18 (§8j): the old single
+    * 16-bit-bucket probe only ever looked functional because the
+    * degenerate raw-LCG planes collapsed the keyspace.
     */
   private[graft] def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val v = vecs(s, dir)
-    val bands = signBands(s, v).select($"vec_id", $"band", $"bits")
-    val qb = bands.where($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"band", $"bits")
-    val cand = broadcast(qb).join(bands, Seq("band", "bits"))
+    val bands = bandedIndex(s, dir).select($"vec_id", $"band", $"bits")
+    val probes = queryProbes(s, v.where($"vec_id" < 10))
+    val cand = broadcast(probes).join(bands, Seq("band", "bits"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id")).distinct()
     val q = v.where($"vec_id" < 10)
@@ -207,20 +233,110 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** The banded sign index over the corpus, derived from the
+    * session-memoized signature frame: the expensive shared artifact is
+    * the 256-plane mapPartitions scan ([[signSignatures]] — ~n×256×64
+    * FLOPs), so THAT is what persists, in its compact pre-explode form
+    * (n rows × 4 words; persisting the 32×-exploded bands frame was
+    * measured a loss — the materialization cost more than the scan it
+    * saved, the round-14 SessionCache lesson again). [[annLsh]]
+    * (census), [[lshTopK]] (search, via [[annRecall]]'s scoreboard)
+    * and repeated probe calls share the one scan per session (ADVICE
+    * r18); the explode to (band, bits) rows is recomputed per consumer
+    * — column arithmetic, no shuffle. Registered consumers are marked
+    * singleShot so the bench times the cold build, not the memo.
+    */
+  private def bandedIndex(s: SparkSession, dir: String): DataFrame =
+    bandsFrom(s, SessionCache.getOrCompute(s, s"sim.signSigs:$dir") {
+      val f = signSignatures(s, vecs(s, dir)).persist()
+      f.count()
+      f
+    })
+
+  /** Multi-probe key set for a (small) query frame: per band the exact
+    * bucket key plus [[ProbeFlips]] directed flips — the flipped bits
+    * chosen by LOWEST |plane margin| (ties to the lower plane index),
+    * i.e. the sign decisions a true near neighbor is most likely to
+    * disagree on. Same primitive float loop as [[signSignatures]]
+    * (left-to-right product-accumulate from 0.0 per plane), so the
+    * oracle's `dots` CTE reproduces every margin bit-exactly and the
+    * argmin is deterministic in both engines.
+    */
+  private def queryProbes(s: SparkSession, vin: DataFrame): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(signPlanes)
+    vin.select($"vec_id", $"v").as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val planes = bc.value
+        it.flatMap { case (id, vec) =>
+          val a = vec.toArray
+          require(a.length == 64,
+            s"sign-LSH route requires 64-dim embeddings; got ${a.length} " +
+              s"for vec_id=$id")
+          val out = Seq.newBuilder[(Long, Int, Long)]
+          var k = 0
+          while (k < SignBandCount) {
+            var bits = 0L
+            // per-band margin ranking: absolute dot per plane, the
+            // band's flip candidates are the smallest-margin planes
+            val abs = new Array[Double](SignBandBits)
+            var j = 0
+            while (j < SignBandBits) {
+              val pl = planes(k * SignBandBits + j)
+              var acc = 0.0
+              var i = 0
+              while (i < 64) { acc += pl(i) * a(i); i += 1 }
+              if (acc > 0) bits |= (1L << j)
+              abs(j) = math.abs(acc)
+              j += 1
+            }
+            out += ((id, k, bits))
+            var f = 0
+            val used = new Array[Boolean](SignBandBits)
+            while (f < ProbeFlips) {
+              var minAbs = Double.MaxValue
+              var minBit = -1
+              var b = 0
+              while (b < SignBandBits) {
+                if (!used(b) && abs(b) < minAbs) { minAbs = abs(b); minBit = b }
+                b += 1
+              }
+              used(minBit) = true
+              out += ((id, k, bits ^ (1L << minBit)))
+              f += 1
+            }
+            k += 1
+          }
+          out.result()
+        }
+      }.toDF("q_id", "band", "bits")
+  }
+
   /** Random-hyperplane LSH index census — one row per (band, bits)
     * bucket of the [[signBands]] multi-table index with count, id range
     * and an md5 digest of the sorted member list (the driver's
-    * comparison layer sorts result columns, so outputs stay scalar).
-    * This is the operational census a deployment reads to check index
-    * balance before serving probes from it.
+    * comparison layer sorts result columns, so outputs stay scalar) —
+    * plus the MULTI-PROBE pressure columns (r19): `n_probes` counts how
+    * many of the query set's probe keys ([[queryProbes]] — exact +
+    * directed flips) land in the bucket, and `cand_volume` =
+    * n_probes × n_vecs is the candidate rows the bucket contributes to
+    * the search path before dedup/rerank. Σ cand_volume over the census
+    * is the probe plan's total join volume — the number a deployment
+    * reads to price a recall/volume trade before serving from the
+    * index.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    signBands(s, vecs(s, dir)).select($"vec_id", $"band", $"bits")
+    val probeCounts = queryProbes(s, vecs(s, dir).where($"vec_id" < 10))
+      .groupBy($"band", $"bits").agg(count(lit(1)).as("n_probes"))
+    bandedIndex(s, dir).select($"vec_id", $"band", $"bits")
       .groupBy($"band", $"bits").agg(count(lit(1)).as("n_vecs"),
         min($"vec_id").as("min_vec_id"), max($"vec_id").as("max_vec_id"),
         md5(array_join(transform(sort_array(collect_list($"vec_id")),
           _.cast("string")), ",").cast("binary")).as("ids_md5"))
+      .join(broadcast(probeCounts), Seq("band", "bits"), "left")
+      .withColumn("n_probes", coalesce($"n_probes", lit(0L)))
+      .withColumn("cand_volume", $"n_probes" * $"n_vecs")
       .orderBy($"band", $"bits")
   }
 
@@ -245,22 +361,55 @@ object Similarity {
        |      AS BIGINT) AS bits
        |  FROM dots GROUP BY vec_id, p // $SignBandBits)""".stripMargin
 
-  val annLshSql: String =
-    s"""WITH $signBandsCtesSql
-      |SELECT band, bits, count(*) AS n_vecs,
-      |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
-      |  md5(string_agg(vec_id, ',' ORDER BY vec_id)) AS ids_md5
-      |FROM bands GROUP BY band, bits ORDER BY band, bits""".stripMargin
+  /** The multi-probe key set's oracle mirror ([[queryProbes]]): per
+    * query band, the exact bucket plus the lowest-|margin| 1-bit flip —
+    * the margin is the `dots` CTE's plane dot (bit-identical to the
+    * engine's fold), argmin by row_number with the same
+    * (|dot| ASC, p ASC) tie rule as the primitive loop.
+    */
+  private lazy val probesCtesSql: String =
+    s"""qflip AS (
+       |  SELECT vec_id, band, minp FROM (
+       |    SELECT vec_id, p // $SignBandBits AS band, p AS minp,
+       |      row_number() OVER (PARTITION BY vec_id, p // $SignBandBits
+       |        ORDER BY abs(dot) ASC, p ASC) AS rn
+       |    FROM dots WHERE vec_id < 10) z
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, band, bits FROM bands WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT b.vec_id, b.band,
+       |    xor(b.bits, 1::BIGINT << (f.minp % $SignBandBits))
+       |  FROM bands b JOIN qflip f
+       |    ON b.vec_id = f.vec_id AND b.band = f.band)""".stripMargin
 
-  /** Oracle twin of [[lshTopK]]: union-of-band-buckets candidates,
-    * exact-cosine rerank, top-5 per query.
+  val annLshSql: String =
+    s"""WITH $signBandsCtesSql,
+      |$probesCtesSql,
+      |agg AS (
+      |  SELECT band, bits, count(*) AS n_vecs,
+      |    min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
+      |    md5(string_agg(vec_id, ',' ORDER BY vec_id)) AS ids_md5
+      |  FROM bands GROUP BY band, bits),
+      |pc AS (SELECT band, bits, count(*) AS n_probes
+      |  FROM probes GROUP BY band, bits)
+      |SELECT a.band, a.bits, a.n_vecs, a.min_vec_id, a.max_vec_id, a.ids_md5,
+      |  CAST(coalesce(pc.n_probes, 0) AS BIGINT) AS n_probes,
+      |  CAST(coalesce(pc.n_probes, 0) * a.n_vecs AS BIGINT) AS cand_volume
+      |FROM agg a LEFT JOIN pc USING (band, bits)
+      |ORDER BY a.band, a.bits""".stripMargin
+
+  /** Oracle twin of [[lshTopK]]: union of the multi-probe buckets
+    * (exact + directed flip, [[probesCtesSql]]), exact-cosine rerank,
+    * top-5 per query.
     */
   private lazy val lshTopKSql: String =
     s"""WITH $signBandsCtesSql,
+      |$probesCtesSql,
       |cand AS (
-      |  SELECT DISTINCT q.vec_id AS q_id, a.vec_id AS neighbor_id
-      |  FROM bands q JOIN bands a ON q.band = a.band AND q.bits = a.bits
-      |  WHERE q.vec_id < 10 AND a.vec_id <> q.vec_id),
+      |  SELECT DISTINCT p.q_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN bands a ON p.band = a.band AND p.bits = a.bits
+      |  WHERE a.vec_id <> p.q_id),
       |vn AS (
       |  SELECT vec_id, v,
       |    sqrt(list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
@@ -1067,9 +1216,11 @@ object Similarity {
             if (acc > 0) sig(p / 64) |= (1L << (p % 64))
             p += 1
           }
-          (id, sig(0), sig(1), sig(2), sig(3))
+          (id, sig)
         }
-      }.toDF("vec_id", "s0", "s1", "s2", "s3")
+      }.toDF("vec_id", "sig")
+      .select(($"vec_id" +: (0 until SignWords).map(w =>
+        col("sig").getItem(w).as(s"s$w"))): _*)
   }
 
   /** The banded signature index: one row per (vector, band) with the
@@ -1081,15 +1232,28 @@ object Similarity {
     * both workloads, which is exactly how a production deployment
     * would materialize it.
     */
-  private def signBands(s: SparkSession, vin: DataFrame): DataFrame = {
+  private def signBands(s: SparkSession, vin: DataFrame): DataFrame =
+    bandsFrom(s, signSignatures(s, vin))
+
+  /** Band explosion over an existing signature frame — split from
+    * [[signBands]] so the memoized signature index can feed it too.
+    */
+  private def bandsFrom(s: SparkSession, sigs: DataFrame): DataFrame = {
     import s.implicits._
     val sigCols = (0 until SignWords).map(w => col(s"s$w"))
-    signSignatures(s, vin)
+    // word/shift/mask derived from SignBandBits (not a hardcoded
+    // 8-bands-per-word layout), so the tuning lever at the top of the
+    // object actually tunes this extraction (ADVICE r18); the top-of-
+    // object require pins the no-word-straddle precondition
+    sigs
       .select(($"vec_id" +: sigCols) :+
         explode(array((0 until SignBandCount).map { k =>
+          val word = (k * SignBandBits) / 64
+          val shift = (k * SignBandBits) % 64
+          val mask = (1L << SignBandBits) - 1
           struct(lit(k).as("band"),
-            shiftrightunsigned(col(s"s${k / 8}"), SignBandBits * (k % 8))
-              .bitwiseAND(lit(255L)).as("bits"))
+            shiftrightunsigned(col(s"s$word"), shift)
+              .bitwiseAND(lit(mask)).as("bits"))
         }: _*)).as("bk"): _*)
       .select(($"vec_id" +: sigCols) :+ $"bk.band" :+ $"bk.bits": _*)
   }
@@ -2041,21 +2205,31 @@ object Similarity {
     // own rounds stay sequential, and determinism is untouched
     // (measured 12.0 → ~4 s on the sf0.1 board)
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val perK = candidates.map { k =>
-      Future {
-        val (k1, k2) = hierDims(k)
-        hierAssignOn(s, v, k).select($"cent_id")
-          .groupBy($"cent_id").agg(count(lit(1)).as("c"))
-          .agg(
-            lit(k).as("k"),
-            count(lit(1)).cast("int").as("clusters_used"),
-            max($"c").as("max_cluster"),
-            sum(($"c" * ($"c" - 1)) / 2).cast("long").as("candidate_pairs"),
-            lit(k1 + k2).as("dots_per_vec"))
-      }
-    }.map(Await.result(_, Duration.Inf)).reduce(_.unionByName(_))
+    import scala.concurrent.duration.DurationInt
+    // a DEDICATED fixed pool, not the shared global EC: the fit bodies
+    // block on Spark collects, which on the global pool could starve
+    // unrelated users; and the Await is finite so a hung fit surfaces
+    // as a timeout naming this planner instead of blocking forever
+    // (ADVICE r18)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(candidates.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val perK =
+      try {
+        candidates.map { k =>
+          Future {
+            val (k1, k2) = hierDims(k)
+            hierAssignOn(s, v, k).select($"cent_id")
+              .groupBy($"cent_id").agg(count(lit(1)).as("c"))
+              .agg(
+                lit(k).as("k"),
+                count(lit(1)).cast("int").as("clusters_used"),
+                max($"c").as("max_cluster"),
+                sum(($"c" * ($"c" - 1)) / 2).cast("long").as("candidate_pairs"),
+                lit(k1 + k2).as("dots_per_vec"))
+          }
+        }.map(Await.result(_, 30.minutes)).reduce(_.unionByName(_))
+      } finally pool.shutdown()
     // assign_dots = n·(k1+k2), the two-level assignment's price of
     // buying smaller clusters — O(n·√k), no longer the single-level n·k
     val out = perK.select($"k", lit(n).as("n_vecs"), $"clusters_used",
@@ -2186,7 +2360,7 @@ object Similarity {
     GraftQuery("q_lsh_route_recall", lshRouteRecall, Some(lshRouteRecallSql)),
     GraftQuery("q_embed_cosine_dedup_lsh", cosineDedupLshTop, Some(cosineDedupLshSql)),
     GraftQuery("q_ann_cosine_topk", annCosineTopK, Some(annCosineTopKSql)),
-    GraftQuery("q_ann_lsh", annLsh, Some(annLshSql)),
+    GraftQuery("q_ann_lsh", annLsh, Some(annLshSql), singleShot = true),
     GraftQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GraftQuery("q_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql),
       singleShot = true),
@@ -2196,7 +2370,7 @@ object Similarity {
     GraftQuery("q_semdedup", semDedup, Some(semDedupSql), singleShot = true),
     GraftQuery("q_semdedup_plan", semDedupPlan, Some(semDedupPlanSql),
       singleShot = true),
-    GraftQuery("q_ann_recall", annRecall, Some(annRecallSql)),
+    GraftQuery("q_ann_recall", annRecall, Some(annRecallSql), singleShot = true),
     GraftQuery("q_ann_recall_trained", annRecallTrained, Some(annRecallTrainedSql),
       singleShot = true),
     GraftQuery("q_embed_norm_outliers", embedNormOutliers, Some(embedNormOutliersSql)),

@@ -89,15 +89,17 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // corpus-measured floors (the scoreboard's own values on sf0.001):
     // the fixed-centroid IVF dominates, the trained/compressed variants
-    // follow, and the multi-table LSH probe sits mid-pack — honest for
-    // a corpus whose true top-5 live at cos ≈ 0.4, where per-neighbor
-    // band recall 1−(1−p⁸)³² ≈ 0.56 (measured 0.42 at sf0.001/sf0.01;
-    // the pre-round-18 single 16-bit bucket measured 0.0 — every query
-    // alone in its bucket once the plane family was fixed)
+    // follow, and the multi-table multi-probe LSH now sits close behind
+    // — the r19 directed 1-flip probe lifted the measured lsh row from
+    // 0.42 to 0.62 (sf0.001 AND sf0.01) for ~2× probe volume, honest
+    // for a corpus whose true top-5 live at cos ≈ 0.4 (exact-bucket
+    // band recall 1−(1−p⁸)³² ≈ 0.56 there; the pre-round-18 single
+    // 16-bit bucket measured 0.0 — every query alone in its bucket
+    // once the plane family was fixed)
     assert(rows("ivf")._3 >= 0.8, s"ivf ${rows("ivf")._3}")
     assert(rows("ivf_kmeans")._3 >= 0.4, s"ivf_kmeans ${rows("ivf_kmeans")._3}")
     assert(rows("ivf_pq")._3 >= 0.3, s"ivf_pq ${rows("ivf_pq")._3}")
-    assert(rows("lsh")._3 >= 0.3, s"lsh ${rows("lsh")._3}")
+    assert(rows("lsh")._3 >= 0.5, s"lsh ${rows("lsh")._3}")
     assert(rows("pq")._3 >= 0.25, s"pq ${rows("pq")._3}")
     // cross-check one method against an independent recomputation
     val truth = neighborSets(Similarity.annCosineTopK(spark, dir))
