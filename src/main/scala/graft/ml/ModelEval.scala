@@ -154,6 +154,27 @@ object ModelEval {
       try {
       tf.count() // materialize once before the concurrent fits race to
       val folds = for { r <- 0 until 5; f <- 0 until 2 } yield (r, f)
+      // per-fold IDF models are SHARED across callers (r19 ask #7): the
+      // CV pair (ml.cvFoldTallies) and the grid-winner t-test
+      // (ml.gridTtestTallies) run the SAME 10 train-half IDF fits — a
+      // fitted fold featurizer is exactly the expensive-shared-artifact
+      // SessionCache is for (10 corpus-sized aggregates; the models
+      // themselves are one NumFeatures-length vector each, bounded
+      // driver state). Fits overlap 3-way like the fold pipelines below.
+      val idfByFold: Map[(Int, Int), org.apache.spark.ml.feature.IDFModel] =
+        SessionCache.getOrCompute(s, s"ml.foldIdf:$dir") {
+          val fitPool = java.util.concurrent.Executors.newFixedThreadPool(3)
+          val fitEc = ExecutionContext.fromExecutorService(fitPool)
+          try Await.result(Future.traverse(folds) { case (r, f) =>
+            Future {
+              val isTest = Evaluation.shuffleSplitBit($"doc_id", lit(r), 5) === f
+              // IDF fit on the fold's train half only — no leakage
+              (r, f) -> new IDF().setInputCol("tf").setOutputCol("features")
+                .fit(tf.where(!isTest))
+            }(fitEc)
+          }(implicitly, fitEc), Duration.Inf).toMap
+          finally fitPool.shutdown()
+        }
       // fold pipelines are independent — overlap a FEW as concurrent
       // Spark jobs (the CrossValidator-parallelism pattern). 3, not all
       // 10: at sf0.1 the fits are tiny and the single-threaded DAG
@@ -167,9 +188,7 @@ object ModelEval {
       val scored = try Await.result(Future.traverse(folds) { case (r, f) =>
         Future {
           val isTest = Evaluation.shuffleSplitBit($"doc_id", lit(r), 5) === f
-          // IDF fit on the fold's train half only — no leakage
-          val idf = new IDF().setInputCol("tf").setOutputCol("features")
-            .fit(tf.where(!isTest))
+          val idf = idfByFold((r, f))
           def feat(df: org.apache.spark.sql.DataFrame) =
             idf.transform(df).select($"doc_id", $"label", $"features")
           val (ftrain, ftest) = (feat(tf.where(!isTest)), feat(tf.where(isTest)))

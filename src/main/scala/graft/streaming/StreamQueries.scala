@@ -82,9 +82,33 @@ object StreamQueries {
     val q = build(mem.toDS()).writeStream.format("memory")
       .queryName(sink).outputMode(mode).start()
     try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
-    finally q.stop()
+    finally {
+      // state-store evidence for the scale bench (r19 ask #5): the max
+      // keyed-state row count / bytes any micro-batch held — the number
+      // that must stay WATERMARK-bounded (cluster-sized), not
+      // corpus-sized, as volume grows. Read from the query's progress
+      // ring before stop() (recentProgress keeps far more entries than
+      // the 3-5 batches a drive runs).
+      val stateOps = q.recentProgress.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten)
+      lastDriveStats.set(DriveStats(sink, q.recentProgress.length,
+        if (stateOps.isEmpty) 0L else stateOps.map(_.numRowsTotal).max,
+        if (stateOps.isEmpty) 0L else stateOps.map(_.memoryUsedBytes).max))
+      q.stop()
+    }
     s.table(sink)
   }
+
+  /** Snapshot of the most recent [[runStream]] drive's state-store
+    * posture, for StreamScaleBench — batch count plus the per-batch
+    * maxima of keyed-state rows and bytes across all stateful
+    * operators in the plan.
+    */
+  private[graft] final case class DriveStats(sink: String, batches: Int,
+      maxStateRows: Long, maxStateBytes: Long)
+  private[graft] val lastDriveStats =
+    new java.util.concurrent.atomic.AtomicReference[DriveStats](
+      DriveStats("", 0, 0L, 0L))
 
   /** The events table as time-ordered arrival batches: three chunks cut
     * at ts boundaries (equal-ts rows never split across chunks — the
@@ -629,7 +653,17 @@ object StreamQueries {
         clicks.addData(c: _*)
         purchases.addData(c: _*)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        // same state-store snapshot as runStream (this drive owns its
+        // two-source harness, so it records its own)
+        val stateOps = q.recentProgress.flatMap(p =>
+          Option(p.stateOperators).toSeq.flatten)
+        lastDriveStats.set(DriveStats("graft_stream_click_attrib",
+          q.recentProgress.length,
+          if (stateOps.isEmpty) 0L else stateOps.map(_.numRowsTotal).max,
+          if (stateOps.isEmpty) 0L else stateOps.map(_.memoryUsedBytes).max))
+        q.stop()
+      }
     }
     s.table("graft_stream_click_attrib")
       .select($"user_id", $"click_id", $"purchase_id",
