@@ -1,0 +1,27 @@
+package graft
+
+/** Throwaway diagnostic: stage decomposition of the LSH cosine-dedup
+  * route at a given SF dir — signature scan alone, band-collision +
+  * Hamming volume, full route — to adjudicate the r19 deep-ladder t30
+  * inflation.
+  */
+object DiagLsh {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/scaledata/sf3")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"DIAG $label ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r")
+      r
+    }
+    t("vecs.count")(graft.operators.Similarity.diagVecs(spark, dir).count())
+    t("signatures.count")(graft.operators.Similarity.diagSignatures(spark, dir).count())
+    t("bandCollisions.count")(graft.operators.Similarity.diagBandCollisions(spark, dir))
+    t("route.count")(graft.operators.Similarity.cosineDedupLshTop(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -295,8 +295,19 @@ object ScaleBench {
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",
       "q_winnow_pairs", "q_semdedup", "q_ann_ivf_kmeans",
       "q_embed_cosine_dedup_lsh", "q_curation_pipeline", "q_doc_signals")
-    val deepRun = ladderRun(deepHeads, Seq(
-      1 -> base, 10 -> s"$root/sf1", 30 -> s"$root/sf3"))
+    // the cheapest deep heads (by measured t30) plus q_semdedup — whose
+    // n·√k trainer is exactly the claim a second decade tests — climb to
+    // a 100× rung (r19 ask #6): {1,10,30,100} gives two full measured
+    // decades under the fitted exponent, where the 30× rung alone
+    // caught the r18 semdedup n·k term a 10× ratio couldn't resolve
+    val deep100 = Set(
+      "q1_agg", "q_dedup_exact", "q_events_sessionize",
+      "q_ann_ivf_kmeans", "q_dedup_minhash", "q_percentiles", "q_semdedup")
+    val deepDirs = Seq(1 -> base, 10 -> s"$root/sf1", 30 -> s"$root/sf3")
+    val hundredDirs = deepDirs :+ (100 -> s"$root/sf10")
+    val deepRun =
+      ladderRun(deepHeads.filterNot(deep100), deepDirs) ++
+        ladderRun(deepHeads.filter(deep100), hundredDirs)
     val deepLadder = ladderJson(deepRun)
     // 10×-heads cross-check (ask r19#1): for deep-ladder heads the same
     // run holds an INDEPENDENT estimate of the base and sf1 times — if

@@ -1113,10 +1113,10 @@ object Similarity {
     *  - otherwise, `tau ≥` [[TauLshFloor]]: banded sign-LSH candidates +
     *    exact cosine verification ([[lshVerified]]). Sub-quadratic; NO
     *    false positives (the verify step recomputes true cosine), and
-    *    per-pair candidate recall ≥ (1 − (1 − p⁸)³²) · P[h ≤ 104] with
+    *    per-pair candidate recall ≥ (1 − (1 − p⁸)³²) · P[h ≤ 92] with
     *    p = 1 − θ/π (band recall ≈ 0.961 at the floor, ≈ 0.996 at
     *    τ = 0.8, ~1 − 2·10⁻⁵ at τ = 0.9; the [[HammingMax]] prefilter
-    *    multiplies in ~1 − 3·10⁻⁹ at the floor, ~1 above it) —
+    *    multiplies in 1 − 6.2·10⁻⁵ at the floor, ~1 above it) —
     *    near-exact but NOT exhaustive. This is the 100 TB route.
     *  - otherwise (`tau <` floor, no opt-in): exact low-τ semantics are
     *    inherently O(n²) compares (SURVEY §5) and band recall collapses,
@@ -1276,18 +1276,26 @@ object Similarity {
   /** Hamming prefilter bound on the 256-bit sign signature: a pair at
     * the τ = 0.7 floor (θ ≈ 45.6°) flips each sign bit with
     * p = θ/π ≈ 0.253, so its Hamming distance is Binomial(256, 0.253)
-    * — mean 64.8, σ 7.0 — and P[h ≤ 104] ≈ 1 − 3·10⁻⁹ (a 5.7σ cut;
-    * the 64-bit scheme's 26/64 threshold scaled proportionally). The
+    * — mean 64.8, σ 6.96 — and P[h ≤ 92] = 1 − 6.2·10⁻⁵ exactly (a
+    * 4.0σ cut; every pair ABOVE the floor is safer still). The
     * near-orthogonal bulk (θ ≈ 90°, h ~ Binomial(256, 0.5), mean 128,
-    * σ 8) passes with only P ≈ 0.0016 — concentration of measure makes
-    * the 256-bit prefilter ~50× more selective than the 64-bit one at
-    * essentially zero recall cost. The filter runs as a streamed scalar
-    * predicate on the signature words the bucket join already carries —
-    * BEFORE the candidate distinct and the vector fetch — so the
-    * distinct/fetch/verify stages see ~0.2% of the band-collision
-    * volume on a no-dup-structure corpus.
+    * σ 8) passes with only P = 4.0·10⁻⁶, so the distinct/fetch/verify
+    * stages see ~4 per MILLION of the band-collision volume on a
+    * no-dup-structure corpus. TIGHTENED 104 → 92 in round 19: the r18
+    * choice (5.7σ, the 64-bit scheme's 26/64 scaled proportionally)
+    * passed 0.16% of the bulk, and the sf3 deep-ladder rung measured
+    * the consequence — 3.8·10⁷ of 2.7·10⁸ band emits surviving into
+    * the verify fetch, whose per-pair 64-double payload turned the
+    * two id-joins into a ~20 GB shuffle (~60 of the route's 66 s;
+    * DiagLsh decomposition, §8l). At 4σ the certified floor recall
+    * drops by 6·10⁻⁵ while the quadratic term's constant shrinks
+    * ~400×: the verify volume is now dup-driven, not bulk-driven,
+    * which is the only posture that survives 100 TB. The filter runs
+    * as a streamed scalar predicate on the signature words the bucket
+    * join already carries — BEFORE the candidate distinct and the
+    * vector fetch.
     */
-  private val HammingMax = 104
+  private val HammingMax = 92
 
   /** The LSH route's verified candidate frame — the 3-stage cascade:
     * banded sign-LSH bucket collisions (coarse), Hamming prefilter on
@@ -1299,6 +1307,29 @@ object Similarity {
     * what lets the oracle reconstruct the full Hamming distance as a
     * sum of per-band bit_count(xor).
     */
+  /** DiagLsh stage hooks (throwaway diagnostics, not registered). */
+  private[graft] def diagVecs(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir)
+  private[graft] def diagSignatures(s: SparkSession, dir: String): DataFrame =
+    signSignatures(s, vecs(s, dir))
+  private[graft] def diagBandCollisions(s: SparkSession, dir: String): (Long, Long) = {
+    import s.implicits._
+    val bands = signBands(s, vecs(s, dir))
+    val left = bands.select(($"band" +: $"bits" +: $"vec_id".as("id_a") +:
+      (0 until SignWords).map(w => col(s"s$w").as(s"a$w"))): _*)
+    val right = bands.select(($"band" +: $"bits" +: $"vec_id".as("id_b") +:
+      (0 until SignWords).map(w => col(s"s$w").as(s"b$w"))): _*)
+    val hamming = (0 until SignWords)
+      .map(w => bit_count(col(s"a$w").bitwiseXOR(col(s"b$w"))))
+      .reduce(_ + _)
+    val r = left.join(right, Seq("band", "bits"))
+      .where($"id_a" < $"id_b")
+      .select(count(lit(1)).as("emits"),
+        sum(when(hamming <= HammingMax, 1L).otherwise(0L)).as("passed"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   private[graft] def lshVerifiedCandidates(s: SparkSession, vin: DataFrame): DataFrame = {
     import s.implicits._
     val sigCols = (0 until SignWords).map(w => col(s"s$w"))
