@@ -275,15 +275,17 @@ object ScaleBench {
     // compare count is structurally n²/2 (resp. the candidate fraction
     // of it), and the ladder shows where the quadratic term overtakes
     // the fixed plan overhead that dominates at small n
-    val ladder = ladderJson(ladderRun(quadratic, Seq(
-      1 -> base, 2 -> s"$root/sf0.2", 3 -> s"$root/sf0.3", 10 -> s"$root/sf1")))
+    val quadRun = ladderRun(quadratic, Seq(
+      1 -> base, 2 -> s"$root/sf0.2", 3 -> s"$root/sf0.3", 10 -> s"$root/sf1"))
+    val ladder = ladderJson(quadRun)
     // the LSH route ALSO ladders on the dup-bearing corpus (ScaleData
     // dupPct mode) — its advertised regime, where the high-cos pairs
     // are planted near-duplicates scaling linearly with the factor
     // rather than the adversarial no-dup bulk
-    val dupLadder = ladderJson(ladderRun(Seq("q_embed_cosine_dedup_lsh"), Seq(
+    val dupRun = ladderRun(Seq("q_embed_cosine_dedup_lsh"), Seq(
       1 -> s"$root/sf0.1_dup", 2 -> s"$root/sf0.2_dup",
-      3 -> s"$root/sf0.3_dup", 10 -> s"$root/sf1_dup")))
+      3 -> s"$root/sf0.3_dup", 10 -> s"$root/sf1_dup"))
+    val dupLadder = ladderJson(dupRun)
     // DEEP ladder {1, 10, 30}: the cheap heads can afford a 30× point,
     // and a superlinear term too small for the 10× ratio to resolve
     // shows up in the 10→30 leg (r17 judge ask — one family per row:
@@ -351,7 +353,34 @@ object ScaleBench {
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     val integrity = gate.json(BenchIntegrity.remeasuredJson(remeasured))
-    val line = s"""{"metric":"scale_ratio","factor":10,"base":"$base","queries":$rows,"quadratic_ladder":$ladder,"dup_ladder":$dupLadder,"deep_ladder":$deepLadder,"host":{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg_end":${f(load)}},"integrity":$integrity}"""
+    // ladder-point annotation (the r19 lesson: a pressured JVM can
+    // inflate a ladder rung min-of-2 included, and an in-JVM re-measure
+    // cannot clear JVM-state pressure — so deviations >2× from the
+    // prior committed artifact are TAGGED, not auto-corrected; a code
+    // change that legitimately moves a rung shows up here too and the
+    // round writeup adjudicates it)
+    val priorL = BenchIntegrity.priorLadders(
+      new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
+        sys.props.getOrElse("user.dir", "."))))
+    val ladderFlags = Seq(
+      "quadratic_ladder" -> quadRun,
+      "dup_ladder" -> dupRun,
+      "deep_ladder" -> deepRun).flatMap {
+      case (lname, runs) => runs.flatMap {
+        case (q, Right(pts)) => pts.flatMap { case (fct, t) =>
+          priorL.get((lname, q, s"t$fct")).collect {
+            case p if BenchIntegrity.outlier(t, p) =>
+              s"""{"ladder":"$lname","query":"$q","point":"t$fct","t":${f(t)},"prior_t":${f(p)}}"""
+          }
+        }
+        case _ => Nil
+      }
+    }
+    if (ladderFlags.nonEmpty) System.err.println(
+      s"[scalebench] ${ladderFlags.size} ladder points deviate >2x from " +
+        "the prior artifact — tagged in ladder_flags, adjudicate before trusting")
+    val flagsJson = ladderFlags.mkString("[", ",", "]")
+    val line = s"""{"metric":"scale_ratio","factor":10,"base":"$base","queries":$rows,"quadratic_ladder":$ladder,"dup_ladder":$dupLadder,"deep_ladder":$deepLadder,"ladder_flags":$flagsJson,"host":{"smoke_sec":[${f(smokeStart)},${f(smokeEnd)}],"loadavg_end":${f(load)}},"integrity":$integrity}"""
     println(line)
     try {
       val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
