@@ -112,7 +112,7 @@ object BenchIntegrity {
         if (qs == null || tree.get("sf") == null ||
             tree.get("sf").asText() != sfDir) Map.empty
         else {
-          val it = qs.fields()
+          val it = qs.properties().iterator()
           val b = Map.newBuilder[String, Double]
           while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
           b.result()
@@ -153,10 +153,10 @@ object BenchIntegrity {
         for (ladder <- Seq("quadratic_ladder", "dup_ladder", "deep_ladder")) {
           val l = tree.get(ladder)
           if (l != null) {
-            val qs = l.fields()
+            val qs = l.properties().iterator()
             while (qs.hasNext) {
               val q = qs.next()
-              val fs = q.getValue.fields()
+              val fs = q.getValue.properties().iterator()
               while (fs.hasNext) {
                 val f = fs.next()
                 if (f.getKey.matches("t[0-9]+"))

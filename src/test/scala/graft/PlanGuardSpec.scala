@@ -316,6 +316,20 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multi-probe lshTopK plan: probe/bucket/rerank equi-joins only — no BNLJ, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the r19 directed 1-flip probe set joins the banded index on
+    // (band, bits) and the rerank fetches vectors by neighbor_id —
+    // every join stays an equi-join even with the probe union in play
+    val plan = graft.operators.Similarity.lshTopK(spark, dir)
+      .queryExecution.sparkPlan
+    val bad = plan.collect {
+      case b: BroadcastNestedLoopJoinExec => b: org.apache.spark.sql.execution.SparkPlan
+      case c: CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"lshTopK: ${bad.size} non-equi join(s)")
+  }
+
   test("hierarchical semdedup consumer assignment joins on the branch key — no BNLJ, no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import spark.implicits._
