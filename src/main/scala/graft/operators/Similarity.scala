@@ -214,6 +214,16 @@ object Similarity {
     */
   private[graft] def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    lshRanked(s, dir).where($"rank" <= 5).orderBy($"q_id", $"rank")
+  }
+
+  /** The full ranked candidate frame behind [[lshTopK]] — every deduped
+    * multi-probe candidate with its exact-cosine rank, BEFORE the top-5
+    * cut, so the recall scoreboard reads hits (rank ≤ 5 ∩ truth) AND the
+    * touched-candidate volume (row count) from one pass.
+    */
+  private def lshRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val v = vecs(s, dir)
     val bands = bandedIndex(s, dir).select($"vec_id", $"band", $"bits")
@@ -229,8 +239,6 @@ object Similarity {
       .select($"q_id", $"neighbor_id",
         round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
-      .where($"rank" <= 5)
-      .orderBy($"q_id", $"rank")
   }
 
   /** The banded sign index over the corpus, derived from the
@@ -403,13 +411,29 @@ object Similarity {
     * (exact + directed flip, [[probesCtesSql]]), exact-cosine rerank,
     * top-5 per query.
     */
+  /** The probe plan's deduped candidate CTE — shared by the search
+    * oracle ([[lshTopKSql]]) and the scoreboard's candidate-volume
+    * count ([[lshCandCountSql]]).
+    */
+  private lazy val lshSearchCandCteSql: String =
+    s"""cand AS (
+      |  SELECT DISTINCT p.q_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN bands a ON p.band = a.band AND p.bits = a.bits
+      |  WHERE a.vec_id <> p.q_id)""".stripMargin
+
+  /** n_candidates of the lsh scoreboard row, re-derived: distinct
+    * multi-probe bucket collision pairs entering the exact rerank.
+    */
+  private lazy val lshCandCountSql: String =
+    s"""WITH $signBandsCtesSql,
+      |$probesCtesSql,
+      |$lshSearchCandCteSql
+      |SELECT CAST(count(*) AS BIGINT) AS n FROM cand""".stripMargin
+
   private lazy val lshTopKSql: String =
     s"""WITH $signBandsCtesSql,
       |$probesCtesSql,
-      |cand AS (
-      |  SELECT DISTINCT p.q_id, a.vec_id AS neighbor_id
-      |  FROM probes p JOIN bands a ON p.band = a.band AND p.bits = a.bits
-      |  WHERE a.vec_id <> p.q_id),
+      |$lshSearchCandCteSql,
       |vn AS (
       |  SELECT vec_id, v,
       |    sqrt(list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
@@ -435,12 +459,17 @@ object Similarity {
     * all of it; centroids broadcast, so assignment is map-side and the
     * only shuffle is the final per-query top-k window.
     */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, vecs(s, dir), fixedCents(s, dir))
+
+  /** The deterministic fixed-centroid codebook ([[annIvf]]'s quantizer):
+    * the first 8 vectors, shared with the recall scoreboard's ranked
+    * variant.
+    */
+  private def fixedCents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = vecs(s, dir)
-    val cents = v.where($"vec_id" < 8)
+    vecs(s, dir).where($"vec_id" < 8)
       .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
-    ivfSearch(s, v, cents)
   }
 
   /** The IVF search shape shared by the fixed-centroid oracle twin and
@@ -450,6 +479,15 @@ object Similarity {
     * per-query top-k window.
     */
   private def ivfSearch(s: SparkSession, v: DataFrame, cents: DataFrame): DataFrame = {
+    import s.implicits._
+    ivfRanked(s, v, cents).where($"rank" <= 5).orderBy($"q_id", $"rank")
+  }
+
+  /** [[ivfSearch]] without the top-5 cut: every (query, probed-list
+    * vector) pair exact-scored and ranked — the frame the recall
+    * scoreboard counts for the touched-candidate volume.
+    */
+  private def ivfRanked(s: SparkSession, v: DataFrame, cents: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)
@@ -476,8 +514,6 @@ object Similarity {
       .select($"q_id", $"vec_id".as("neighbor_id"),
         round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
       .withColumn("rank", row_number().over(wTop))
-      .where($"rank" <= 5)
-      .orderBy($"q_id", $"rank")
   }
 
   /** IVF with a REAL coarse quantizer — the production scale path: a
@@ -525,10 +561,13 @@ object Similarity {
     * (which must end in cents(cent_id, cv, cnrm)) — one search SQL for
     * the fixed-centroid q_ann_ivf and the trained q_ann_ivf_kmeans.
     */
-  private def ivfSearchSqlFrom(centsCtes: String): String = {
+  /** The [[ivfSearch]] CTE prefix (corpus → assignment → probes),
+    * shared by the search oracle and the candidate-volume count.
+    */
+  private def ivfCtesFrom(centsCtes: String): String = {
     def dotE(x: String, y: String) = dotESql(x, y)
     def cosE(x: String, xn: String, y: String, yn: String) = cosESql(x, xn, y, yn)
-    s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+    s"""vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
        |vn AS (SELECT vec_id, v, sqrt(${dotE("v", "v")}) AS nrm FROM vv),
        |$centsCtes,
        |assign AS (
@@ -546,7 +585,12 @@ object Similarity {
        |        ORDER BY ${cosE("q.v", "q.nrm", "c.cv", "c.cnrm")} DESC, c.cent_id ASC)
        |        AS INT) AS prk
        |    FROM vn q CROSS JOIN cents c WHERE q.vec_id < 10) z
-       |  WHERE prk <= 2)
+       |  WHERE prk <= 2)""".stripMargin
+  }
+
+  private def ivfSearchSqlFrom(centsCtes: String): String = {
+    def cosE(x: String, xn: String, y: String, yn: String) = cosESql(x, xn, y, yn)
+    s"""WITH ${ivfCtesFrom(centsCtes)}
        |SELECT q_id, neighbor_id, cos, rank FROM (
        |  SELECT p.q_id, a.vec_id AS neighbor_id,
        |    ${cosE("p.qv", "p.qnrm", "a.v", "a.nrm")} AS cos,
@@ -557,6 +601,17 @@ object Similarity {
        |  WHERE a.vec_id <> p.q_id) z
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
+
+  /** n_candidates of an IVF scoreboard row, re-derived: (query, vector)
+    * pairs inside the probed lists, excluding self — the full-precision
+    * scan volume the inverted file bounds to ~nprobe/nlist of the
+    * corpus.
+    */
+  private def ivfCandCountSqlFrom(centsCtes: String): String =
+    s"""WITH ${ivfCtesFrom(centsCtes)}
+       |SELECT CAST(count(*) AS BIGINT) AS n
+       |FROM probes p JOIN assign a USING (cent_id)
+       |WHERE a.vec_id <> p.q_id""".stripMargin
 
   val annIvfSql: String = ivfSearchSqlFrom(
     "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM vn WHERE vec_id < 8)")
@@ -649,6 +704,17 @@ object Similarity {
     */
   private[graft] def pqTopK(s: SparkSession, vn: DataFrame, qPred: Column): DataFrame = {
     import s.implicits._
+    pqRanked(s, vn, qPred).where($"rank" <= 5).orderBy($"q_id", $"rank")
+  }
+
+  /** [[pqTopK]] without the top-5 cut: every ADC-scored (query, vector)
+    * pair ranked — for PQ the touched volume is the WHOLE corpus
+    * (nq·(n−1) pairs, that is the method's honesty: it scans everything
+    * but reads 8 code bytes per vector instead of 64 floats), and the
+    * recall scoreboard prices exactly that.
+    */
+  private def pqRanked(s: SparkSession, vn: DataFrame, qPred: Column): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     def subspaces(vecCol: Column): Column = explode(array((0 until PqM).map { m =>
       struct(lit(m).as("m"), slice(vecCol, m * PqD + 1, PqD).as("sv"))
@@ -681,23 +747,29 @@ object Similarity {
         .as("approx_cos"))
       .withColumnRenamed("vec_id", "neighbor_id")
       .withColumn("rank", row_number().over(wTop))
-      .where($"rank" <= 5)
-      .orderBy($"q_id", $"rank")
   }
 
   /** Registered PQ query: unit-normalized embeddings (ADC dot = approx
     * cosine), first 10 vectors as queries, top-5 by ADC score.
     */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    pqTopK(s, unitVecs(s, dir), col("vec_id") < 10)
+
+  /** Unit-normalized (vec_id, vn) embedding frame — the PQ family's
+    * input, shared with the recall scoreboard's ranked variant.
+    */
+  private def unitVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vn = vecs(s, dir)
+    vecs(s, dir)
       .select($"vec_id", transform($"v", x => x / $"nrm").as("vn"))
-    pqTopK(s, vn, col("vec_id") < 10)
   }
 
-  val annPqSql: String = {
+  /** The [[annPq]] oracle's CTE prefix through the ADC-scored pairs —
+    * shared by the search oracle and the scoreboard's candidate count.
+    */
+  private lazy val pqCtesSql: String = {
     def dotE(terms: String) = s"list_reduce([$terms], (x, y) -> x + y)"
-    s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+    s"""vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
        |vn AS (
        |  SELECT vec_id,
        |    [x / sqrt(${dotE("v[i] * v[i] for i in generate_series(1, len(v))")})
@@ -728,14 +800,24 @@ object Similarity {
        |    round(${graft.functions.FloatFold.orderedSumSql("pdot", "e.m")}, 6) AS approx_cos
        |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.j
        |  WHERE e.vec_id <> l.q_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val annPqSql: String =
+    s"""WITH $pqCtesSql
        |SELECT q_id, neighbor_id, approx_cos, rank FROM (
        |  SELECT q_id, neighbor_id, approx_cos,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY approx_cos DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM adc) z
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-  }
+
+  /** n_candidates of the pq scoreboard row, re-derived: the ADC scan
+    * scores every non-self vector for every query — nq·(n−1) pairs.
+    */
+  private lazy val pqCandCountSql: String =
+    s"""WITH $pqCtesSql
+       |SELECT CAST(count(*) AS BIGINT) AS n FROM adc""".stripMargin
 
   /** TRAINED per-subspace PQ codebooks — the swap-in the deterministic
     * [[pqTopK]] codebook documents: Lloyd's k-means over each subspace's
@@ -835,7 +917,19 @@ object Similarity {
     * factored like [[pqTopK]] so the spec can drive planted vectors.
     */
   private[graft] def ivfPqTopK(s: SparkSession, vnIn: DataFrame,
-      qPred: Column): DataFrame = {
+      qPred: Column): DataFrame =
+    ivfPqFrames(s, vnIn, qPred)._1
+
+  /** [[ivfPqTopK]] plus its ADC candidate stage: returns (top-5 frame,
+    * ADC-scored (q_id, neighbor_id) pairs). The second frame's row count
+    * is the method's touched-candidate volume — the compressed scan of
+    * the probed lists, BEFORE the shortlist cut — priced by
+    * [[annRecallTrained]]. One construction builds both (the coarse fit
+    * and codebook training run once; the checkpointed assignment is
+    * shared by both lineages).
+    */
+  private def ivfPqFrames(s: SparkSession, vnIn: DataFrame,
+      qPred: Column): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val vn = vnIn.select($"vec_id", $"vn")
@@ -912,7 +1006,7 @@ object Similarity {
     // refine: exact scores for shortlist rows only — full floats are
     // read for nq·shortlist vectors, not the probed lists
     val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    broadcast(shortlist)
+    val topk = broadcast(shortlist)
       .join(vn.select($"vec_id".as("neighbor_id"), $"vn".as("nv")), "neighbor_id")
       .join(broadcast(q.withColumnRenamed("q_id", "jq")), $"q_id" === $"jq")
       .select($"q_id", $"neighbor_id", $"approx_cos",
@@ -920,29 +1014,33 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop))
       .where($"rank" <= 5)
       .orderBy($"q_id", $"rank")
+    (topk, adc.select($"q_id", $"neighbor_id"))
   }
 
   /** Registered IVF-PQ query: unit-normalized embeddings, first 10
-    * vectors as queries, top-5 by pruned ADC score. Rows-only for the
-    * gate (k-means fits are not SQL-expressible); SimilaritySpec pins
-    * the recall floor vs. brute-force top-5 and that codebook training
+    * vectors as queries, top-5 by pruned ADC score. Hash-checked
+    * end-to-end since the deterministic trainers landed
+    * ([[annIvfPqSql]] re-derives every stage); SimilaritySpec pins the
+    * recall floor vs. brute-force top-5 and that codebook training
     * tightened quantization error.
     */
   def annIvfPq(s: SparkSession, dir: String): DataFrame =
-    // coarse-quantizer fit + Lloyd codebook training + the checkpointed
-    // assignment all live in the returned DAG's construction — memoized
-    // per session so the recall scoreboard reuses this query's index
+    annIvfPqBoth(s, dir)._1
+
+  /** The memoized (top-5, ADC candidate pairs) pair behind [[annIvfPq]]
+    * and [[annRecallTrained]]: the coarse-quantizer fit + Lloyd codebook
+    * training + the checkpointed assignment all live in the pair's
+    * construction — memoized per session so the registered query and
+    * the recall scoreboard pay the index build once.
+    */
+  private def annIvfPqBoth(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     SessionCache.getOrCompute(s, s"sim.ivfPq:$dir") {
-      annIvfPqUncached(s, dir)
+      ivfPqFrames(s, unitVecs(s, dir), col("vec_id") < 10)
     }
 
   /** Index build + search, uncached — the determinism spec's entry. */
-  private[graft] def annIvfPqUncached(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val vn = vecs(s, dir)
-      .select($"vec_id", transform($"v", x => x / $"nrm").as("vn"))
-    ivfPqTopK(s, vn, col("vec_id") < 10)
-  }
+  private[graft] def annIvfPqUncached(s: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(s, unitVecs(s, dir), col("vec_id") < 10)
 
   /** DuckDB re-derivation of the RESIDUAL codebook training
     * ([[trainPqCodebooks]] at [[IvfPqIters]] unrolled): pcb0 init from
@@ -994,8 +1092,12 @@ object Similarity {
     * the broadcast-LUT ADC fold, the 20-candidate shortlist, and the
     * exact refine.
     */
-  def annIvfPqSql: String = {
-    s"""WITH vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+  /** The [[annIvfPqSql]] chain's CTE prefix through the pruned ADC scan
+    * — shared by the search oracle and the trained scoreboard's
+    * candidate-volume count ([[ivfPqCandCountSql]]).
+    */
+  private def ivfPqCtesSql: String = {
+    s"""vv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
        |vr AS (SELECT vec_id, v, sqrt(${dotESql("v", "v")}) AS nrm FROM vv),
        |vn AS MATERIALIZED (
        |  SELECT vec_id, [v[i] / nrm for i in generate_series(1, len(v))] AS v,
@@ -1052,7 +1154,11 @@ object Similarity {
        |  FROM encc e JOIN probes p USING (cent_id)
        |  JOIN lut l ON l.q_id = p.q_id AND l.m = e.m AND l.j = e.code
        |  WHERE e.vec_id <> p.q_id
-       |  GROUP BY p.q_id, e.vec_id),
+       |  GROUP BY p.q_id, e.vec_id)""".stripMargin
+  }
+
+  def annIvfPqSql: String =
+    s"""WITH ${ivfPqCtesSql},
        |short AS (
        |  SELECT q_id, neighbor_id, approx_cos FROM (
        |    SELECT adc.*, row_number() OVER (PARTITION BY q_id
@@ -1067,7 +1173,13 @@ object Similarity {
        |        s.neighbor_id ASC) AS INT) AS rank
        |  FROM short s JOIN qs q USING (q_id) JOIN vn n ON n.vec_id = s.neighbor_id) z
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-  }
+
+  /** n_candidates of the ivf_pq scoreboard row, re-derived: ADC-scored
+    * (query, vector) pairs within the probed lists, pre-shortlist.
+    */
+  private def ivfPqCandCountSql: String =
+    s"""WITH ${ivfPqCtesSql}
+       |SELECT CAST(count(*) AS BIGINT) AS n FROM adc""".stripMargin
 
   /** ORACLE for the residual-PQ recall row: the IVF-PQ chain's top-k
     * intersected with the brute-force top-5, same shape as
@@ -1081,7 +1193,8 @@ object Similarity {
       |  SELECT 'ivf_pq' AS method, count(*) AS hits
       |  FROM pqv JOIN brute USING (q_id, neighbor_id))
       |SELECT method, CAST(hits AS BIGINT) AS hits, n_truth,
-      |  round(CAST(hits AS DOUBLE) / n_truth, 4) AS recall_at_5
+      |  round(CAST(hits AS DOUBLE) / n_truth, 4) AS recall_at_5,
+      |  CAST((SELECT n FROM ($ivfPqCandCountSql) t) AS BIGINT) AS n_candidates
       |FROM hits CROSS JOIN nt ORDER BY method""".stripMargin
 
   /** τ floor of the LSH route: at τ ≥ 0.7 (θ ≤ 45.6°, per-plane sign
@@ -1506,9 +1619,14 @@ object Similarity {
     * one bounded semi-join per method. recall@5 = |returned ∩ true
     * top-5| / (queries × 5), the standard ANN benchmark statistic; a
     * method returning fewer than 5 candidates for a query (LSH with a
-    * thin bucket) is priced honestly. This is the query a 100 TB
-    * deployment runs on a sample before picking its index: the
-    * scoreboard is bounded no matter the corpus. Split across two
+    * thin bucket) is priced honestly. Each row also carries
+    * `n_candidates` — the method's touched-candidate volume (r19:
+    * distinct probe-bucket pairs for lsh, probed-list pairs for the IVF
+    * family, the full nq·(n−1) compressed scan for pq) — because recall
+    * alone cannot rank an index: 0.8 recall touching n/8 beats 0.86
+    * touching everything. This is the query a 100 TB deployment runs on
+    * a sample before picking its index: the scoreboard is bounded no
+    * matter the corpus. Split across two
     * registered queries by oracle strength: THIS one covers the
     * DuckDB-reproducible methods — lsh / ivf / pq AND (since the
     * coarse quantizer went deterministic) the trained ivf_kmeans —
@@ -1519,19 +1637,33 @@ object Similarity {
     */
   def annRecall(s: SparkSession, dir: String): DataFrame =
     recallScoreboard(s, dir, Seq(
-      "lsh" -> lshTopK(s, dir),
-      "ivf" -> annIvf(s, dir),
-      "ivf_kmeans" -> annIvfKmeans(s, dir),
-      "pq" -> annPq(s, dir)))
+      "lsh" -> lshRanked(s, dir),
+      "ivf" -> ivfRanked(s, vecs(s, dir), fixedCents(s, dir)),
+      "ivf_kmeans" -> ivfRanked(s, vecs(s, dir), cachedCoarseCents(s, dir, 16)),
+      "pq" -> pqRanked(s, unitVecs(s, dir), col("vec_id") < 10)))
 
-  /** The residual-PQ half of the scoreboard — the one method whose
-    * quantizer training is still not SQL-reproducible (Lloyd means over
-    * raw floats); same brute-force truth frame and recall algebra as
-    * [[annRecall]], split out so everything else can be hash-checked.
+  /** The residual-PQ half of the scoreboard, split out when its
+    * training was not yet SQL-reproducible and kept separate so the
+    * four-method board stays cheap to re-derive; same brute-force truth
+    * frame and recall/volume algebra as [[annRecall]]. Its
+    * `n_candidates` is the ADC-scored pair count (the compressed scan of
+    * the probed lists, pre-shortlist) — the volume column that makes
+    * ivf_pq comparable to the other rows.
     */
-  def annRecallTrained(s: SparkSession, dir: String): DataFrame =
-    recallScoreboard(s, dir, Seq(
-      "ivf_pq" -> annIvfPq(s, dir)))
+  def annRecallTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = bruteTruth(s, dir)
+    val nTruth = brute.count()
+    val (topk, adcPairs) = annIvfPqBoth(s, dir)
+    topk.select($"q_id", $"neighbor_id")
+      .join(broadcast(brute), Seq("q_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(adcPairs.agg(count(lit(1)).as("n_candidates")))
+      .select(lit("ivf_pq").as("method"), $"hits",
+        lit(nTruth).as("n_truth"),
+        round($"hits" / nTruth.toDouble, 4).as("recall_at_5"),
+        $"n_candidates")
+  }
 
   /** The brute-force truth frame, persisted once per (session, dir) —
     * both scoreboard halves intersect against the same 50 rows.
@@ -1545,18 +1677,29 @@ object Similarity {
       b
     }
 
+  /** One board row per method from its FULL ranked candidate frame
+    * (rank over every scored candidate, pre-top-5): hits = |rank ≤ 5 ∩
+    * brute-force truth| and n_candidates = the frame's row count — the
+    * method's touched-candidate volume, read from the same single pass.
+    * Recall alone cannot rank an index (0.8 recall touching n/8 beats
+    * 0.86 touching the whole corpus); the volume column is what a
+    * deployment weighs it against.
+    */
   private def recallScoreboard(s: SparkSession, dir: String,
       methods: Seq[(String, DataFrame)]): DataFrame = {
     import s.implicits._
     val brute = bruteTruth(s, dir)
     val nTruth = brute.count() // = queries × 5 (persisted — cheap)
-    methods.map { case (name, df) =>
-      df.select($"q_id", $"neighbor_id")
-        .join(broadcast(brute), Seq("q_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
+    val bruteHit = broadcast(brute.withColumn("hit", lit(1)))
+    methods.map { case (name, ranked) =>
+      ranked.select($"q_id", $"neighbor_id", $"rank")
+        .join(bruteHit, Seq("q_id", "neighbor_id"), "left")
+        .agg(count(when($"rank" <= 5, $"hit")).as("hits"),
+          count(lit(1)).as("n_candidates"))
         .select(lit(name).as("method"), $"hits",
           lit(nTruth).as("n_truth"),
-          round($"hits" / nTruth.toDouble, 4).as("recall_at_5"))
+          round($"hits" / nTruth.toDouble, 4).as("recall_at_5"),
+          $"n_candidates")
     }.reduce(_.unionByName(_)).orderBy($"method")
   }
 
@@ -1580,10 +1723,24 @@ object Similarity {
       |  UNION ALL
       |  SELECT 'lsh', count(*) FROM lshr JOIN brute USING (q_id, neighbor_id)
       |  UNION ALL
-      |  SELECT 'pq', count(*) FROM pqr JOIN brute USING (q_id, neighbor_id))
+      |  SELECT 'pq', count(*) FROM pqr JOIN brute USING (q_id, neighbor_id)),
+      |cands AS (
+      |  SELECT 'ivf' AS method,
+      |    (SELECT n FROM (${ivfCandCountSqlFrom(
+             "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM vn WHERE vec_id < 8)")}) t)
+      |    AS n_candidates
+      |  UNION ALL
+      |  SELECT 'ivf_kmeans',
+      |    (SELECT n FROM (${ivfCandCountSqlFrom(coarseCtesSql("SELECT 16 AS k"))}) t)
+      |  UNION ALL
+      |  SELECT 'lsh', (SELECT n FROM ($lshCandCountSql) t)
+      |  UNION ALL
+      |  SELECT 'pq', (SELECT n FROM ($pqCandCountSql) t))
       |SELECT method, CAST(hits AS BIGINT) AS hits, n_truth,
-      |  round(CAST(hits AS DOUBLE) / n_truth, 4) AS recall_at_5
-      |FROM hits CROSS JOIN nt ORDER BY method""".stripMargin
+      |  round(CAST(hits AS DOUBLE) / n_truth, 4) AS recall_at_5,
+      |  CAST(n_candidates AS BIGINT) AS n_candidates
+      |FROM hits JOIN cands USING (method) CROSS JOIN nt
+      |ORDER BY method""".stripMargin
 
   /** Norm-decorated view of an arbitrary (vec_id, v: array<double>)
     * frame — lets specs drive the router with planted vectors.

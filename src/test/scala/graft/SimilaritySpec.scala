@@ -79,13 +79,23 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val rows = (Similarity.annRecall(spark, dir).collect() ++
         Similarity.annRecallTrained(spark, dir).collect())
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
       .toMap
     assert(rows.keySet == Set("lsh", "ivf", "ivf_kmeans", "pq", "ivf_pq"))
-    rows.values.foreach { case (hits, nTruth, recall) =>
+    rows.values.foreach { case (hits, nTruth, recall, nCand) =>
       assert(nTruth == 50L && hits >= 0 && hits <= nTruth)
       assert(recall >= 0.0 && recall <= 1.0)
       assert(math.abs(recall - hits.toDouble / nTruth) < 1e-4)
+      assert(nCand > 0L)
+    }
+    // the volume column prices each index: PQ's ADC honestly scans the
+    // whole corpus (nq·(n−1) compressed lookups — that IS the method),
+    // while the pruned indexes must touch strictly less than that
+    val fullScan = 10L * (spark.read.parquet(s"$dir/embeddings.parquet").count() - 1)
+    assert(rows("pq")._4 == fullScan, s"pq ${rows("pq")._4} vs $fullScan")
+    Seq("lsh", "ivf", "ivf_kmeans", "ivf_pq").foreach { m =>
+      assert(rows(m)._4 < fullScan, s"$m touched ${rows(m)._4} ≥ full scan $fullScan")
     }
     // corpus-measured floors (the scoreboard's own values on sf0.001):
     // the fixed-centroid IVF dominates, the trained/compressed variants
