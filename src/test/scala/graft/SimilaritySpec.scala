@@ -97,6 +97,14 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("lsh", "ivf", "ivf_kmeans", "ivf_pq").foreach { m =>
       assert(rows(m)._4 < fullScan, s"$m touched ${rows(m)._4} ≥ full scan $fullScan")
     }
+    // the census and the scoreboard are two instruments over the SAME
+    // probe plan: the census's Σ cand_volume counts pre-dedup join rows
+    // (probe keys × bucket members, self-hits included), so it must
+    // upper-bound the scoreboard's deduped candidate count
+    val censusVolume = Similarity.annLsh(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"cand_volume")).head.getLong(0)
+    assert(rows("lsh")._4 <= censusVolume,
+      s"deduped lsh candidates ${rows("lsh")._4} exceed census volume $censusVolume")
     // corpus-measured floors (the scoreboard's own values on sf0.001):
     // the fixed-centroid IVF dominates, the trained/compressed variants
     // follow, and the multi-table multi-probe LSH now sits close behind
