@@ -106,10 +106,10 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("lsh")._4 <= censusVolume,
       s"deduped lsh candidates ${rows("lsh")._4} exceed census volume $censusVolume")
     // corpus-measured floors (the scoreboard's own values on sf0.001):
-    // the fixed-centroid IVF dominates, the trained/compressed variants
-    // follow, and the multi-table multi-probe LSH now sits close behind
-    // — the r19 directed 1-flip probe lifted the measured lsh row from
-    // 0.42 to 0.62 (sf0.001 AND sf0.01) for ~2× probe volume, honest
+    // directed multi-probe brought LSH level with the IVF rows —
+    // exact-bucket-only measured 0.42, the r19 1-flip probe 0.62, the
+    // r20 second directed flip 0.86 @ sf0.001 / 0.80 @ sf0.01 for only
+    // ~1.35× the 1-flip candidate volume (1669/1719 vs 1258) — honest
     // for a corpus whose true top-5 live at cos ≈ 0.4 (exact-bucket
     // band recall 1−(1−p⁸)³² ≈ 0.56 there; the pre-round-18 single
     // 16-bit bucket measured 0.0 — every query alone in its bucket
@@ -117,7 +117,7 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("ivf")._3 >= 0.8, s"ivf ${rows("ivf")._3}")
     assert(rows("ivf_kmeans")._3 >= 0.4, s"ivf_kmeans ${rows("ivf_kmeans")._3}")
     assert(rows("ivf_pq")._3 >= 0.3, s"ivf_pq ${rows("ivf_pq")._3}")
-    assert(rows("lsh")._3 >= 0.5, s"lsh ${rows("lsh")._3}")
+    assert(rows("lsh")._3 >= 0.75, s"lsh ${rows("lsh")._3}")
     assert(rows("pq")._3 >= 0.25, s"pq ${rows("pq")._3}")
     // cross-check one method against an independent recomputation
     val truth = neighborSets(Similarity.annCosineTopK(spark, dir))
