@@ -241,17 +241,53 @@ object ScaleBench {
       lx.zip(ly).map { case (x, y) => (x - mx) * (y - my) }.sum /
         math.max(lx.map(x => (x - mx) * (x - mx)).sum, 1e-12)
     }
+    // prior committed ladder points, read BEFORE the runs: each rung's
+    // first sample is checked against the prior artifact as it lands
+    // (the min-of-2-on-flag protocol below)
+    val priorL = BenchIntegrity.priorLadders(
+      new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
+        sys.props.getOrElse("user.dir", "."))))
+    // rung re-measures, keyed "<ladder>:<query>:t<factor>" — merged into
+    // integrity.remeasured so a flagged rung's both samples are auditable
+    val rungRemeasured = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     // a ladder degrades instead of dying: a missing scale dir just drops
     // its point (n_points says how many were fit), and a per-query
     // failure emits an error field — the heads pass above is never lost
     // to a ladder problem. Measurement and JSON rendering are split so
     // the cross-check below can read the raw ladder points.
-    def ladderRun(names: Seq[String], dirs: Seq[(Int, String)])
+    //
+    // MIN-OF-2 ON FLAG (r19 judge ask #3): ladder rungs run under
+    // measured 3-27× run-to-run variance, and r19's annotate-only
+    // posture still committed one sample. So when a rung's first sample
+    // deviates >2× from the prior committed artifact, take ONE fresh
+    // re-measure in the same run and commit the min, recording both
+    // samples. A singleShot query's re-measure gets a true SessionCache
+    // cold reset first — without it the second sample would ride the
+    // memo the first just installed and "re-measure" a cache read. The
+    // r19 caveat stands — an in-JVM re-measure cannot clear JVM-state
+    // pressure — so a rung whose MIN still deviates stays tagged in
+    // ladder_flags; the recheck makes the committed value robust to
+    // one-sided transient contention, which the r19 variance data says
+    // is the dominant failure mode.
+    def ladderRun(lname: String, names: Seq[String], dirs: Seq[(Int, String)])
         : Seq[(String, Either[String, Seq[(Int, Double)]])] =
       names.map { n =>
         try {
           n -> Right(dirs.filter(d => new java.io.File(d._2).isDirectory)
-            .map { case (fct, d) => (fct, time(n, d)) })
+            .map { case (fct, d) =>
+              val t1 = time(n, d)
+              val committed = priorL.get((lname, n, s"t$fct")) match {
+                case Some(p) if BenchIntegrity.outlier(t1, p) =>
+                  System.err.println(f"[scalebench] $lname $n t$fct $t1%.2f s " +
+                    f"vs prior $p%.2f s (>2x) — min-of-2 re-measure")
+                  if (byName(n).singleShot) BenchIntegrity.coldReset(spark)
+                  val t2 = timeOnce(n, d)
+                  rungRemeasured(s"$lname:$n:t$fct") = (t1, t2)
+                  math.min(t1, t2)
+                case _ => t1
+              }
+              (fct, committed)
+            })
         } catch {
           case e: Throwable =>
             System.err.println(s"[scalebench] ladder $n failed: ${e.getMessage}")
@@ -275,14 +311,14 @@ object ScaleBench {
     // compare count is structurally n²/2 (resp. the candidate fraction
     // of it), and the ladder shows where the quadratic term overtakes
     // the fixed plan overhead that dominates at small n
-    val quadRun = ladderRun(quadratic, Seq(
+    val quadRun = ladderRun("quadratic_ladder", quadratic, Seq(
       1 -> base, 2 -> s"$root/sf0.2", 3 -> s"$root/sf0.3", 10 -> s"$root/sf1"))
     val ladder = ladderJson(quadRun)
     // the LSH route ALSO ladders on the dup-bearing corpus (ScaleData
     // dupPct mode) — its advertised regime, where the high-cos pairs
     // are planted near-duplicates scaling linearly with the factor
     // rather than the adversarial no-dup bulk
-    val dupRun = ladderRun(Seq("q_embed_cosine_dedup_lsh"), Seq(
+    val dupRun = ladderRun("dup_ladder", Seq("q_embed_cosine_dedup_lsh"), Seq(
       1 -> s"$root/sf0.1_dup", 2 -> s"$root/sf0.2_dup",
       3 -> s"$root/sf0.3_dup", 10 -> s"$root/sf1_dup"))
     val dupLadder = ladderJson(dupRun)
@@ -302,14 +338,18 @@ object ScaleBench {
     // a 100× rung (r19 ask #6): {1,10,30,100} gives two full measured
     // decades under the fitted exponent, where the 30× rung alone
     // caught the r18 semdedup n·k term a 10× ratio couldn't resolve
+    // r20 (judge ask #5): the LSH cosine route — the flagship scale
+    // claim — joins the 100× club now that the Hamming-92 verify fix
+    // makes its sf10 rung affordable (sf3 went 66 → 8 s in r19)
     val deep100 = Set(
       "q1_agg", "q_dedup_exact", "q_events_sessionize",
-      "q_ann_ivf_kmeans", "q_dedup_minhash", "q_percentiles", "q_semdedup")
+      "q_ann_ivf_kmeans", "q_dedup_minhash", "q_percentiles", "q_semdedup",
+      "q_embed_cosine_dedup_lsh")
     val deepDirs = Seq(1 -> base, 10 -> s"$root/sf1", 30 -> s"$root/sf3")
     val hundredDirs = deepDirs :+ (100 -> s"$root/sf10")
     val deepRun =
-      ladderRun(deepHeads.filterNot(deep100), deepDirs) ++
-        ladderRun(deepHeads.filter(deep100), hundredDirs)
+      ladderRun("deep_ladder", deepHeads.filterNot(deep100), deepDirs) ++
+        ladderRun("deep_ladder", deepHeads.filter(deep100), hundredDirs)
     val deepLadder = ladderJson(deepRun)
     // 10×-heads cross-check (ask r19#1): for deep-ladder heads the same
     // run holds an INDEPENDENT estimate of the base and sf1 times — if
@@ -352,16 +392,15 @@ object ScaleBench {
     val smokeEnd = smoke()
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
-    val integrity = gate.json(BenchIntegrity.remeasuredJson(remeasured))
-    // ladder-point annotation (the r19 lesson: a pressured JVM can
-    // inflate a ladder rung min-of-2 included, and an in-JVM re-measure
-    // cannot clear JVM-state pressure — so deviations >2× from the
-    // prior committed artifact are TAGGED, not auto-corrected; a code
-    // change that legitimately moves a rung shows up here too and the
-    // round writeup adjudicates it)
-    val priorL = BenchIntegrity.priorLadders(
-      new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
-        sys.props.getOrElse("user.dir", "."))))
+    // heads re-measures and rung re-measures land in ONE auditable map
+    val integrity = gate.json(
+      BenchIntegrity.remeasuredJson(remeasured ++ rungRemeasured))
+    // ladder-point annotation on the COMMITTED (post-min-of-2) values:
+    // a rung whose min still deviates >2× from the prior artifact stays
+    // tagged — an in-JVM recheck cannot clear JVM-state pressure, and a
+    // code change that legitimately moves a rung shows up here too; the
+    // round writeup adjudicates either way. Flag entries carry both
+    // samples when a re-measure fired.
     val ladderFlags = Seq(
       "quadratic_ladder" -> quadRun,
       "dup_ladder" -> dupRun,
@@ -370,7 +409,10 @@ object ScaleBench {
         case (q, Right(pts)) => pts.flatMap { case (fct, t) =>
           priorL.get((lname, q, s"t$fct")).collect {
             case p if BenchIntegrity.outlier(t, p) =>
-              s"""{"ladder":"$lname","query":"$q","point":"t$fct","t":${f(t)},"prior_t":${f(p)}}"""
+              val samples = rungRemeasured.get(s"$lname:$q:t$fct")
+                .map { case (a, b) => s""","first":${f(a)},"recheck":${f(b)}""" }
+                .getOrElse("")
+              s"""{"ladder":"$lname","query":"$q","point":"t$fct","t":${f(t)},"prior_t":${f(p)}$samples}"""
           }
         }
         case _ => Nil

@@ -721,7 +721,17 @@ object StreamQueries {
       try {
         mem.addData(delta.take(half).toIndexedSeq: _*); q.processAllAvailable()
         mem.addData(delta.drop(half).toIndexedSeq: _*); q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        // same progress-ring capture as runStream — this drive loop is
+        // bespoke (foreachBatch store maintenance), but StreamScaleBench
+        // reads the identical DriveStats posture for its 10× rung
+        val stateOps = q.recentProgress.flatMap(p =>
+          Option(p.stateOperators).toSeq.flatten)
+        lastDriveStats.set(DriveStats(labT, q.recentProgress.length,
+          if (stateOps.isEmpty) 0L else stateOps.map(_.numRowsTotal).max,
+          if (stateOps.isEmpty) 0L else stateOps.map(_.memoryUsedBytes).max))
+        q.stop()
+      }
     }
     s.table(labT).select($"doc_id", $"cluster_id").orderBy($"doc_id")
   }
