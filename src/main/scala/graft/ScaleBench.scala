@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   *    7r dims — pairwise cosines are invariant under a common
   *    permutation, so each replica's similarity structure is identical
   *    to the base corpus's, while cross-replica cosines decorrelate.
+  *    CAVEAT at factor > 64: the rotation group has only 64 elements
+  *    (7 is coprime to 64), so replicas r and r+64 carry IDENTICAL
+  *    vectors under different ids — the factor-100 corpus plants
+  *    ~0.36·n exact-duplicate cross-replica pairs plus an O(n·factor²/2)
+  *    same-base-vector family whose cosines follow the base vectors'
+  *    circular autocorrelation (fatter-tailed than independent bulk).
+  *    A cosine-pair operator's t100 rung therefore measures a much
+  *    duppier corpus than t30, not just more of the same one — read
+  *    its verify volume as dup-driven (the r20 sf10 decomposition:
+  *    6.2·10⁷ Hamming survivors ≈ 775× the binomial bulk expectation,
+  *    SURVEY §8m).
   *  - events: event/user ids offset, timestamps kept — factor× users
   *    over the same days (organic-growth shape; per-user sessions
   *    unchanged).
