@@ -276,7 +276,7 @@ object Similarity {
     * oracle's `dots` CTE reproduces every margin bit-exactly and the
     * argmin is deterministic in both engines.
     */
-  private def queryProbes(s: SparkSession, vin: DataFrame): DataFrame = {
+  private[graft] def queryProbes(s: SparkSession, vin: DataFrame): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(signPlanes)
     vin.select($"vec_id", $"v").as[(Long, Seq[Double])]

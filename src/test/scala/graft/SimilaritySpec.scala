@@ -75,6 +75,37 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(truth.size == 10 && mean >= 0.3, s"mean recall $mean")
   }
 
+  test("directed multi-probe emits 3 structurally-sound keys per band") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val v = Similarity.withNorms(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", transform($"embedding", _.cast("double")).as("v")))
+      .where($"vec_id" < 10)
+    val probes = Similarity.queryProbes(spark, v)
+      .as[(Long, Int, Long)].collect()
+    // 10 queries × 32 bands × (exact + ProbeFlips=2 flips)
+    assert(probes.length == 10 * 32 * 3, s"got ${probes.length} probe keys")
+    probes.groupBy(p => (p._1, p._2)).foreach { case ((q, band), grp) =>
+      val keys = grp.map(_._3)
+      assert(keys.distinct.length == 3,
+        s"q=$q band=$band keys not distinct: ${keys.toSeq}")
+      // flips are SINGLE-bit, each from the exact key (never combined):
+      // pairwise Hamming distances must be {1,1,2}, and the exact key is
+      // the one at distance 1 from both others
+      val ds = for (a <- keys; b <- keys if a < b)
+        yield java.lang.Long.bitCount(a ^ b)
+      assert(ds.sorted.toSeq == Seq(1, 1, 2),
+        s"q=$q band=$band pairwise bit distances ${ds.toSeq}")
+      val exact = keys.filter(k =>
+        keys.count(o => java.lang.Long.bitCount(k ^ o) == 1) == 2)
+      assert(exact.length == 1, s"q=$q band=$band no unique exact key")
+      // 8-bit band keys: no flip may escape the band's bit range
+      assert(keys.forall(k => k >= 0 && k < 256),
+        s"q=$q band=$band key outside the 8-bit band keyspace")
+    }
+  }
+
   test("ANN recall scoreboard measures all five scale paths against one truth frame") {
     import spark.implicits._
     val rows = (Similarity.annRecall(spark, dir).collect() ++
