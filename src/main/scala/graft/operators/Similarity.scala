@@ -64,6 +64,31 @@ object Similarity {
   require(ProbeFlips >= 1 && ProbeFlips < SignBandBits,
     "directed flips must stay inside one band's bit range")
 
+  /** Per-query cap on candidates entering the ANN path's EXACT rerank
+    * (r20): bucket-join candidates are first ranked by full 256-bit
+    * signature Hamming distance to the query — 32 bytes of bit work
+    * per candidate, no vector fetch — and only the best
+    * [[AnnShortlist]] per query pay the 64-double fetch + exact cosine.
+    * This is the r19 dedup-route lesson (volume × payload, not volume
+    * alone) applied to the search path: at corpus scale the rerank's
+    * vector fetch is the expensive shuffle, and the shortlist caps it
+    * at a CONSTANT per query regardless of how many bucket collisions
+    * the probe set surfaces (measured sf0.1: 681 bucket candidates per
+    * query, 128 exact-scored). Hamming over 256 sign bits ranks by
+    * angle faithfully enough that the cap costs ZERO recall at
+    * sf0.001/sf0.01 and 0.04 at sf0.1 (0.86/0.80/0.86 @ 1280 vs
+    * 0.86/0.80/0.90 uncapped @ 1669/1719/6810 — scoreboard rows in
+    * SURVEY §8m; 64 was measured too: same recall at the small SFs
+    * but −0.10 at sf0.1). Unlike the IVF family, whose probed-list
+    * volume grows with the corpus (604 → 2441 across the measured
+    * SFs), this budget is CONSTANT per query at any corpus size. Ties
+    * break on neighbor_id; the oracle mirrors the ranking from its
+    * bands CTE (the bands partition the signature, so Σ band-wise
+    * bit_count(xor) IS the full Hamming distance — the route
+    * prefilter's argument).
+    */
+  private val AnnShortlist = 128
+
   /** vectors with their norms precomputed once (the pair loop then only
     * pays one ArrayDot per pair instead of three).
     */
@@ -232,15 +257,37 @@ object Similarity {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val v = vecs(s, dir)
-    val bands = bandedIndex(s, dir).select($"vec_id", $"band", $"bits")
+    val sigs = cachedSigs(s, dir)
+    val bands = bandsFrom(s, sigs).select($"vec_id", $"band", $"bits")
     val probes = queryProbes(s, v.where($"vec_id" < 10))
     val cand = broadcast(probes).join(bands, Seq("band", "bits"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id")).distinct()
+    // STAGE 1 (r20) — signature-Hamming shortlist: rank every bucket
+    // candidate by its full 256-bit Hamming distance to the query (a
+    // 32-byte xor/popcount per pair on the already-memoized signature
+    // frame) and keep the best AnnShortlist per query. Only the
+    // shortlist pays stage 2's vector fetch — at corpus scale THAT
+    // join's 512-byte payloads are the cost center (the r19 route
+    // lesson), and the shortlist caps it at a constant per query.
+    val qsig = sigs.where($"vec_id" < 10).select(($"vec_id".as("q_id") +:
+      (0 until SignWords).map(w => col(s"s$w").as(s"q$w"))): _*)
+    val csig = sigs.select(($"vec_id".as("neighbor_id") +:
+      (0 until SignWords).map(w => col(s"s$w").as(s"c$w"))): _*)
+    val hamming = (0 until SignWords)
+      .map(w => bit_count(col(s"q$w").bitwiseXOR(col(s"c$w"))))
+      .reduce(_ + _)
+    val wH = Window.partitionBy($"q_id").orderBy($"h".asc, $"neighbor_id".asc)
+    val short = cand.join(broadcast(qsig), "q_id").join(csig, "neighbor_id")
+      .select($"q_id", $"neighbor_id", hamming.as("h"))
+      .withColumn("hrk", row_number().over(wH))
+      .where($"hrk" <= AnnShortlist)
+      .select($"q_id", $"neighbor_id")
+    // STAGE 2 — exact cosine rerank over the shortlist only
     val q = v.where($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    cand.join(broadcast(q), "q_id")
+    short.join(broadcast(q), "q_id")
       .join(v.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
       .select($"q_id", $"neighbor_id",
         round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
@@ -261,11 +308,19 @@ object Similarity {
     * singleShot so the bench times the cold build, not the memo.
     */
   private def bandedIndex(s: SparkSession, dir: String): DataFrame =
-    bandsFrom(s, SessionCache.getOrCompute(s, s"sim.signSigs:$dir") {
+    bandsFrom(s, cachedSigs(s, dir))
+
+  /** The session-memoized compact signature frame itself — shared by
+    * the band explosion ([[bandedIndex]]) and the ANN path's
+    * signature-Hamming shortlist ([[lshRanked]] stage 1), which joins
+    * the raw s0..s3 words rather than the exploded bands.
+    */
+  private def cachedSigs(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"sim.signSigs:$dir") {
       val f = signSignatures(s, vecs(s, dir)).persist()
       f.count()
       f
-    })
+    }
 
   /** Multi-probe key set for a (small) query frame: per band the exact
     * bucket key plus [[ProbeFlips]] directed flips — the flipped bits
@@ -424,10 +479,28 @@ object Similarity {
     * count ([[lshCandCountSql]]).
     */
   private lazy val lshSearchCandCteSql: String =
-    s"""cand AS (
+    s"""cand0 AS (
       |  SELECT DISTINCT p.q_id, a.vec_id AS neighbor_id
       |  FROM probes p JOIN bands a ON p.band = a.band AND p.bits = a.bits
-      |  WHERE a.vec_id <> p.q_id)""".stripMargin
+      |  WHERE a.vec_id <> p.q_id),
+      |-- full-signature Hamming per candidate pair: the 32 bands
+      |-- partition the 256 bits, so the sum of band-wise bit_count(xor)
+      |-- IS the signature Hamming distance (the route prefilter's
+      |-- argument, reused for the ANN shortlist ranking)
+      |hams AS (
+      |  SELECT c.q_id, c.neighbor_id,
+      |    SUM(bit_count(xor(qb.bits, ab.bits))) AS h
+      |  FROM cand0 c
+      |  JOIN bands qb ON qb.vec_id = c.q_id
+      |  JOIN bands ab ON ab.vec_id = c.neighbor_id AND ab.band = qb.band
+      |  GROUP BY c.q_id, c.neighbor_id),
+      |cand AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY h ASC, neighbor_id ASC) AS hrk
+      |    FROM hams) z
+      |  WHERE hrk <= $AnnShortlist)""".stripMargin
 
   /** n_candidates of the lsh scoreboard row, re-derived: distinct
     * multi-probe bucket collision pairs entering the exact rerank.
