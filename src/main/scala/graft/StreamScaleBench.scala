@@ -22,7 +22,13 @@ package graft
 object StreamScaleBench {
 
   private val heads =
-    Seq("q_stream_click_attrib", "q_stream_dedup_exact", "q_stream_sessionize")
+    Seq("q_stream_click_attrib", "q_stream_dedup_exact", "q_stream_sessionize",
+      // the stream-static winnow screen (r20): its static side is a
+      // persisted postings frame, not a managed table, so it rides the
+      // classic row shape — the 10× point demonstrates the
+      // WinnowMaxPostings cap bounding the posting-join fan-out as the
+      // store corpus grows
+      "q_stream_winnow_match")
 
   /** The STORE-backed streaming heads (r19 judge ask #4): unlike the
     * three classic stateful heads, these rewrite a bucketed managed
