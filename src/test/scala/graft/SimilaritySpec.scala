@@ -136,6 +136,10 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(org.apache.spark.sql.functions.sum($"cand_volume")).head.getLong(0)
     assert(rows("lsh")._4 <= censusVolume,
       s"deduped lsh candidates ${rows("lsh")._4} exceed census volume $censusVolume")
+    // the r20 Hamming shortlist caps the exact rerank at 128/query —
+    // the volume column must never exceed queries × cap again
+    assert(rows("lsh")._4 <= 10L * 128,
+      s"lsh rerank volume ${rows("lsh")._4} exceeds the shortlist cap")
     // corpus-measured floors (the scoreboard's own values on sf0.001):
     // directed multi-probe brought LSH level with the IVF rows —
     // exact-bucket-only measured 0.42, the r19 1-flip probe 0.62, the
