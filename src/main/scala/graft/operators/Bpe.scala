@@ -221,7 +221,7 @@ object Bpe {
   private[graft] def wordCounts(s: SparkSession, dir: String): Seq[(String, Long)] = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(explode(TF.tokens($"text")).as("w"))
       .where(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("c"))
@@ -262,7 +262,7 @@ object Bpe {
     import graft.functions.{TextFunctions => TF}
     val rankBc = s.sparkContext.broadcast(
       merges(s, dir).map(m => (m.left, m.right) -> m.rank).toMap)
-    val words = Tables.documents(s, dir)
+    val words = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(explode(TF.tokens($"text")).as("w"))
       .where(length($"w") > 0)
       .distinct()
@@ -283,7 +283,7 @@ object Bpe {
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val occurrences = Tables.documents(s, dir)
+    val occurrences = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "w")))
       .where(length($"w") > 0)
     occurrences.join(broadcast(encodedWords(s, dir)), "w")
@@ -311,7 +311,7 @@ object Bpe {
   def bpeFertility(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val occurrences = Tables.documents(s, dir)
+    val occurrences = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"source", explode(TF.tokens($"text")).as("w"))
       .where(length($"w") > 0)
     occurrences.join(broadcast(encodedWords(s, dir)), "w")
@@ -376,7 +376,7 @@ object Bpe {
   def packSequencesBpe(s: SparkSession, dir: String, budget: Long = 512L): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val occurrences = Tables.documents(s, dir)
+    val occurrences = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", explode(TF.tokens($"text")).as("w"))
       .where(length($"w") > 0)
     val counts = occurrences.join(broadcast(encodedWords(s, dir)), "w")

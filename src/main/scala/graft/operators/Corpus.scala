@@ -218,7 +218,7 @@ object Corpus {
   def packSequences(s: SparkSession, dir: String, budget: Long = 512L): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id",
         coalesce(size(TF.tokens($"text")), lit(0)).cast("long").as("n_tokens"))
     packTokens(s, toks, budget)
@@ -595,7 +595,7 @@ object Corpus {
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val tok = Tables.documents(s, dir)
+    val tok = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(explode(TF.tokens($"text")).as("token"))
     val cms = cmsSketchOf(tok)
     val top = tok.groupBy($"token").agg(count(lit(1)).as("exact_count"))
@@ -638,7 +638,7 @@ object Corpus {
   def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", TF.tokens($"text").as("toks"))
     val tokStats = toks
       .select($"doc_id", explode($"toks").as("token"))
@@ -704,7 +704,7 @@ object Corpus {
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", TF.tokens($"text").as("toks"))
       // Spark's sequence(0, -1) counts DOWN, so guard short docs by
       // null-filtering instead of shrinking the sequence bound
@@ -757,7 +757,7 @@ object Corpus {
   def novelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val chunks = Tables.documents(s, dir)
+    val chunks = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", TF.tokens($"text").as("toks"))
       .select($"doc_id", explode(
         filter(
@@ -819,7 +819,7 @@ object Corpus {
   def sourceMixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val per = Tables.documents(s, dir)
+    val per = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"source", size(TF.tokens($"text")).as("nt"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
@@ -863,7 +863,7 @@ object Corpus {
   def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val per = Tables.documents(s, dir)
+    val per = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"source", size(TF.tokens($"text")).as("nt"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
@@ -934,7 +934,7 @@ object Corpus {
   def mixtureUnimax(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val per = Tables.documents(s, dir)
+    val per = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"source", size(TF.tokens($"text")).as("nt"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"nt").cast("long").as("n_tokens"))
@@ -1066,7 +1066,7 @@ object Corpus {
     import graft.functions.{TextFunctions => TF}
     val k1 = 1.2
     val b = 0.75
-    val dt = Tables.documents(s, dir)
+    val dt = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", explode(TF.tokens($"text")).as("token"))
     val tf = dt.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     // doc length as a window over the tf rows: per-doc state never
@@ -1142,7 +1142,7 @@ object Corpus {
   def sourceCaps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables.documents(s, dir)
+    val scored = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", $"source", $"text",
         graft.functions.TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", $"source",
@@ -1200,7 +1200,7 @@ object Corpus {
   private[graft] def sourceJsdOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.FloatFold.orderedSum
-    val tf = docs
+    val tf = Tables.fanOut(docs, docs("doc_id"))
       .select($"source", explode(TF.tokens($"text")).as("token"))
       .groupBy($"source", $"token").agg(count(lit(1)).as("cnt"))
     val vocab = tf.groupBy($"token").agg(sum($"cnt").as("g"))
@@ -1268,7 +1268,7 @@ object Corpus {
   def ctfidfSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(s, dir)
+    val tf = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"source", explode(TF.tokens($"text")).as("token"))
       .groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
     val global = tf.groupBy($"token").agg(sum($"tf").as("ft"))

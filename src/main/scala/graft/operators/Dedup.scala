@@ -36,7 +36,11 @@ object Dedup {
     */
   private[graft] def shingleArrsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
+    // tokenize+shingle is the family's heaviest row-local stage and a
+    // small snapshot plans it as ONE scan task — spread it before the
+    // kernel (Tables.fanOut is a no-op whenever the scan already
+    // parallelizes)
+    Tables.fanOut(docs, docs("doc_id"))
       .select($"doc_id", TF.tokens($"text").as("toks"))
       .select($"doc_id", shingleArrFromToks($"toks").as("arr"))
   }

@@ -35,7 +35,7 @@ object Evaluation {
     */
   def wordMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id",
         ($"lang" === "en").cast("int").as("y"),
         regexp_like($"text", lit(targetsRe)).cast("int").as("pred"))
@@ -70,7 +70,7 @@ object Evaluation {
     */
   def scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", ($"lang" === "en").cast("int").as("y"),
         TF.tokens($"text").as("toks"))
       .select($"doc_id", $"y", densityScore($"toks").as("score"))

@@ -19,7 +19,7 @@ object Features {
   /** Exploded (doc_id, token) pairs. */
   private def docTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", explode(TF.tokens($"text")).as("token"))
   }
 
@@ -86,7 +86,7 @@ object Features {
     */
   def labeled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", ($"lang" === "en").cast("int").as("y"), $"text")
   }
 
@@ -213,7 +213,7 @@ object Features {
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"token".asc).limit(20)
       .select($"token")
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos0", "token")))
       .select($"doc_id", ($"pos0" + 1).as("pos"), $"token")
       .join(broadcast(top20), "token")

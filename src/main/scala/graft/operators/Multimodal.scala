@@ -27,7 +27,7 @@ object Multimodal {
     */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val payload = Tables.documents(s, dir)
+    val payload = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       // binary payload column: the corpus stand-in for image/audio bytes
       .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload"))
     val h = md5($"payload")
@@ -105,7 +105,7 @@ object Multimodal {
 
   def decodeFeatures(s: SparkSession, dir: String): Dataset[Decoded] = {
     import s.implicits._
-    val payloads = Tables.documents(s, dir)
+    val payloads = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
     payloads.mapPartitions { rows =>
@@ -485,7 +485,7 @@ object Multimodal {
     import s.implicits._
     val F = 32
     val stride = 4
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .where(length($"text") > 0)
       .select($"doc_id", $"text",
         explode(sequence(lit(0), ((length($"text") - 1) / F).cast("int")))
@@ -531,7 +531,7 @@ object Multimodal {
         filter(sequence(lit(0), nBlocks - 1), i => i % stride === 0),
         i => $"text".substr(i * B + 1, lit(B))),
       "")
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .where(length($"text") > 0)
       .select($"doc_id", length($"text").as("n_bytes"), thumb.as("thumb"))
       .select($"doc_id", $"n_bytes",
@@ -593,7 +593,10 @@ object Multimodal {
     */
   def imageDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val payloads = Tables.documents(s, dir)
+    // fan out BEFORE the doc_id projection: the per-row cost here is
+    // the PNG encode/decode, so the raw table's bytes are the honest
+    // spread proxy, not the projected 8-byte key column
+    val payloads = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id")).as[Long]
       .map(id => (id, plantedStripePng(id)))
     imageDedupPairs(hashImages(payloads), 3)

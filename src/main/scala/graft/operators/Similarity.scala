@@ -94,7 +94,11 @@ object Similarity {
     */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, dir)
+    // every consumer's stage-1 (dots, signatures, probes, codebook
+    // assignment) is heavy row-local vector work on a scan a small
+    // snapshot plans single-task — spread it (no-op once the scan
+    // itself parallelizes)
+    Tables.fanOut(Tables.embeddings(s, dir), col("vec_id"))
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
   }

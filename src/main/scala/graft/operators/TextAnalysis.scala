@@ -26,7 +26,7 @@ object TextAnalysis {
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", TF.tokens($"text").as("toks"))
     val scoredRows = langProfiles.map { case (lang, words) =>
       toks.select($"doc_id", lit(lang).as("cand"),
@@ -105,7 +105,7 @@ object TextAnalysis {
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", $"text", TF.tokens($"text").as("toks"))
       .select($"doc_id" +: qualityMetricCols($"toks", $"text"): _*)
       .select($"doc_id", $"n_tokens", $"stop_ratio", $"punct_ratio",
@@ -143,7 +143,7 @@ object TextAnalysis {
     */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id",
         size(TF.tokens($"text")).as("ws_tokens"),
         size(regexp_extract_all($"text", lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
@@ -178,7 +178,7 @@ object TextAnalysis {
   private[graft] def tokenEntropyOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.FloatFold.orderedSum
-    docs
+    Tables.fanOut(docs, docs("doc_id"))
       .select($"doc_id", explode(TF.tokens($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
       .groupBy($"doc_id")
@@ -223,7 +223,7 @@ object TextAnalysis {
 
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos0", "token")))
       .select($"doc_id",
         (((Dedup.hash60($"token") % P) *
@@ -279,7 +279,10 @@ object TextAnalysis {
   private[graft] def winnowSelectedOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val emptySel = array().cast("array<struct<pos:int,fp:bigint>>")
-    docs
+    // the k-gram hash + window-min selection is heavy row-local work on
+    // a stage a small snapshot plans single-task — spread it (no-op on
+    // streaming frames and on scans that already parallelize)
+    Tables.fanOut(docs, docs("doc_id"))
       .withColumn("toks", TF.tokens($"text"))
       .withColumn("m", greatest(size($"toks") - lit(WinnowK - 1), lit(0)))
       .withColumn("gh", when($"m" >= 1,
@@ -453,7 +456,7 @@ object TextAnalysis {
     */
   def piiRedact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, dir)
+    val base = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", concat($"text",
         when($"doc_id" < 5, lit(plantedPii)).otherwise(lit(""))).as("t"))
     // stage texts: stages(k) = text after the first k replacements
@@ -503,7 +506,7 @@ object TextAnalysis {
     */
   def compressionRatio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { rows =>
         // per-partition codec init; reset per row (the expensive native
@@ -536,7 +539,7 @@ object TextAnalysis {
 
   def chunkWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", TF.tokens($"text").as("toks"))
       .select($"doc_id", $"toks",
         explode(sequence(lit(1), greatest(size($"toks"), lit(1)),
@@ -587,7 +590,7 @@ object TextAnalysis {
   private[graft] def lmModel(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrCompute(s, s"textanalysis.lmModel:$dir") {
       import s.implicits._
-      val freq = Tables.documents(s, dir)
+      val freq = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
         .select(explode(TF.tokens($"text")).as("token"))
         .groupBy($"token").agg(count(lit(1)).as("freq"))
       val tot = freq.agg(sum($"freq").cast("double").as("n_total"))
@@ -605,7 +608,7 @@ object TextAnalysis {
     */
   private def avgLogprobFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, dir)
+    val tok = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "token")))
     val freq = tok.groupBy($"token").agg(count(lit(1)).as("freq"))
     val tot = freq.agg(sum($"freq").cast("double").as("n_total"))
@@ -694,7 +697,7 @@ object TextAnalysis {
     */
   private[graft] def dsirFrameOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val tok = docs
+    val tok = Tables.fanOut(docs, docs("doc_id"))
       .select($"doc_id", $"lang", posexplode(TF.tokens($"text")).as(Seq("pos", "token")))
     val raw = tok.groupBy($"token").agg(count(lit(1)).as("c_raw"))
     val tgt = tok.where($"lang" === "en")
@@ -890,7 +893,7 @@ object TextAnalysis {
     */
   private def bigramOccurrences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", TF.tokens($"text").as("toks"))
       .select($"doc_id", posexplode(
         filter(
@@ -1027,7 +1030,7 @@ object TextAnalysis {
     */
   def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"source", TF.tokens($"text").as("toks"))
     val grams = toks.select($"source",
       explode(flatten(array((1 to 3).map { n =>
@@ -1108,7 +1111,7 @@ object TextAnalysis {
 
   def gopherRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", $"text", TF.tokens($"text").as("toks"))
       .select($"doc_id" +: gopherMetricCols($"toks", $"text"): _*)
       .withColumn("pass", gopherPassCol)
@@ -1180,7 +1183,7 @@ object TextAnalysis {
       struct((lit(1.0) - col(s"s_$lang")).as("ns"), lit(lang).as("lang"),
         col(s"s_$lang").as("score"))
     }: _*)), 1)
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", $"text",
         concat($"text",
           when($"doc_id" < 5, lit(plantedPii)).otherwise(lit(""))).as("t"),
@@ -1258,7 +1261,7 @@ object TextAnalysis {
     */
   def sourceStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val perDoc = Tables.documents(s, dir)
+    val perDoc = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"source", $"lang", $"text", TF.tokens($"text").as("toks"))
       .select(Seq($"source", $"lang",
         qualityFromToks($"toks", $"text").as("quality")) ++
@@ -1322,7 +1325,7 @@ object TextAnalysis {
   def heapsFit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.FloatFold.orderedSum
-    val base = Tables.documents(s, dir)
+    val base = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", TF.tokens($"text").as("toks"))
     val tok = base.select($"doc_id", explode($"toks").as("token"))
     val newTypes = tok.groupBy($"token").agg(min($"doc_id").as("first_doc"))
@@ -1426,7 +1429,7 @@ object TextAnalysis {
     */
   def tokenPmi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, dir)
+    val tok = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", TF.tokens($"text").as("toks"))
     val uni = tok.select(explode($"toks").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
@@ -1494,7 +1497,7 @@ object TextAnalysis {
   def zipfFit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val top = Tables.documents(s, dir)
+    val top = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(explode(TF.tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .orderBy($"freq".desc, $"w")

@@ -66,7 +66,7 @@ object TextQueries {
     */
   def stemDutch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", GraftExpressions.stemDutch($"text").as("text_stemmed"))
       .orderBy($"doc_id")
   }
@@ -74,7 +74,7 @@ object TextQueries {
   /** Stopword removal preserving token order (reference: notebook cell 23). */
   def stopwordFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id",
         TF.removeStopwords($"text", TF.englishStopwords).as("text_nostop"))
       .orderBy($"doc_id")
@@ -90,7 +90,7 @@ object TextQueries {
     */
   def tokenize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(explode(TF.tokens($"text")).as("token"))
       .groupBy($"token")
       .agg(count(lit(1)).as("cnt"))
@@ -109,7 +109,7 @@ object TextQueries {
     */
   def ngrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", TF.tokens($"text").as("toks"))
     val grams = toks.select(
       explode(flatten(array((1 to 3).map { n =>

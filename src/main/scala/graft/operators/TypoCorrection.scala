@@ -31,7 +31,7 @@ object TypoCorrection {
 
   def typoCorrect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, dir)
+    val words = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(explode(TF.tokens(concat($"text",
         when($"doc_id" < 5, lit(plantedTypos)).otherwise(lit(""))))).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("cnt"))

@@ -245,7 +245,7 @@ object Ulm {
     val tbl = pieces(s, dir).map { case (p, lp, _) => p -> lp }
     val maxLen = math.max(1, tbl.iterator.map(_._1.length).max)
     val tblBc = s.sparkContext.broadcast(tbl.toMap)
-    val words = Tables.documents(s, dir)
+    val words = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(explode(TF.tokens($"text")).as("w"))
       .where(length($"w") > 0)
       .distinct()
@@ -263,7 +263,7 @@ object Ulm {
   def ulmEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val occurrences = Tables.documents(s, dir)
+    val occurrences = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "w")))
       .where(length($"w") > 0)
     occurrences.join(broadcast(encodedWords(s, dir)), "w")
@@ -288,7 +288,7 @@ object Ulm {
   def ulmFertility(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val occurrences = Tables.documents(s, dir)
+    val occurrences = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"source", explode(TF.tokens($"text")).as("w"))
       .where(length($"w") > 0)
     def fert(enc: DataFrame, outCol: String): DataFrame =
