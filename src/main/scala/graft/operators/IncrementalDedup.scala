@@ -62,7 +62,16 @@ object IncrementalDedup {
     * files are untouched.
     */
   def absorbDelta(s: SparkSession, delta: DataFrame, table: String): Unit =
-    Dedup.signatureBands(delta)
+    absorbDeltaBands(s, Dedup.signatureBands(delta), table)
+
+  /** [[absorbDelta]] for a delta whose banded signatures are already
+    * computed (the streaming maintenance loop signs each micro-batch
+    * ONCE and feeds the same frame to the match join, the label update
+    * and this absorb).
+    */
+  private[graft] def absorbDeltaBands(s: SparkSession, bands: DataFrame,
+      table: String): Unit =
+    bands
       .select(s.table(table).columns.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append").insertInto(table)
 
@@ -139,9 +148,21 @@ object IncrementalDedup {
     * from the sig arrays the matched rows already carry. Same estimate
     * algebra as the batch [[Dedup.minhashLsh]].
     */
-  private[graft] def pairsWithin(delta: DataFrame): DataFrame = {
-    import delta.sparkSession.implicits._
-    val b = Dedup.signatureBands(delta)
+  private[graft] def pairsWithin(delta: DataFrame): DataFrame =
+    pairsWithinBands(Dedup.signatureBands(delta))
+
+  /** [[pairsWithin]] over an ALREADY-BANDED signature frame — the
+    * signature kernel (tokenize + shingle + 16 minhashes) is the
+    * family's expensive row-local stage, so callers that already hold
+    * banded rows (the bucketed store table just written, a micro-batch
+    * signed once per loop) must not pay it again. Reading the store
+    * TABLE here also makes the self-join exchange-free on both sides:
+    * the table is bucketed on the join key (band, band_key), so neither
+    * input shuffles (guide §2.4 — bucketed tables persist a partitioning
+    * so repeated joins on the bucket key skip the shuffle entirely).
+    */
+  private[graft] def pairsWithinBands(b: DataFrame): DataFrame = {
+    import b.sparkSession.implicits._
     val a = b.select($"band", $"band_key", $"doc_id".as("id_a"), $"sig".as("siga"))
     val c = b.select($"band", $"band_key", $"doc_id".as("id_b"), $"sig".as("sigb"))
     a.join(c, Seq("band", "band_key"))
@@ -187,11 +208,24 @@ object IncrementalDedup {
     * merged corpus.
     */
   def updateClusters(s: SparkSession, delta: DataFrame, sigTable: String,
-      storedLabels: DataFrame, tau: Double = 0.5): DataFrame = {
+      storedLabels: DataFrame, tau: Double = 0.5): DataFrame =
+    // sign the delta ONCE: the store match and the delta-internal pairs
+    // both consume the banded rows, and the signature kernel is the
+    // expensive stage — localCheckpoint materializes the delta-sized
+    // frame so the two consumers don't each recompute it (guide §1.2:
+    // don't compute things twice before tuning anything else)
+    updateClustersBands(s, Dedup.signatureBands(delta).localCheckpoint(),
+      sigTable, storedLabels, tau)
+
+  /** [[updateClusters]] over pre-signed delta bands — the streaming
+    * maintenance loop shares one signed frame across update + absorb.
+    */
+  private[graft] def updateClustersBands(s: SparkSession, deltaBands: DataFrame,
+      sigTable: String, storedLabels: DataFrame, tau: Double = 0.5): DataFrame = {
     import s.implicits._
-    val ds = deltaAgainstStore(s, delta, sigTable)
+    val ds = deltaBandsAgainstStore(s, deltaBands, sigTable)
       .where($"est_jaccard" >= tau).select($"delta_id", $"store_id")
-    val dd = pairsWithin(delta)
+    val dd = pairsWithinBands(deltaBands)
       .where($"est_jaccard" >= tau).select($"id_a", $"id_b")
     // store endpoints → their cluster supernode (unclustered store docs
     // stand for themselves)
@@ -219,9 +253,16 @@ object IncrementalDedup {
     untouched.unionByName(relabeled).unionByName(subNew)
   }
 
-  def deltaAgainstStore(s: SparkSession, delta: DataFrame, table: String): DataFrame = {
+  def deltaAgainstStore(s: SparkSession, delta: DataFrame, table: String): DataFrame =
+    deltaBandsAgainstStore(s, Dedup.signatureBands(delta), table)
+
+  /** [[deltaAgainstStore]] over pre-signed delta bands (sign-once
+    * callers: updateClusters, the streaming loop).
+    */
+  private[graft] def deltaBandsAgainstStore(s: SparkSession, bands: DataFrame,
+      table: String): DataFrame = {
     import s.implicits._
-    val d = Dedup.signatureBands(delta)
+    val d = bands
       .select($"band", $"band_key", $"doc_id".as("delta_id"), $"sig".as("dsig"))
     val st = s.table(table)
       .select($"band", $"band_key", $"doc_id".as("store_id"), $"sig".as("ssig"))
@@ -343,8 +384,13 @@ object IncrementalDedup {
     import s.implicits._
     val (store, delta) = splitMod4(s, dir)
     writeStore(store, SigTable)
+    // yesterday's own pairs read the banded rows BACK from the store
+    // table just written: the signature kernel ran once in writeStore,
+    // and the (band, band_key) self-join is exchange-free on both sides
+    // (bucketed on the join key)
     val storedLabels = Corpus.starContract(s,
-      pairsWithin(store).where($"est_jaccard" >= 0.5).select($"id_a", $"id_b"))
+      pairsWithinBands(s.table(SigTable))
+        .where($"est_jaccard" >= 0.5).select($"id_a", $"id_b"))
     writeLabels(storedLabels, LabelTable)
     updateClusters(s, delta, SigTable, s.table(LabelTable))
       .orderBy($"doc_id")

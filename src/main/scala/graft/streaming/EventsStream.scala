@@ -284,11 +284,17 @@ object EventsStream {
       labelTable: String, tau: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // sign the micro-batch ONCE: the label update (store match +
+        // internal pairs) and the absorb all consume the same banded
+        // frame — previously each re-ran the tokenize+shingle+minhash
+        // kernel over the batch (3× the signature cost per batch)
+        val bands = graft.operators.Dedup.signatureBands(batch)
+          .localCheckpoint()
         val labels = graft.operators.IncrementalDedup
-          .updateClusters(s, batch, sigTable, s.table(labelTable), tau)
+          .updateClustersBands(s, bands, sigTable, s.table(labelTable), tau)
           .localCheckpoint()
         graft.operators.IncrementalDedup.writeLabels(labels, labelTable)
-        graft.operators.IncrementalDedup.absorbDelta(s, batch, sigTable)
+        graft.operators.IncrementalDedup.absorbDeltaBands(s, bands, sigTable)
         // the absorb ran under the micro-batch's CLONED session, so the
         // outer session's cached file listing for the store is stale —
         // refresh both tables or the next batch joins yesterday's files

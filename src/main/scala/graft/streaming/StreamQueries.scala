@@ -707,8 +707,11 @@ object StreamQueries {
     val docs = Tables.documents(s, dir).select($"doc_id", $"text")
     val store = docs.where($"doc_id" % 4 =!= 3)
     IncrementalDedup.writeStore(store, sigT)
+    // banded rows read back from the just-written bucketed store: the
+    // signature kernel ran once in writeStore, and the self-join on the
+    // bucket key shuffles neither side (IncrementalDedup.pairsWithinBands)
     val storedLabels = Corpus.starContract(s,
-      IncrementalDedup.pairsWithin(store)
+      IncrementalDedup.pairsWithinBands(s.table(sigT))
         .where($"est_jaccard" >= 0.5).select($"id_a", $"id_b"))
     IncrementalDedup.writeLabels(storedLabels, labT)
     val delta = docs.where($"doc_id" % 4 === 3)
