@@ -77,12 +77,25 @@ object GridSearch {
   private[ml] def gridAucs(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"ml.gridSearch:$dir") {
       import s.implicits._
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
       val (train, test) = Classifiers.featurized(s, dir)
+      // materialize the shared persisted train half once before the
+      // concurrent fits race to it (the foldTalliesFor discipline)
+      train.count()
       // fit each grid point of each estimator; tag its hold-out scores
       // with the sweep coordinates so ONE downstream aggregation serves
-      // the whole multi-estimator surface
-      val scored = sweeps.flatMap { sw =>
-        sw.points.map { case (p1, p2) =>
+      // the whole multi-estimator surface. The Σ|grid| fits are
+      // independent Spark jobs — overlap a FEW (3, the measured
+      // foldTalliesFor width: enough to back-fill each fit's straggler
+      // tail, not enough to fight the single-threaded DAG scheduler).
+      // Future.traverse preserves input order, so the union tree is
+      // byte-identical to the sequential build.
+      val points = sweeps.flatMap(sw => sw.points.map { case (p1, p2) => (sw, p1, p2) })
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val ec = ExecutionContext.fromExecutorService(pool)
+      val scored = (try Await.result(Future.traverse(points) { case (sw, p1, p2) =>
+        Future {
           val m = sw.fit(train, p1, p2)
           m.transform(test).select(
             lit(sw.estimator).as("estimator"),
@@ -90,8 +103,9 @@ object GridSearch {
             lit(p1).as("p1"), lit(p2).as("p2"),
             $"label".cast("int").as("y"),
             Classifiers.scoreExpr(sw.estimator).as("score"))
-        }
-      }.reduce(_.unionByName(_))
+        }(ec)
+      }(implicitly, ec), Duration.Inf)
+      finally pool.shutdown()).reduce(_.unionByName(_))
       val keys = Seq("estimator", "p1_name", "p2_name", "p1", "p2")
       val kc = keys.map(col)
       val tallies = scored.groupBy(kc :+ $"score": _*)
