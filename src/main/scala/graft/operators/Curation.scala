@@ -15,7 +15,10 @@ object Curation {
 
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    // tokenize + quality metrics are heavy row-local work on a scan a
+    // small snapshot plans single-task — spread it (Tables.fanOut is a
+    // no-op once the scan itself parallelizes)
+    val docs = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", $"text", $"lang", md5($"text".cast("binary")).as("h"))
     // exact dedup: keep the min doc_id per content hash
     val keep = docs.groupBy($"h").agg(min($"doc_id").as("doc_id"))
@@ -42,7 +45,7 @@ object Curation {
     */
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", $"text", $"lang", md5($"text".cast("binary")).as("h"))
     val keep = docs.groupBy($"h").agg(min($"doc_id").as("keep_id"))
     val flags = docs
@@ -161,8 +164,10 @@ object Curation {
     */
   private[graft] def gateFeaturePlan(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
-      // scan 1: every row-local signal from one projection
-      val rowLocal = Tables.documents(s, dir)
+      // scan 1: every row-local signal from one projection (fanned out —
+      // the snapshot plans it single-task; still one scan, PlanGuard's
+      // two-scan bound is about passes, and an Exchange is not a scan)
+      val rowLocal = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
         .select($"doc_id", $"lang", $"text", TF.tokens($"text").as("toks"))
         .select(Seq($"doc_id", $"lang",
           // unrounded, like the standalone operator (same integer
@@ -176,7 +181,7 @@ object Curation {
       // scan 2: the LM signal's per-doc pass over the broadcast artifact
       // (identical algebra to q_unigram_logprob: position-ordered fold,
       // 6-dp round)
-      val tok = Tables.documents(s, dir)
+      val tok = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
         .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "token")))
       val lm = tok.join(broadcast(TextAnalysis.lmModel(s, dir)), "token")
         .groupBy($"doc_id")

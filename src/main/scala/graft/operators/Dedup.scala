@@ -460,7 +460,7 @@ object Dedup {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = Tables.documents(s, dir)
+    val tf = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id", explode(TF.tokens($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
       .select($"doc_id", $"tf", hash60($"token").as("x"))

@@ -719,7 +719,8 @@ object Evaluation {
     */
   def modelCompare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val test = Tables.documents(s, dir).where($"doc_id" % 2 === 1)
+    val test = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+      .where($"doc_id" % 2 === 1)
     val wm = test.select(lit("word_match").as("model"), $"doc_id",
       ($"lang" === "en").cast("int").as("y"),
       TF.tokens($"text").as("toks"),

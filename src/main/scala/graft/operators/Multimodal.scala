@@ -27,7 +27,10 @@ object Multimodal {
     */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val payload = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // not fanned out: the per-row kernel (UTF-8 encode + md5) is a few
+    // µs — far below the cost of shuffling the payload bytes (guide
+    // §2.3: spreading light work isn't worth moving the rows)
+    val payload = Tables.documents(s, dir)
       // binary payload column: the corpus stand-in for image/audio bytes
       .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload"))
     val h = md5($"payload")
@@ -105,7 +108,9 @@ object Multimodal {
 
   def decodeFeatures(s: SparkSession, dir: String): Dataset[Decoded] = {
     import s.implicits._
-    val payloads = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // not fanned out: the decode stub is one MD5 per row — lighter than
+    // the exchange it would ride behind
+    val payloads = Tables.documents(s, dir)
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
     payloads.mapPartitions { rows =>
@@ -485,7 +490,9 @@ object Multimodal {
     import s.implicits._
     val F = 32
     val stride = 4
-    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // not fanned out: per-frame substr slicing is light row-local work;
+    // shuffling the text payload to spread it costs more than it buys
+    Tables.documents(s, dir)
       .where(length($"text") > 0)
       .select($"doc_id", $"text",
         explode(sequence(lit(0), ((length($"text") - 1) / F).cast("int")))
@@ -531,7 +538,7 @@ object Multimodal {
         filter(sequence(lit(0), nBlocks - 1), i => i % stride === 0),
         i => $"text".substr(i * B + 1, lit(B))),
       "")
-    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    Tables.documents(s, dir)
       .where(length($"text") > 0)
       .select($"doc_id", length($"text").as("n_bytes"), thumb.as("thumb"))
       .select($"doc_id", $"n_bytes",
@@ -593,10 +600,12 @@ object Multimodal {
     */
   def imageDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // fan out BEFORE the doc_id projection: the per-row cost here is
-    // the PNG encode/decode, so the raw table's bytes are the honest
-    // spread proxy, not the projected 8-byte key column
-    val payloads = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // Deliberately NOT fanned out (Tables.fanOut): the per-row work is
+    // javax.imageio encode/decode, whose reader plumbing serializes on
+    // shared JVM-internal locks, and the lineage appears twice in the
+    // chunk self-join — A/B at sf0.1 measured the fan-out SLOWER cold
+    // (12.6 vs 5.4 s) with no warm win.
+    val payloads = Tables.documents(s, dir)
       .select(col("doc_id")).as[Long]
       .map(id => (id, plantedStripePng(id)))
     imageDedupPairs(hashImages(payloads), 3)

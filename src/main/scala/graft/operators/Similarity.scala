@@ -94,11 +94,15 @@ object Similarity {
     */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // every consumer's stage-1 (dots, signatures, probes, codebook
-    // assignment) is heavy row-local vector work on a scan a small
-    // snapshot plans single-task — spread it (no-op once the scan
-    // itself parallelizes)
-    Tables.fanOut(Tables.embeddings(s, dir), col("vec_id"))
+    // Deliberately NOT fanned out (Tables.fanOut): this frame is
+    // rebuilt dozens of times per query — every Lloyd round, census
+    // pass and probe stage re-derives the lineage — so an added
+    // Exchange multiplies across those jobs. A/B at sf0.1 (BenchOne,
+    // identical order/reps): fan-out cost q_ann_lsh 5.3 → 12.8 s cold
+    // (1.2 → 2.8 warm), q_ann_ivf_pq 11.2 → 13.8, q_semdedup
+    // 5.8 → 6.6, q_ann_recall 5.9 → 6.7 — the opposite of the text
+    // family, whose heavy single-pass kernels win from spreading.
+    Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
   }

@@ -20,7 +20,7 @@ object TextQueries {
   /** XML-artefact char-map removal (reference: src/NLP_functions.py:141). */
   def cleanArtefacts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id",
         TF.cleanArtefacts(concat($"text", lit(" fooã«barã¶\tx·yãºz")))
           .as("text_clean"))
@@ -35,7 +35,7 @@ object TextQueries {
   /** Punctuation/digit strip + lowercase (reference: src/NLP_functions.py:106). */
   def simpleClean(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id",
         TF.simpleClean(concat($"text", lit(" [X.y;#12(a)+b-c/d]"))).as("text_clean"))
       .orderBy($"doc_id")
@@ -49,7 +49,7 @@ object TextQueries {
   /** Accent strip (reference: src/NLP_functions.py:125). */
   def removeAccents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select($"doc_id",
         GraftExpressions.stripAccents(concat($"text", lit(" café ëïóü")))
           .as("text_ascii"))
