@@ -27,6 +27,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // let dev.ludovic.netlib load its SIMD VectorBLAS (Panama vector
+  // API): without the module MLlib's linear algebra falls back to
+  // pure-Java F2jBLAS (the "Failed to load implementation from:
+  // dev.ludovic.netlib.blas.VectorBLAS" warning at session start)
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] needs heap for 32 concurrent tasks' shuffle/broadcast
