@@ -643,7 +643,15 @@ object TextAnalysis {
   def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lp = avgLogprobFrame(s, dir).select($"doc_id", $"avg_logprob")
+    // materialize the COLLAPSED distinct-score tallies (bounded: one row
+    // per 6-dp mean) before the rank algebra: bounds + cumTallies +
+    // join-back reference this frame ~8×, and each reference otherwise
+    // re-plans the corpus-sized LM lineage under it — the explain grew
+    // to ~300 Exchange nodes / 67 corpus scans from the multiplicative
+    // subtree copies. With the checkpoint the LM pass runs once for the
+    // ranking side and once for the per-doc join-back, as designed.
     val sc0 = lp.groupBy($"avg_logprob").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // bounds come from the DISTINCT-SCORE frame, not a second pass over
     // the corpus-scale LM frame — lp is referenced twice (tallies +
     // join-back), not three times
@@ -981,7 +989,11 @@ object TextAnalysis {
     import s.implicits._
     val lp0 = knBigramFrame(s, dir)
     val scored = lp0.where($"n_bigrams" > 0).select($"doc_id", $"avg_kn_logprob")
+    // collapsed distinct-score tallies, materialized — see
+    // perplexityBuckets: the rank algebra references this bounded frame
+    // ~8×, each copy otherwise re-planning the KN lineage beneath it
     val sc0 = scored.groupBy($"avg_kn_logprob").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val bounds = sc0.agg(min($"avg_kn_logprob").as("mn"),
       max($"avg_kn_logprob").as("mx"), sum($"c").as("n"))
     val sc = sc0
