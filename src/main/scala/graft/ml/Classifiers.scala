@@ -28,6 +28,11 @@ object Classifiers {
     */
   def prepared(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Deliberately NOT fanned out (Tables.fanOut): the seeded tree
+    // learners downstream are deterministic only for a fixed input
+    // layout (bootstrap draws are seeded per partition), so changing
+    // the partitioning here would change every tree model's
+    // predictions. The fit cost dominates this family anyway.
     Tables.documents(s, dir)
       .select($"doc_id", ($"lang" === "en").cast("double").as("label"),
         TF.tokens($"text").as("toks"))

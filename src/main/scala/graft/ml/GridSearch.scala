@@ -108,8 +108,13 @@ object GridSearch {
       finally pool.shutdown()).reduce(_.unionByName(_))
       val keys = Seq("estimator", "p1_name", "p2_name", "p1", "p2")
       val kc = keys.map(col)
+      // materialize the collapsed tallies (bounded: distinct scores per
+      // grid point): totals + cumTallies + the final join reference this
+      // frame several times, and each copy would re-run all ten model
+      // transforms over the test half (the perplexity-buckets lesson)
       val tallies = scored.groupBy(kc :+ $"score": _*)
         .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
+        .localCheckpoint()
       val totals = tallies.groupBy(kc: _*)
         .agg(sum($"cp").as("p"), (sum($"c") - sum($"cp")).as("n"))
       Evaluation.cumTallies(tallies, keys)
