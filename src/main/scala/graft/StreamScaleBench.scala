@@ -83,10 +83,18 @@ object StreamScaleBench {
         val nf = Option(d.listFiles()).toSeq.flatten
           .count(f => f.isFile && !f.getName.startsWith("_") &&
             !f.getName.startsWith("."))
-        val nr = try spark.table(t).count() catch { case _: Throwable => -1L }
+        val nr = try Some(spark.table(t).count())
+          catch { case _: Throwable => None }
         (nf, nr)
       }.unzip
-      s""","store_files":${files.sum},"store_rows":${rrows.sum}"""
+      // a failed per-table count must SURFACE, not fold a -1 sentinel
+      // into the sum (500 + (-1) reads as a plausible 499): name the
+      // unreadable tables in an explicit error field and null the total
+      val bad = tables.zip(rrows).collect { case (t, None) => "\"" + t + "\"" }
+      val rowsJson = if (bad.isEmpty) rrows.flatten.sum.toString else "null"
+      val errJson = if (bad.isEmpty) ""
+        else s""","store_rows_error":${bad.mkString("[", ",", "]")}"""
+      s""","store_files":${files.sum},"store_rows":$rowsJson$errJson"""
     }
 
     val classicRows = heads.map { n =>
