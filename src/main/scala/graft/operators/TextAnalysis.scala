@@ -1346,12 +1346,21 @@ object TextAnalysis {
         coalesce(size($"toks"), lit(0)).cast("long").as("n_toks"))
       .join(newTypes, Seq("doc_id"), "left")
       .select($"doc_id", $"n_toks", coalesce($"new_types", lit(0L)).as("new_types"))
-    val bounds = per.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    // bounds need only min/max doc_id — read them off the raw table
+    // (same ids as `per`: the left join keeps every doc) instead of
+    // re-running the tokenize lineage under `per` a third time
+    val bounds = Tables.documents(s, dir)
+      .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    // ≤64 rows, materialized: the cumulative self-join references this
+    // frame twice and would otherwise re-plan the whole corpus lineage
+    // under each side (the funnel/perplexity subtree-duplication lesson
+    // — the explain had 10 corpus scans)
     val totals = per.crossJoin(broadcast(bounds))
       .select(expr("CAST(least(((doc_id - lo) * 64) div (hi - lo + 1), 63) AS INT)")
         .as("bkt"), $"n_toks", $"new_types")
       .groupBy($"bkt")
       .agg(sum($"n_toks").as("bt"), sum($"new_types").as("bv"))
+      .localCheckpoint()
     val cum = totals.as("a")
       .join(broadcast(totals.as("b")), col("b.bkt") <= col("a.bkt"))
       .groupBy(col("a.bkt").as("bkt"))
