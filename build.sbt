@@ -26,12 +26,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Deliberately NOT adding --add-modules=jdk.incubator.vector: it lets
+// netlib's SIMD VectorBLAS load instead of F2jBLAS, but the measured
+// boards said no — the MLlib fit family regressed broadly with the
+// flag (ML-subset A/B 60.9 -> 66.8 s; full board q_ml_mean_roc
+// 2.7 -> 13.0 s, q_ml_coefficients 3.6 -> 11.9 s, q_ml_named_importance
+// 10.0 -> 20.5 s) — the incubator vector path loses to the JIT'd
+// scalar fallback on this sparse-feature workload.
 javaOptions ++= jdk17AddOpens ++ Seq(
-  // let dev.ludovic.netlib load its SIMD VectorBLAS (Panama vector
-  // API): without the module MLlib's linear algebra falls back to
-  // pure-Java F2jBLAS (the "Failed to load implementation from:
-  // dev.ludovic.netlib.blas.VectorBLAS" warning at session start)
-  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] needs heap for 32 concurrent tasks' shuffle/broadcast
