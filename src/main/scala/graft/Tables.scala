@@ -45,7 +45,14 @@ object Tables {
     if (df.isStreaming) return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val parts = df.rdd.getNumPartitions
-    if (parts >= cores) return df
+    // fire ONLY on the unambiguous pathology this helper exists for — a
+    // SINGLE-task scan (the one-row-group snapshot). A/B at the 10×
+    // corpus (4 scan tasks on 32 cores) measured the spread HARMFUL on
+    // multi-reference lineages (q_dedup_editdist 31 → 80 s,
+    // q_winnow_pairs 11 → 22 s at sf1): once the scan has any
+    // parallelism, the per-reference exchange costs more than the extra
+    // cores buy, so a merely-below-core-count scan passes through.
+    if (parts != 1) return df
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // an unknown size (LogicalRDD / foreachBatch micro-batches report
     // the conf default, effectively +inf) must not force a fan-out —
