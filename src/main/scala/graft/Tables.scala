@@ -16,8 +16,22 @@ object Tables {
     * (SPARK_GRAFT_FANOUT_BYTES) so a deployment with fatter rows can
     * re-grain; the default suits compressed text at ~100 B/row.
     */
-  private val FanOutBytes: Long =
-    sys.env.get("SPARK_GRAFT_FANOUT_BYTES").map(_.toLong).getOrElse(64L * 1024)
+  private val FanOutBytes: Long = {
+    val default = 64L * 1024
+    sys.env.get("SPARK_GRAFT_FANOUT_BYTES") match {
+      case None => default
+      case Some(raw) =>
+        // a malformed value must not throw inside this object's static
+        // init (it would surface as NoClassDefFoundError on every later
+        // Tables call with the root cause hidden — ADVICE r21)
+        scala.util.Try(raw.trim.toLong).toOption.filter(_ > 0).getOrElse {
+          System.err.println(
+            s"[graft] ignoring unparseable SPARK_GRAFT_FANOUT_BYTES='$raw'" +
+              s" — using default $default")
+          default
+        }
+    }
+  }
 
   /** Scale-adaptive fan-out of a narrow scan feeding expensive
     * row-local work (guide §2: make partitioning derive from input
@@ -43,23 +57,58 @@ object Tables {
     // a streaming frame has no static scan to probe (and its builders
     // share this code via the row-local column algebra) — pass through
     if (df.isStreaming) return df
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions
-    // fire ONLY on the unambiguous pathology this helper exists for — a
-    // SINGLE-task scan (the one-row-group snapshot). A/B at the 10×
-    // corpus (4 scan tasks on 32 cores) measured the spread HARMFUL on
-    // multi-reference lineages (q_dedup_editdist 31 → 80 s,
-    // q_winnow_pairs 11 → 22 s at sf1): once the scan has any
-    // parallelism, the per-reference exchange costs more than the extra
-    // cores buy, so a merely-below-core-count scan passes through.
-    if (parts != 1) return df
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // an unknown size (LogicalRDD / foreachBatch micro-batches report
-    // the conf default, effectively +inf) must not force a fan-out —
-    // only spread what is measurably worth spreading
-    if (bytes >= BigInt(Long.MaxValue) / 4) return df
-    val want = (bytes / FanOutBytes).min(BigInt(cores)).toInt
-    if (want >= math.max(4, parts + 1)) df.repartition(want, key) else df
+    // PLAN-FREE probe. The r21 probe (`df.rdd.getNumPartitions` +
+    // `optimizedPlan.stats`) forced physical planning and an RDD build
+    // on EVERY call — a pure driver tax charged even where the fan-out
+    // declined to fire, measured as a broad small-query regression on
+    // both r21 boards. The pathology this helper exists for — a scan
+    // that plans as ONE task — is a property of the FILE LAYOUT alone,
+    // so read it from the layout: `inputFiles` only walks the analyzed
+    // plan's relations (no physical plan, no job), and Spark's own
+    // split math (FilePartition.maxSplitBytes) decides whether that one
+    // file packs into one split.
+    val files = try df.inputFiles catch { case _: Exception => return df }
+    // multi-file input (the sf1 corpus, any production table) already
+    // has scan parallelism — the A/B at the 10× corpus measured the
+    // spread HARMFUL there (q_dedup_editdist 31 → 80 s at sf1); a
+    // file-less frame (LogicalRDD / foreachBatch micro-batch) has no
+    // static scan to spread
+    if (files.length != 1) return df
+    val s = df.sparkSession
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(files(0))
+      p.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(p).getLen
+    } catch { case _: Exception => return df }
+    val cores = s.sparkContext.defaultParallelism
+    val conf = s.sessionState.conf
+    // FilePartition.maxSplitBytes: a file bigger than one split already
+    // plans multiple scan tasks — pass through (matches the r21
+    // parts != 1 guard exactly for single-file inputs)
+    val openCost = conf.filesOpenCostInBytes
+    val bytesPerCore = (bytes + openCost) / math.max(cores, 1)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    if (bytes > maxSplit) return df
+    val want = math.min(bytes / FanOutBytes, cores.toLong).toInt
+    if (want >= 4) df.repartition(want, key) else df
+  }
+
+  /** Collect a BOUNDED frame into a driver-local relation. For a frame
+    * that a larger plan references several times (distinct-score
+    * tallies, bucket totals), r21 used localCheckpoint to stop each
+    * reference re-planning the corpus-sized lineage beneath it — but a
+    * checkpoint pays a job barrier plus block-manager write/read that
+    * exceeded the saved re-plan on the lighter heads (q_perplexity_buckets
+    * ×0.81, q_heaps_fit ×0.61 on both r21 boards). A local relation
+    * keeps the plan collapse (consumers see a LocalTableScan leaf) with
+    * no barrier, and downstream joins against it broadcast for free.
+    * Callers must only pass frames bounded BY CONSTRUCTION (one row per
+    * 6-dp distinct score / fixed bucket count — a few MB at any corpus
+    * size, the GridSearch.bestParams collect discipline).
+    */
+  private[graft] def localize(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")

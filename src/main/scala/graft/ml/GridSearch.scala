@@ -105,6 +105,11 @@ object GridSearch {
             Classifiers.scoreExpr(sw.estimator).as("score"))
         }(ec)
       }(implicitly, ec), Duration.Inf)
+      catch { case e: Throwable =>
+        // a failed fit rethrows here — cancel the queued/in-flight grid
+        // fits too, or they keep running as stray background Spark jobs
+        // racing any retried build (ADVICE r21)
+        pool.shutdownNow(); throw e }
       finally pool.shutdown()).reduce(_.unionByName(_))
       val keys = Seq("estimator", "p1_name", "p2_name", "p1", "p2")
       val kc = keys.map(col)

@@ -173,6 +173,7 @@ object ModelEval {
                 .fit(tf.where(!isTest))
             }(fitEc)
           }(implicitly, fitEc), Duration.Inf).toMap
+          catch { case e: Throwable => fitPool.shutdownNow(); throw e }
           finally fitPool.shutdown()
         }
       // fold pipelines are independent — overlap a FEW as concurrent
@@ -185,7 +186,7 @@ object ModelEval {
       // the wall-time win.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      val scored = try Await.result(Future.traverse(folds) { case (r, f) =>
+      val scored = (try Await.result(Future.traverse(folds) { case (r, f) =>
         Future {
           val isTest = Evaluation.shuffleSplitBit($"doc_id", lit(r), 5) === f
           val idf = idfByFold((r, f))
@@ -203,8 +204,13 @@ object ModelEval {
           cached.unpersist(blocking = false)
           branches.reduce(_.unionByName(_))
         }
-      }, Duration.Inf).reduce(_.unionByName(_))
-      finally pool.shutdown()
+      }, Duration.Inf)
+      catch { case e: Throwable =>
+        // cancel queued/in-flight fold fits on the failure path (the
+        // GridSearch discipline — ADVICE r21): shutdown() alone lets
+        // them keep running behind the rethrow
+        pool.shutdownNow(); throw e }
+      finally pool.shutdown()).reduce(_.unionByName(_))
       val tallies = scored.groupBy($"scorer", $"r", $"f", $"score")
         .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
         .persist()
@@ -312,6 +318,7 @@ object ModelEval {
             Classifiers.scoreExpr("logreg").as("score"))
         }
       }, Duration.Inf).reduce(_.unionByName(_))
+      catch { case e: Throwable => pool.shutdownNow(); throw e }
       finally pool.shutdown()
       val grouped = scored.groupBy($"frac_pct", $"score")
         .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))

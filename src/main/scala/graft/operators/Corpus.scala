@@ -218,7 +218,9 @@ object Corpus {
   def packSequences(s: SparkSession, dir: String, budget: Long = 512L): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val toks = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B, warm 0.55 -> 0.44 s without): a
+    // token-count projection is lighter than the exchange
+    val toks = Tables.documents(s, dir)
       .select($"doc_id",
         coalesce(size(TF.tokens($"text")), lit(0)).cast("long").as("n_tokens"))
     packTokens(s, toks, budget)
@@ -819,7 +821,9 @@ object Corpus {
   def sourceMixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val per = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B: the mixture family read 0.06-0.13 s
+    // faster per query without it — size(tokens) is one pass, no kernel)
+    val per = Tables.documents(s, dir)
       .select($"source", size(TF.tokens($"text")).as("nt"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
@@ -863,7 +867,9 @@ object Corpus {
   def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val per = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B: the mixture family read 0.06-0.13 s
+    // faster per query without it — size(tokens) is one pass, no kernel)
+    val per = Tables.documents(s, dir)
       .select($"source", size(TF.tokens($"text")).as("nt"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
@@ -934,7 +940,9 @@ object Corpus {
   def mixtureUnimax(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFunctions => TF}
-    val per = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B: the mixture family read 0.06-0.13 s
+    // faster per query without it — size(tokens) is one pass, no kernel)
+    val per = Tables.documents(s, dir)
       .select($"source", size(TF.tokens($"text")).as("nt"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"nt").cast("long").as("n_tokens"))
@@ -1142,7 +1150,8 @@ object Corpus {
   def sourceCaps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B, warm 0.50 -> 0.36 s without)
+    val scored = Tables.documents(s, dir)
       .select($"doc_id", $"source", $"text",
         graft.functions.TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", $"source",
@@ -1200,7 +1209,10 @@ object Corpus {
   private[graft] def sourceJsdOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.FloatFold.orderedSum
-    val tf = Tables.fanOut(docs, docs("doc_id"))
+    // fan-out DROPPED (r22 A/B, warm 0.91 -> 0.64 s without): the tf
+    // lineage is referenced by vocab + the per-source joins, so the
+    // exchange multiplied across subtree copies
+    val tf = docs
       .select($"source", explode(TF.tokens($"text")).as("token"))
       .groupBy($"source", $"token").agg(count(lit(1)).as("cnt"))
     val vocab = tf.groupBy($"token").agg(sum($"cnt").as("g"))
@@ -1268,7 +1280,9 @@ object Corpus {
   def ctfidfSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B, warm 0.52 -> 0.42 s without): same
+    // multi-reference shape as sourceJsd
+    val tf = Tables.documents(s, dir)
       .select($"source", explode(TF.tokens($"text")).as("token"))
       .groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
     val global = tf.groupBy($"token").agg(sum($"tf").as("ft"))

@@ -45,7 +45,10 @@ object Curation {
     */
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B, warm 0.66 → 0.48 s without): `docs` is
+    // referenced three times (dedup semi-join both sides + the staged
+    // pass), so the exchange tripled while md5+tokens stayed light
+    val docs = Tables.documents(s, dir)
       .select($"doc_id", $"text", $"lang", md5($"text".cast("binary")).as("h"))
     val keep = docs.groupBy($"h").agg(min($"doc_id").as("keep_id"))
     val flags = docs

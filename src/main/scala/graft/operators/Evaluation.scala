@@ -35,7 +35,9 @@ object Evaluation {
     */
   def wordMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B, warm 0.33 → 0.20 s without): one regex
+    // per row is lighter than the exchange it would ride behind
+    Tables.documents(s, dir)
       .select($"doc_id",
         ($"lang" === "en").cast("int").as("y"),
         regexp_like($"text", lit(targetsRe)).cast("int").as("pred"))
@@ -70,7 +72,11 @@ object Evaluation {
     */
   def scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B): the tokenize+density kernel is light,
+    // and ~15 Evaluation-family consumers each paid the exchange —
+    // q_roc_curve warm 0.65 → 0.53 s, q_auc_trapezoid 0.77 → 0.49 s
+    // without it (the r21 both-board family regression)
+    Tables.documents(s, dir)
       .select($"doc_id", ($"lang" === "en").cast("int").as("y"),
         TF.tokens($"text").as("toks"))
       .select($"doc_id", $"y", densityScore($"toks").as("score"))
@@ -719,7 +725,10 @@ object Evaluation {
     */
   def modelCompare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val test = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B, warm 1.71 → 1.25 s without): `test` is
+    // referenced twice (word-match + dummy branch) and only the first
+    // runs a token kernel — the doubled exchange cost more than it won
+    val test = Tables.documents(s, dir)
       .where($"doc_id" % 2 === 1)
     val wm = test.select(lit("word_match").as("model"), $"doc_id",
       ($"lang" === "en").cast("int").as("y"),

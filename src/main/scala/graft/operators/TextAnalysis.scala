@@ -26,7 +26,10 @@ object TextAnalysis {
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B, warm 0.48 → 0.44 s without): the toks
+    // frame is referenced once per language profile, so the exchange
+    // multiplied while the stopword-filter kernel stayed light
+    val toks = Tables.documents(s, dir)
       .select($"doc_id", TF.tokens($"text").as("toks"))
     val scoredRows = langProfiles.map { case (lang, words) =>
       toks.select($"doc_id", lit(lang).as("cand"),
@@ -105,7 +108,9 @@ object TextAnalysis {
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B, warm 0.61 → 0.52 s without): the
+    // heuristic composite is too light to pay for an exchange
+    Tables.documents(s, dir)
       .select($"doc_id", $"text", TF.tokens($"text").as("toks"))
       .select($"doc_id" +: qualityMetricCols($"toks", $"text"): _*)
       .select($"doc_id", $"n_tokens", $"stop_ratio", $"punct_ratio",
@@ -380,7 +385,15 @@ object TextAnalysis {
 
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val postings = winnowPostingsOf(Tables.documents(s, dir))
+    // the postings lineage is referenced three times below (the df cap
+    // + both sides of the fp self-join), and each copy re-ran the
+    // winnow fingerprint kernel — the query's entire row-local cost —
+    // per reference. Materialize the distinct (doc_id, fp) rows ONCE
+    // (localCheckpoint: the kernel still runs spread via the shared
+    // winnowSelectedOf fan-out, and the postings frame is far smaller
+    // than the text it digests). r22 A/B warm: 2.25 s (3× kernel) /
+    // 1.82 s (fan-out dropped) / 1.22 s (this shape).
+    val postings = winnowPostingsOf(Tables.documents(s, dir)).localCheckpoint()
     val rare = postings.groupBy($"fp")
       .agg(count(lit(1)).as("df"))
       .where($"df" <= WinnowMaxPostings && $"df" >= 2)
@@ -643,29 +656,34 @@ object TextAnalysis {
   def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lp = avgLogprobFrame(s, dir).select($"doc_id", $"avg_logprob")
-    // materialize the COLLAPSED distinct-score tallies (bounded: one row
-    // per 6-dp mean) before the rank algebra: bounds + cumTallies +
-    // join-back reference this frame ~8×, and each reference otherwise
-    // re-plans the corpus-sized LM lineage under it — the explain grew
-    // to ~300 Exchange nodes / 67 corpus scans from the multiplicative
-    // subtree copies. With the checkpoint the LM pass runs once for the
-    // ranking side and once for the per-doc join-back, as designed.
-    val sc0 = lp.groupBy($"avg_logprob").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    // bounds come from the DISTINCT-SCORE frame, not a second pass over
-    // the corpus-scale LM frame — lp is referenced twice (tallies +
-    // join-back), not three times
-    val bounds = sc0.agg(min($"avg_logprob").as("mn"), max($"avg_logprob").as("mx"),
-      sum($"c").as("n"))
+    // collect the COLLAPSED distinct-score tallies (bounded: one row
+    // per 6-dp mean) into a LOCAL relation before the rank algebra:
+    // bounds + cumTallies + join-back reference this frame ~8×, and
+    // each reference otherwise re-plans the corpus-sized LM lineage
+    // under it — the explain grew to ~300 Exchange nodes / 67 corpus
+    // scans from the multiplicative subtree copies. r21 cut the copies
+    // with localCheckpoint, but the checkpoint's job barrier exceeded
+    // the saved re-plan (×0.81 on both boards) — the local relation
+    // keeps the collapse barrier-free (Tables.localize), and bounds
+    // come straight off the collected rows instead of a broadcast
+    // scalar subtree: same doubles (exact min/max/long-sum), one less
+    // job. The LM pass still runs once for the ranking side and once
+    // for the per-doc join-back, as designed.
+    val sc0 = Tables.localize(
+      lp.groupBy($"avg_logprob").agg(count(lit(1)).as("c")))
+    val tallies = sc0.collect()
+    val n = tallies.map(_.getLong(1)).sum
+    val (mn, mx) =
+      if (tallies.isEmpty) (0.0, 0.0)
+      else (tallies.map(_.getDouble(0)).min, tallies.map(_.getDouble(0)).max)
     val sc = sc0
-      .crossJoin(broadcast(bounds))
-      .withColumn("score", when($"mx" === $"mn", lit(0.5))
-        .otherwise(($"avg_logprob" - $"mn") / ($"mx" - $"mn")))
+      .withColumn("score", if (mx == mn) lit(0.5)
+        else ($"avg_logprob" - lit(mn)) / lit(mx - mn))
       .withColumn("cp", lit(0L))
     val ranked = Evaluation.cumTallies(sc, Seq.empty)
       .select($"avg_logprob",
-        when($"rk" <= expr("(n + 2) div 3"), "head")
-          .when($"rk" <= expr("(n * 2 + 2) div 3"), "middle")
+        when($"rk" <= lit((n + 2) / 3), "head")
+          .when($"rk" <= lit((n * 2 + 2) / 3), "middle")
           .otherwise("tail").as("ppl_bucket"))
     lp.join(ranked, "avg_logprob")
       .select($"doc_id", $"avg_logprob", $"ppl_bucket")
@@ -989,22 +1007,26 @@ object TextAnalysis {
     import s.implicits._
     val lp0 = knBigramFrame(s, dir)
     val scored = lp0.where($"n_bigrams" > 0).select($"doc_id", $"avg_kn_logprob")
-    // collapsed distinct-score tallies, materialized — see
+    // collapsed distinct-score tallies as a driver-LOCAL relation — see
     // perplexityBuckets: the rank algebra references this bounded frame
-    // ~8×, each copy otherwise re-planning the KN lineage beneath it
-    val sc0 = scored.groupBy($"avg_kn_logprob").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val bounds = sc0.agg(min($"avg_kn_logprob").as("mn"),
-      max($"avg_kn_logprob").as("mx"), sum($"c").as("n"))
+    // ~8×, each copy otherwise re-planning the KN lineage beneath it;
+    // Tables.localize keeps the r21 plan collapse without the
+    // checkpoint's job barrier, and bounds read off the collected rows
+    val sc0 = Tables.localize(
+      scored.groupBy($"avg_kn_logprob").agg(count(lit(1)).as("c")))
+    val tallies = sc0.collect()
+    val n = tallies.map(_.getLong(1)).sum
+    val (mn, mx) =
+      if (tallies.isEmpty) (0.0, 0.0)
+      else (tallies.map(_.getDouble(0)).min, tallies.map(_.getDouble(0)).max)
     val sc = sc0
-      .crossJoin(broadcast(bounds))
-      .withColumn("score", when($"mx" === $"mn", lit(0.5))
-        .otherwise(($"avg_kn_logprob" - $"mn") / ($"mx" - $"mn")))
+      .withColumn("score", if (mx == mn) lit(0.5)
+        else ($"avg_kn_logprob" - lit(mn)) / lit(mx - mn))
       .withColumn("cp", lit(0L))
     val ranked = Evaluation.cumTallies(sc, Seq.empty)
       .select($"avg_kn_logprob",
-        when($"rk" <= expr("(n + 2) div 3"), "head")
-          .when($"rk" <= expr("(n * 2 + 2) div 3"), "middle")
+        when($"rk" <= lit((n + 2) / 3), "head")
+          .when($"rk" <= lit((n * 2 + 2) / 3), "middle")
           .otherwise("tail").as("ppl_bucket"))
     lp0.select($"doc_id", $"avg_kn_logprob")
       .join(ranked, Seq("avg_kn_logprob"), "left")
@@ -1351,16 +1373,19 @@ object TextAnalysis {
     // re-running the tokenize lineage under `per` a third time
     val bounds = Tables.documents(s, dir)
       .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
-    // ≤64 rows, materialized: the cumulative self-join references this
-    // frame twice and would otherwise re-plan the whole corpus lineage
-    // under each side (the funnel/perplexity subtree-duplication lesson
-    // — the explain had 10 corpus scans)
-    val totals = per.crossJoin(broadcast(bounds))
+    // ≤64 rows as a driver-LOCAL relation: the cumulative self-join
+    // references this frame twice and would otherwise re-plan the whole
+    // corpus lineage under each side (the funnel/perplexity
+    // subtree-duplication lesson — the explain had 10 corpus scans);
+    // r21's localCheckpoint kept the collapse but its job barrier cost
+    // more than it saved at bench scale (×0.61 on both boards) —
+    // Tables.localize collapses with no barrier and the 64²-bounded
+    // self-join below runs on two LocalTableScan leaves
+    val totals = Tables.localize(per.crossJoin(broadcast(bounds))
       .select(expr("CAST(least(((doc_id - lo) * 64) div (hi - lo + 1), 63) AS INT)")
         .as("bkt"), $"n_toks", $"new_types")
       .groupBy($"bkt")
-      .agg(sum($"n_toks").as("bt"), sum($"new_types").as("bv"))
-      .localCheckpoint()
+      .agg(sum($"n_toks").as("bt"), sum($"new_types").as("bv")))
     val cum = totals.as("a")
       .join(broadcast(totals.as("b")), col("b.bkt") <= col("a.bkt"))
       .groupBy(col("a.bkt").as("bkt"))
@@ -1518,7 +1543,9 @@ object TextAnalysis {
   def zipfFit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val top = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
+    // fan-out DROPPED (r22 A/B, warm 0.30 → 0.22 s without): one
+    // tokenize+count pass is lighter than the exchange
+    val top = Tables.documents(s, dir)
       .select(explode(TF.tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .orderBy($"freq".desc, $"w")

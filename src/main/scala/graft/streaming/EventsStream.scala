@@ -293,8 +293,17 @@ object EventsStream {
         val labels = graft.operators.IncrementalDedup
           .updateClustersBands(s, bands, sigTable, s.table(labelTable), tau)
           .localCheckpoint()
-        graft.operators.IncrementalDedup.writeLabels(labels, labelTable)
-        graft.operators.IncrementalDedup.absorbDeltaBands(s, bands, sigTable)
+        try {
+          graft.operators.IncrementalDedup.writeLabels(labels, labelTable)
+          graft.operators.IncrementalDedup.absorbDeltaBands(s, bands, sigTable)
+        } finally {
+          // release the checkpointed blocks at the end of the batch: on
+          // a long-running stream they otherwise linger until the
+          // ContextCleaner notices the frames are unreachable, stacking
+          // one batch-sized block set per micro-batch (ADVICE r21)
+          labels.unpersist(blocking = false)
+          bands.unpersist(blocking = false)
+        }
         // the absorb ran under the micro-batch's CLONED session, so the
         // outer session's cached file listing for the store is stale —
         // refresh both tables or the next batch joins yesterday's files

@@ -103,26 +103,28 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("perplexity-bucket rank algebra reads the LM lineage at most twice") {
     // the rank algebra (bounds + prefix sums + join-back) references the
     // collapsed distinct-score frame many times; since r21 that frame is
-    // MATERIALIZED (localCheckpoint), so the corpus-scale LM lineage must
-    // appear at most twice in the final plan — once feeding the
-    // checkpointed tallies (already executed at build, hence absent from
-    // the final frame's plan) and once for the per-doc join-back — rather
-    // than being re-planned (and leaned on AQE exchange reuse) per branch
+    // MATERIALIZED (r21: localCheckpoint; r22: collected into a driver
+    // LOCAL relation — same plan collapse, no job barrier), so the
+    // corpus-scale LM lineage must appear at most twice in the final
+    // plan — once feeding the collected tallies (already executed at
+    // build, hence absent from the final frame's plan) and once for the
+    // per-doc join-back — rather than being re-planned (and leaned on
+    // AQE exchange reuse) per branch
     val df = SparkEntry.queries("q_perplexity_buckets")(spark, dir)
     df.collect()
     val fin = df.queryExecution.executedPlan.toString
     // the ONE remaining lp reference (the per-doc join-back) carries the
     // LM's own two-pass shape: tok feeds the freq aggregate, the
     // token-level join and the totals scalar — 5 scans. Before the
-    // checkpoint the rank algebra multiplied that whole lineage per
+    // materialization the rank algebra multiplied that whole lineage per
     // branch (the KN twin's explain reached 67 scans).
     val scans = "Scan parquet".r.findAllIn(fin).length
     assert(scans <= 5,
       s"$scans corpus scans in the final adaptive plan — the LM lineage " +
         "is being replicated across rank-algebra branches again")
     // and the materialized tallies leaf is actually there
-    assert(fin.contains("ExistingRDD") || fin.contains("Scan ExistingRDD"),
-      "no checkpointed tallies leaf in the final plan")
+    assert(fin.contains("LocalTableScan"),
+      "no local-relation tallies leaf in the final plan")
   }
 
   test("registered embed-cosine dedup is the blocked plan (no BNLJ, no cartesian)") {
