@@ -93,6 +93,43 @@ object Tables {
     if (want >= 4) df.repartition(want, key) else df
   }
 
+  /** [[fanOut]]'s wider sibling for a HEAVY single-pass aggregation
+    * kernel over a scan that plans fewer splits than cores (the exact
+    * `percentile` buffers: sf0.1's lineitem plans 3 splits, so the
+    * aggregation ran on 3 of 32 cores). Opt-in per call site — only
+    * where the downstream kernel is a single-reference, CPU-bound
+    * aggregation whose partial state is far smaller than its input, so
+    * the extra exchange ships less than it parallelizes. Fires while
+    * the planned scan parallelism is below the core count and the
+    * input is small enough that the exchange is cheap; a production
+    * corpus plans more splits than cores and passes through untouched.
+    * Same plan-free probe discipline as [[fanOut]].
+    */
+  def fanOutWide(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    if (df.isStreaming) return df
+    val files = try df.inputFiles catch { case _: Exception => return df }
+    if (files.isEmpty) return df
+    val s = df.sparkSession
+    val conf = s.sessionState.conf
+    val sizes = try {
+      val hconf = s.sessionState.newHadoopConf()
+      files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }
+    } catch { case _: Exception => return df }
+    val cores = s.sparkContext.defaultParallelism
+    val bytes = sizes.sum
+    val openCost = conf.filesOpenCostInBytes
+    val bytesPerCore = (bytes + openCost * files.length) / math.max(cores, 1)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val splits = sizes.map(sz => (sz + maxSplit - 1) / maxSplit).sum
+    if (splits >= cores) return df
+    val want = math.min(bytes / FanOutBytes, cores.toLong).toInt
+    if (want >= 2 * splits && want >= 4) df.repartition(want, key) else df
+  }
+
   /** Collect a BOUNDED frame into a driver-local relation. For a frame
     * that a larger plan references several times (distinct-score
     * tallies, bucket totals), r21 used localCheckpoint to stop each

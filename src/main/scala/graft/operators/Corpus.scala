@@ -127,9 +127,14 @@ object Corpus {
         .where($"l" =!= $"h").distinct()
         .localCheckpoint(false)
       // converged when the round is a no-op (star edge sets are stable
-      // under both operators); exceptAll is exact, not a checksum
-      converged = ss.exceptAll(e).limit(1).count() == 0 &&
-        e.exceptAll(ss).limit(1).count() == 0
+      // under both operators). Both sides are distinct edge sets, so set
+      // equality is ONE full-outer-join pass probing for a one-sided row
+      // — r22: the previous two exceptAll counts cost two jobs per round
+      // on every contraction (batch, incremental, and per micro-batch)
+      converged = ss.select($"l", $"h", lit(1).as("in_ss"))
+        .join(e.select($"l", $"h", lit(1).as("in_e")), Seq("l", "h"), "full_outer")
+        .where($"in_ss".isNull || $"in_e".isNull)
+        .limit(1).count() == 0
       e = ss
       round += 1
     }

@@ -110,7 +110,12 @@ object Relational {
     */
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
+    // the exact percentile buffers are CPU-bound while sf0.1's lineitem
+    // plans 3 scan splits — spread the single-reference aggregation
+    // input (Tables.fanOutWide: no-op once the corpus plans >= cores
+    // splits); exact percentile is a sorted-buffer aggregate, so the
+    // result is partitioning-independent
+    Tables.fanOutWide(Tables.lineitem(s, dir), col("l_orderkey"))
       .groupBy($"l_returnflag")
       .agg(
         expr("percentile(l_quantity, 0.5)").as("qty_p50"),
@@ -163,7 +168,12 @@ object Relational {
     import s.implicits._
     def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
       abs(a - e) * 100 <= e
-    Tables.lineitem(s, dir)
+    // fanOutWide: the percentiles rationale. The GK sketch values can
+    // shift with partitioning, but the REGISTERED columns are the exact
+    // percentiles plus the 1%-envelope boolean, and the sketch's 1e-4
+    // error bound holds under any merge topology — the boolean cannot
+    // flip (RelationalSpec bounds the per-cell error)
+    Tables.fanOutWide(Tables.lineitem(s, dir), col("l_orderkey"))
       .groupBy($"l_returnflag")
       .agg(
         expr("percentile(l_quantity, 0.5)").as("qty_p50"),

@@ -937,11 +937,16 @@ object Similarity {
       val diff = zip_with(sv, c, (x, y) => x - y)
       round(dot(diff, diff), 6)
     }
+    // persist the subvector frame for the loop's lifetime (the
+    // trainCoarse discipline): init + every Lloyd round re-derived the
+    // subspace explode otherwise — iters+2 passes become one
+    val sc0 = subs.persist()
+    try {
     // deterministic init: subvectors of the PqK lowest vec_ids per subspace
-    val initIds = subs.select($"vec_id").distinct()
+    val initIds = sc0.select($"vec_id").distinct()
       .orderBy($"vec_id").limit(PqK)
       .collect().map(_.getLong(0)).zipWithIndex.toMap
-    var codebook: Seq[(Int, Int, Seq[Double])] = subs
+    var codebook: Seq[(Int, Int, Seq[Double])] = sc0
       .where($"vec_id".isin(initIds.keys.toSeq: _*))
       .select($"vec_id", $"m", $"sv").as[(Long, Int, Seq[Double])]
       .collect().map { case (id, m, sv) => (m, initIds(id), sv) }.toSeq
@@ -950,7 +955,7 @@ object Similarity {
       val cb = broadcast(codebook.toDF("m", "j", "c"))
       // assign: argmin-L2 codeword per (vector, subspace) — struct-min
       // agg (partial aggregation applies; never a window)
-      val assign = subs.join(cb, "m")
+      val assign = sc0.join(cb, "m")
         .select($"vec_id", $"m", $"sv", $"j", d2($"sv", $"c").as("d2"))
         .groupBy($"vec_id", $"m")
         .agg(min(struct($"d2", $"j", $"sv")).as("best"))
@@ -978,6 +983,7 @@ object Similarity {
       codebook = codebook.map { case (m, j, c) => (m, j, moved.getOrElse((m, j), c)) }
     }
     (broadcast(codebook.toDF("m", "j", "c")), err)
+    } finally sc0.unpersist(blocking = false)
   }
 
   /** IVF-PQ — the composed 100 TB ANN architecture the PQ scaladoc
@@ -1931,13 +1937,22 @@ object Similarity {
 
   private[graft] def trainCoarse(s: SparkSession, v: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
     import s.implicits._
-    var cents: Seq[(Int, Seq[Double])] = v.select($"vec_id", $"v")
+    // the Lloyd loop re-reads `v` once per round plus the init — persist
+    // it for the loop's lifetime so the scan+normalize lineage runs once
+    // instead of CoarseIters+1 times (VERDICT r21 #5: the embeddings
+    // frame rebuilt dozens of times per query is WHY fan-out was toxic
+    // here; a persist removes the recompute without adding an exchange).
+    // Entirely inside this eager driver loop: persisted before the first
+    // job, released in the finally — nothing leaks across queries/runs.
+    val vc = v.persist()
+    try {
+    var cents: Seq[(Int, Seq[Double])] = vc.select($"vec_id", $"v")
       .orderBy($"vec_id").limit(k)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
       .zipWithIndex.map { case ((_, c), j) => (j, c) }.toSeq
     val dim = cents.head._2.size
     for (_ <- 0 until CoarseIters) {
-      val assigned = assignIds(s, v, cents)
+      val assigned = assignIds(s, vc, cents)
       // re-mean in the EXPLODED (j, dim, micro-int) shape — one generic
       // 3-column aggregate instead of 64 wide decimal-sum columns whose
       // generated code dominated the planner's wall time (measured 29 s
@@ -1960,6 +1975,7 @@ object Similarity {
       }
     }
     cents
+    } finally vc.unpersist(blocking = false)
   }
 
   /** The trained codebook as the (cent_id, cv, cnrm) frame the IVF /
@@ -2249,7 +2265,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val (k1, k2) = hierDims(k)
     val cents1 = trainCoarse(s, v, k1)
+    // branch frame persisted for the level-2 loop's lifetime (the
+    // trainCoarse discipline): init + every branch-local Lloyd round
+    // re-derived the level-1 assignment otherwise
     val vb = assignIds(s, v, cents1).select($"vec_id", $"j".as("b"), $"v")
+      .persist()
+    try {
     val dim = cents1.head._2.size
     var subs: Seq[(Int, Int, Seq[Double])] = vb
       .withColumn("rn", row_number().over(Window.partitionBy($"b").orderBy($"vec_id")))
@@ -2273,6 +2294,7 @@ object Similarity {
       }
     }
     (cents1, subs)
+    } finally vb.unpersist(blocking = false)
   }
 
   /** Session-memoized two-level CONSUMER assignment at the grounded k:

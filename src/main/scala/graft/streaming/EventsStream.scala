@@ -18,6 +18,36 @@ object EventsStream {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** RAM-backed checkpoint directory for one stream drive. A stateful
+    * query commits per-partition state-store delta files plus offset/
+    * commit logs EVERY micro-batch; with the default temp location that
+    * is fsync-heavy small-file IO on the root disk. The drives here
+    * feed from an in-process MemoryStream — already non-recoverable
+    * across JVMs — so a RAM-disk checkpoint changes the durability of
+    * nothing the harness could replay anyway (VERDICT r21 #4). A
+    * production deployment keeps its checkpoint on durable storage and
+    * sets SPARK_GRAFT_STREAM_CKPT (or simply does not run this
+    * harness); falls back to java.io.tmpdir when /dev/shm is absent.
+    * Callers delete the directory via [[dropCheckpoint]] after stop().
+    */
+  private[graft] def ramCheckpoint(tag: String): java.io.File = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_STREAM_CKPT",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir"))
+    val dir = new java.io.File(root,
+      s"graft_ckpt_${ProcessHandle.current().pid()}_${tag}_${System.nanoTime()}")
+    dir.mkdirs()
+    dir
+  }
+
+  private[graft] def dropCheckpoint(dir: java.io.File): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    try rm(dir) catch { case _: Exception => () } // best-effort cleanup
+  }
+
   case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
@@ -281,8 +311,10 @@ object EventsStream {
     * deployment makes the same cut with snapshot-versioned label tables.
     */
   def clusterMaintainStream(s: SparkSession, docs: DataFrame, sigTable: String,
-      labelTable: String, tau: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      labelTable: String, tau: Double = 0.5,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointDir.foldLeft(docs.writeStream)(
+      (w, d) => w.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // sign the micro-batch ONCE: the label update (store match +
         // internal pairs) and the absorb all consume the same banded
@@ -337,8 +369,10 @@ object EventsStream {
     * touching event history.
     */
   def sketchStoreStream(s: SparkSession, events: DataFrame,
-      sketchTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+      sketchTable: String,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointDir.foldLeft(events.writeStream)(
+      (w, d) => w.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val daySk = batch
           .select(col("user_id"),

@@ -79,7 +79,12 @@ object StreamQueries {
       mode: OutputMode = OutputMode.Append): DataFrame = withStreamParts(s) {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val mem = MemoryStream[A]
+    // RAM-backed checkpoint (EventsStream.ramCheckpoint): the per-batch
+    // state-store/offset-log commits are small-file IO the MemoryStream
+    // harness cannot replay anyway; deleted after stop()
+    val ckpt = EventsStream.ramCheckpoint(sink)
     val q = build(mem.toDS()).writeStream.format("memory")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
       .queryName(sink).outputMode(mode).start()
     try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
     finally {
@@ -95,6 +100,7 @@ object StreamQueries {
         if (stateOps.isEmpty) 0L else stateOps.map(_.numRowsTotal).max,
         if (stateOps.isEmpty) 0L else stateOps.map(_.memoryUsedBytes).max))
       q.stop()
+      EventsStream.dropCheckpoint(ckpt)
     }
     s.table(sink)
   }
@@ -281,11 +287,13 @@ object StreamQueries {
     val half = evs.length / 2
     withStreamParts(s) {
       val mem = MemoryStream[(Long, java.sql.Timestamp)]
-      val q = EventsStream.sketchStoreStream(s, mem.toDF().toDF("user_id", "ts"), tbl)
+      val ckpt = EventsStream.ramCheckpoint(tbl)
+      val q = EventsStream.sketchStoreStream(s, mem.toDF().toDF("user_id", "ts"),
+        tbl, Some(ckpt.getAbsolutePath))
       try {
         mem.addData(evs.take(half).toIndexedSeq: _*); q.processAllAvailable()
         mem.addData(evs.drop(half).toIndexedSeq: _*); q.processAllAvailable()
-      } finally q.stop()
+      } finally { q.stop(); EventsStream.dropCheckpoint(ckpt) }
     }
     val streamed = Corpus.rollingEstFromSketches(s.table(tbl))
       .select($"day", $"est_users".as("streamed_est"))
@@ -644,10 +652,12 @@ object StreamQueries {
     withStreamParts(s) {
       val clicks = MemoryStream[Event]
       val purchases = MemoryStream[Event]
+      val ckpt = EventsStream.ramCheckpoint("graft_stream_click_attrib")
       val q = EventsStream.clickPurchaseJoin(
           clicks.toDF().where($"event_type" === "click"),
           purchases.toDF().where($"event_type" === "purchase"))
         .writeStream.format("memory").queryName("graft_stream_click_attrib")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .outputMode(OutputMode.Append).start()
       try chunks.foreach { c =>
         clicks.addData(c: _*)
@@ -663,6 +673,7 @@ object StreamQueries {
           if (stateOps.isEmpty) 0L else stateOps.map(_.numRowsTotal).max,
           if (stateOps.isEmpty) 0L else stateOps.map(_.memoryUsedBytes).max))
         q.stop()
+        EventsStream.dropCheckpoint(ckpt)
       }
     }
     s.table("graft_stream_click_attrib")
@@ -719,8 +730,10 @@ object StreamQueries {
     val half = delta.length / 2
     withStreamParts(s) {
       val mem = MemoryStream[(Long, String)]
+      val ckpt = EventsStream.ramCheckpoint(labT)
       val q = EventsStream.clusterMaintainStream(s,
-        mem.toDF().toDF("doc_id", "text"), sigT, labT)
+        mem.toDF().toDF("doc_id", "text"), sigT, labT,
+        checkpointDir = Some(ckpt.getAbsolutePath))
       try {
         mem.addData(delta.take(half).toIndexedSeq: _*); q.processAllAvailable()
         mem.addData(delta.drop(half).toIndexedSeq: _*); q.processAllAvailable()
@@ -734,6 +747,7 @@ object StreamQueries {
           if (stateOps.isEmpty) 0L else stateOps.map(_.numRowsTotal).max,
           if (stateOps.isEmpty) 0L else stateOps.map(_.memoryUsedBytes).max))
         q.stop()
+        EventsStream.dropCheckpoint(ckpt)
       }
     }
     s.table(labT).select($"doc_id", $"cluster_id").orderBy($"doc_id")
