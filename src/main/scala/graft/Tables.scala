@@ -7,8 +7,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * filters / prune columns straight into the scan.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Footer schema per (parquet path, nanos-flag), read once per JVM.
+    * A bare-path `spark.read.parquet` re-infers the schema with a
+    * one-task Spark job on EVERY call — ~50-100 ms of pure fixed floor
+    * charged to every query builder (a catalog/metastore table carries
+    * its schema and never pays this; the snapshot files are immutable,
+    * so the memo is metadata, not data). Keyed on the nanosAsLong flag
+    * because it changes what the events footer infers to.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = (path, spark.conf.getOption(NanosFlag).getOrElse(""))
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Target input bytes per task for [[fanOut]] — how finely a
     * below-core-count scan is spread before heavy row-local work

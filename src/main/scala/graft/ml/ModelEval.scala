@@ -143,16 +143,20 @@ object ModelEval {
       // corpus and every fold refits only the stage that actually
       // depends on its train half — the IDF statistics (bit-identical to
       // refitting the whole featurizer per fold, ~10 corpus hash passes
-      // cheaper). The persisted tf frame is one sparse vector per doc.
-      val tf = new HashingTF().setInputCol("grams").setOutputCol("tf")
-        .setNumFeatures(Classifiers.NumFeatures)
-        .transform(Classifiers.prepared(s, dir))
-        .select($"doc_id", $"label", $"tf").persist()
-      // the whole fit-and-collapse body runs under try/finally: the
-      // corpus-sized tf pin is released on the failure path too (a
-      // thrown fold fit must not leave tf resident for the session)
-      try {
-      tf.count() // materialize once before the concurrent fits race to
+      // cheaper). The persisted tf frame is one sparse vector per doc —
+      // the Classifiers.featurized size class — and it is SHARED across
+      // callers (r22): the CV pair and the grid-winner t-test each
+      // rebuilt and re-materialized it per memo key before, paying the
+      // tokenize+n-gram+hash pass twice per session.
+      val tf: org.apache.spark.sql.DataFrame =
+        SessionCache.getOrCompute(s, s"ml.cvTf:$dir") {
+          val f = new HashingTF().setInputCol("grams").setOutputCol("tf")
+            .setNumFeatures(Classifiers.NumFeatures)
+            .transform(Classifiers.prepared(s, dir))
+            .select($"doc_id", $"label", $"tf").persist()
+          f.count() // materialize once before the concurrent fits race
+          f
+        }
       val folds = for { r <- 0 until 5; f <- 0 until 2 } yield (r, f)
       // per-fold IDF models are SHARED across callers (r19 ask #7): the
       // CV pair (ml.cvFoldTallies) and the grid-winner t-test
@@ -214,12 +218,10 @@ object ModelEval {
       val tallies = scored.groupBy($"scorer", $"r", $"f", $"score")
         .agg(count(lit(1)).as("c"), sum($"y").cast("long").as("cp"))
         .persist()
-      // materialize the bounded tallies NOW so the corpus-sized tf pin
-      // can be released before the memo returns — only the rounded-score
-      // tallies stay resident for the session
+      // materialize the bounded tallies NOW — only the rounded-score
+      // tallies and the shared tf memo stay resident for the session
       tallies.count()
       tallies
-      } finally tf.unpersist(blocking = false)
     }
 
   /** Per-(model, r, f) hold-out AUC **and AUPRC** over the refit 5×2
