@@ -16,7 +16,11 @@ object PlanAudit {
         "q_span_dedup", "q_model_compare", "q_dedup_ngram_jaccard",
         "q_ml_roc_curve", "q_ml_mean_roc", "q_ann_pq", "q_embed_label_knn",
         "q_percentiles_by_source")
-    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+    // default 4 (historic captures); SPARK_GRAFT_CPUS overrides so
+    // core-count-dependent plan decisions (fan-out probes) can be
+    // captured at the bench's own parallelism
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.all.filter(q => names(q.name)).foreach { q =>
       println(s"\n================ ${q.name} ================")

@@ -108,4 +108,47 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the micros table still loads fine without the flag
     assert(Tables.events(bare, dir).count() > 0)
   }
+
+  test("fanOut fires plan-free on a single-split scan and preserves rows") {
+    import org.apache.spark.sql.functions.col
+    // sf0.1 documents: one 594 KB file -> one split; at local[4] the
+    // probe must fire (want = min(bytes/64K, 4) = 4 >= 4)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val fanned = Tables.fanOut(docs, col("doc_id"))
+    assert(fanned.rdd.getNumPartitions == 4,
+      "single-split scan should spread to the core count")
+    assert(fanned.count() == docs.count())
+    // a file-less frame (no scan to probe) passes through untouched
+    import spark.implicits._
+    val mem = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Tables.fanOut(mem, col("doc_id")) eq mem)
+    // and the sub-threshold snapshot (sf0.001: a few KB) stays put —
+    // not worth four tasks
+    val tiny = Tables.documents(spark, dir)
+    assert(Tables.fanOut(tiny, col("doc_id")) eq tiny)
+  }
+
+  test("fanOutWide preserves aggregation results over the spread input") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val wide = Tables.fanOutWide(li, col("l_orderkey"))
+    // exact percentile is partitioning-independent — same matrix either way
+    def pct(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.expr("percentile(l_quantity, 0.5)").as("p"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(pct(wide) == pct(li))
+  }
+
+  test("localize collapses a bounded frame to a local relation with identical rows") {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .groupBy($"source").count().orderBy($"source")
+    val loc = Tables.localize(src)
+    assert(loc.schema == src.schema)
+    assert(loc.orderBy($"source").collect().toSeq == src.collect().toSeq)
+    assert(loc.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "localize must plan as a LocalRelation leaf")
+  }
 }
